@@ -1,0 +1,135 @@
+"""The default text analyzer, in three parity-tested forms.
+
+Reference chain (``/root/reference/src/tokenizer/tokenizer_manager.rs:59-65``):
+``SimpleTokenizer`` (split on runs of non-alphanumeric chars,
+simple_tokenizer.rs:30-55) -> ``RemoveLongFilter::limit(40)`` (drop tokens
+whose UTF-8 byte length >= 40, remove_long.rs:35-37) -> ``LowerCaser``.
+
+Token *positions* are assigned by the tokenizer before filtering, so
+surviving tokens keep their original ordinals (gaps where long tokens were
+dropped).  The fieldnorm is the number of tokens *after* filtering
+(segment_writer.rs:294-296).
+
+Character-class note: Rust ``char::is_alphanumeric`` is
+``Alphabetic || {Nd,Nl,No}``.  We use the Unicode class ``[\\p{L}\\p{N}]``
+(letters + numbers) as the canonical cross-engine definition — identical on
+every ASCII/Latin corpus and expressible in Java regex (Spark), RE2
+(DuckDB), and Python ``regex``-free form; the delta (a handful of
+Other_Alphabetic marks) is outside our corpus and documented here.
+
+Three implementations, asserted equal in tests/test_analyzer.py:
+
+1. :func:`tokens_col` — pure JVM Catalyst expression (regexp_extract_all +
+   filter + lower).  Whole-stage-codegen'd; the hot path for index builds.
+2. :func:`tokenize_series` — Arrow/pandas vectorized, for use inside
+   applyInPandas kernels that already hold pandas data.
+3. :func:`duckdb_tokens_sql` — the same chain as a DuckDB SQL fragment,
+   for oracle queries.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from tantivy_spark import MAX_TOKEN_BYTES
+
+# Java regex (Spark side).  \p{L}\p{N} == Unicode letters + numbers.
+JAVA_TOKEN_PATTERN = r"[\p{L}\p{N}]+"
+# RE2 (DuckDB side) — same class syntax.
+RE2_TOKEN_PATTERN = r"[\p{L}\p{N}]+"
+# Python re: no \p classes; [^\W_] == alnum-without-underscore, which equals
+# [\p{L}\p{N}] up to Python-vs-Unicode-property edge cases outside our corpora.
+PY_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+
+# ---------------------------------------------------------------------------
+# 1. JVM expression form (the fast path)
+# ---------------------------------------------------------------------------
+
+def raw_tokens_col(text: Column) -> Column:
+    """All alphanumeric runs, in order, pre-filter (positions = array index)."""
+    return F.regexp_extract_all(text, F.lit(JAVA_TOKEN_PATTERN), 0)
+
+
+def tokens_col(text: Column) -> Column:
+    """Analyzer output: lowercased surviving tokens (positions dropped)."""
+    return F.transform(
+        F.filter(raw_tokens_col(text), lambda t: F.octet_length(t) < MAX_TOKEN_BYTES),
+        F.lower,
+    )
+
+
+def tokens_with_positions_col(text: Column) -> Column:
+    """array<struct<token:string, pos:int>> with pre-filter ordinals."""
+    raw = raw_tokens_col(text)
+    indexed = F.transform(
+        raw, lambda t, i: F.struct(F.lower(t).alias("token"), i.alias("pos"),
+                                   F.octet_length(t).alias("_blen"))
+    )
+    kept = F.filter(indexed, lambda s: s["_blen"] < MAX_TOKEN_BYTES)
+    return F.transform(kept, lambda s: F.struct(s["token"].alias("token"), s["pos"].alias("pos")))
+
+
+def fieldnorm_col(text: Column) -> Column:
+    """Token count after filtering (the fieldnorm); 0 for null text."""
+    return F.size(tokens_col(F.coalesce(text, F.lit(""))))
+
+
+# ---------------------------------------------------------------------------
+# 2. pandas form (inside Arrow kernels)
+# ---------------------------------------------------------------------------
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """Series[str] -> Series[list[str]] of lowercased surviving tokens."""
+    raw = texts.fillna("").str.findall(PY_TOKEN_RE)
+    return raw.map(
+        lambda toks: [t.lower() for t in toks if len(t.encode("utf-8")) < MAX_TOKEN_BYTES]
+    )
+
+
+def tokenize_with_positions_series(texts: pd.Series) -> pd.Series:
+    """Series[str] -> Series[list[(token, pos)]] with pre-filter ordinals."""
+    raw = texts.fillna("").str.findall(PY_TOKEN_RE)
+    return raw.map(
+        lambda toks: [
+            (t.lower(), i)
+            for i, t in enumerate(toks)
+            if len(t.encode("utf-8")) < MAX_TOKEN_BYTES
+        ]
+    )
+
+
+def flat_tokenize(doc_ids: np.ndarray, texts: pd.Series):
+    """Explode a batch: returns (doc_id_rep, tokens, positions) flat arrays.
+
+    Fully vectorized except the per-document regex findall (pandas C loop).
+    """
+    tok_lists = tokenize_with_positions_series(texts)
+    counts = tok_lists.map(len).to_numpy(dtype=np.int64)
+    doc_rep = np.repeat(np.asarray(doc_ids, dtype=np.int64), counts)
+    flat = [p for lst in tok_lists for p in lst]
+    if flat:
+        toks = np.array([p[0] for p in flat], dtype=object)
+        poss = np.array([p[1] for p in flat], dtype=np.int64)
+    else:
+        toks = np.array([], dtype=object)
+        poss = np.array([], dtype=np.int64)
+    return doc_rep, toks, poss, counts
+
+
+# ---------------------------------------------------------------------------
+# 3. DuckDB SQL form (oracle)
+# ---------------------------------------------------------------------------
+
+def duckdb_tokens_sql(text_expr: str) -> str:
+    """DuckDB list<varchar> expression: the analyzer chain in SQL."""
+    return (
+        f"list_transform("
+        f"list_filter(regexp_extract_all({text_expr}, '{RE2_TOKEN_PATTERN}'), "
+        f"t -> strlen(t) < {MAX_TOKEN_BYTES}), t -> lower(t))"
+    )

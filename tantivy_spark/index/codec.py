@@ -1,0 +1,259 @@
+"""Posting-list block codec: docid-delta bitpacking + VInt tails.
+
+Format (ours — designed for numpy vectorization, NOT the reference's
+on-disk layout; reference semantics at
+/root/reference/src/postings/compression/mod.rs:36-127 are: full blocks of
+128 docs are delta+bitpacked, the final partial block is VInt-encoded, and
+term frequencies are bitpacked as tf-1).
+
+A posting list for one term is encoded into two byte strings plus block
+metadata:
+
+``docs_bytes`` layout, per full 128-doc block, concatenated:
+    bitpacked ``delta - 1`` values (width = block_meta.bits_doc), where
+    ``delta[i] = doc[i] - doc[i-1]`` and ``delta[0] = doc[0] - prev_last``
+    with ``prev_last = -1`` for the first block.  Doc ids are strictly
+    increasing so ``delta - 1 >= 0``.
+    The final partial block (< 128 docs) is VInt(LEB128)-encoded deltas-1.
+
+``tfs_bytes`` layout mirrors it with ``tf - 1`` values (tf >= 1).
+
+Block metadata is one struct per block:
+    (last_doc, n_docs, bits_doc, bits_tf, wand_fieldnorm_id, wand_tf)
+``bits_* = 255`` marks a VInt tail block. ``wand_*`` is the
+(fieldnorm_id, capped tf) pair maximizing the BM25 tf-factor within the
+block — the block-max metadata driving WAND pruning
+(ref semantics: src/postings/serializer.rs:404-428, skip.rs:32-43).
+
+All encode/decode paths are pure numpy (no per-element Python loops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tantivy_spark import BLOCK_LEN
+
+VINT_MARKER = 255  # bits value marking a VInt-encoded tail block
+
+
+# ---------------------------------------------------------------------------
+# bitpacking
+# ---------------------------------------------------------------------------
+
+def bitpack(values: np.ndarray, width: int) -> bytes:
+    """Pack uint32 values into `width`-bit little-endian bitstream."""
+    if width == 0:
+        return b""
+    v = np.ascontiguousarray(values, dtype="<u4")
+    bits = np.unpackbits(v.view(np.uint8).reshape(-1, 4), axis=1, bitorder="little")
+    return np.packbits(bits[:, :width].reshape(-1), bitorder="little").tobytes()
+
+
+def bitunpack(buf: bytes, width: int, n: int) -> np.ndarray:
+    """Inverse of :func:`bitpack` -> uint32 array of length n."""
+    if width == 0:
+        return np.zeros(n, dtype=np.uint32)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), bitorder="little")
+    bits = bits[: n * width].reshape(n, width)
+    out = np.zeros((n, 32), dtype=np.uint8)
+    out[:, :width] = bits
+    return np.packbits(out, axis=1, bitorder="little").view("<u4").reshape(n)
+
+
+def bit_width(values: np.ndarray) -> int:
+    """Bits needed for the largest value (0 for all-zero)."""
+    if len(values) == 0:
+        return 0
+    m = int(values.max())
+    return m.bit_length()
+
+
+# ---------------------------------------------------------------------------
+# VInt (LEB128), vectorized
+# ---------------------------------------------------------------------------
+
+def vint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode uint32 values, fully vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # candidate 5 bytes per value (7 payload bits each)
+    shifts = np.arange(0, 35, 7, dtype=np.uint64)
+    payload = ((v[:, None] >> shifts[None, :]) & np.uint64(0x7F)).astype(np.uint8)
+    # exact byte count: value fits in k*7 bits
+    nbytes = np.ones(n, dtype=np.int64)
+    for k in range(1, 5):
+        nbytes += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    keep = np.arange(5)[None, :] < nbytes[:, None]
+    cont = np.arange(5)[None, :] < (nbytes - 1)[:, None]
+    payload = payload | (cont.astype(np.uint8) << 7)
+    return payload[keep].tobytes()
+
+
+def vint_decode(buf: bytes, n: int) -> np.ndarray:
+    """Decode n LEB128 values from buf -> uint32 array."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint32)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (raw & 0x80) == 0
+    # group id of each byte = count of terminators before it
+    group = np.zeros(len(raw), dtype=np.int64)
+    group[1:] = np.cumsum(is_last[:-1])
+    # position within group
+    starts = np.zeros(len(raw), dtype=np.int64)
+    first_of_group = np.ones(len(raw), dtype=bool)
+    first_of_group[1:] = group[1:] != group[:-1]
+    idx = np.arange(len(raw))
+    start_idx = np.maximum.accumulate(np.where(first_of_group, idx, 0))
+    pos = idx - start_idx
+    vals = np.zeros(n, dtype=np.uint64)
+    np.add.at(vals, group, (raw & np.uint8(0x7F)).astype(np.uint64) << (7 * pos).astype(np.uint64))
+    return vals.astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# posting-list encode / decode
+# ---------------------------------------------------------------------------
+
+BLOCK_META_FIELDS = ("last_doc", "n_docs", "bits_doc", "bits_tf", "wand_fieldnorm_id", "wand_tf")
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, fieldnorm_ids: np.ndarray,
+                    tf_cache: np.ndarray | None = None):
+    """Encode one term's posting list.
+
+    Parameters: strictly-increasing doc_ids (uint32), tfs >= 1 (uint32),
+    fieldnorm_ids (uint8) aligned with doc_ids, and optionally the
+    256-entry BM25 norm cache ``K1*(1-B+B*norm/avg)`` (float32) used to pick
+    block-max (fieldnorm_id, tf) pairs.  Without a cache the wand pair is
+    (max fieldnorm_id, max tf) — a valid (looser) upper bound.
+
+    Returns (docs_bytes, tfs_bytes, fns_bytes, block_meta list-of-tuples).
+
+    ``fns_bytes`` is the aligned fieldnorm-id byte per posting.  The
+    reference keeps fieldnorms in a separate per-segment file
+    (src/fieldnorm/); we deliberately denormalize them into the posting
+    list (+1 byte/posting) so BM25 scoring is join-free in Spark — both
+    the exact scorer and the WAND kernel score from a single table scan.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = len(doc_ids)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0:1] = doc_ids[0:1] + 1  # delta vs prev_last=-1
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    dm1 = (deltas - 1).astype(np.uint32)
+    tm1 = (tfs - 1).astype(np.uint32)
+
+    docs_parts: list[bytes] = []
+    tfs_parts: list[bytes] = []
+    meta: list[tuple] = []
+    n_full = n // BLOCK_LEN
+    for b in range(n_full + 1):
+        lo = b * BLOCK_LEN
+        hi = min(lo + BLOCK_LEN, n)
+        if lo >= hi:
+            break
+        blk_d = dm1[lo:hi]
+        blk_t = tm1[lo:hi]
+        blk_tf = tfs[lo:hi]
+        blk_fn = np.asarray(fieldnorm_ids[lo:hi], dtype=np.uint8)
+        capped_tf = np.minimum(blk_tf, 255)
+        if tf_cache is not None:
+            tf_f = blk_tf.astype(np.float32)
+            factor = tf_f / (tf_f + tf_cache[blk_fn])
+            j = int(np.argmax(factor))
+        else:
+            j = int(np.argmax(blk_tf))
+        wand_fn, wand_tf = int(blk_fn[j]), int(capped_tf[j])
+        if hi - lo == BLOCK_LEN:
+            wd, wt = bit_width(blk_d), bit_width(blk_t)
+            docs_parts.append(bitpack(blk_d, wd))
+            tfs_parts.append(bitpack(blk_t, wt))
+            meta.append((int(doc_ids[hi - 1]), hi - lo, wd, wt, wand_fn, wand_tf))
+        else:
+            docs_parts.append(vint_encode(blk_d))
+            tfs_parts.append(vint_encode(blk_t))
+            meta.append((int(doc_ids[hi - 1]), hi - lo, VINT_MARKER, VINT_MARKER, wand_fn, wand_tf))
+    fns_bytes = np.ascontiguousarray(fieldnorm_ids, dtype=np.uint8).tobytes()
+    return b"".join(docs_parts), b"".join(tfs_parts), fns_bytes, meta
+
+
+def _block_nbytes(bits: int, n: int) -> int:
+    if bits == VINT_MARKER:
+        raise ValueError("vint block size not fixed")
+    return (n * bits + 7) // 8
+
+
+def decode_fns(fns_bytes: bytes) -> np.ndarray:
+    """Aligned fieldnorm ids (uint8) per posting."""
+    return np.frombuffer(fns_bytes, dtype=np.uint8)
+
+
+def encode_positions(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode one term's positions: ``flat_positions`` is the concatenation
+    of each matching doc's sorted position list (doc order), ``tfs`` gives
+    the per-doc list lengths.  Per-doc delta encoding (first position, then
+    gaps), VInt'd as one stream.  Fully vectorized.
+    """
+    p = np.asarray(flat_positions, dtype=np.int64)
+    if len(p) == 0:
+        return b""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    d = np.empty(len(p), dtype=np.int64)
+    d[0] = p[0]
+    d[1:] = p[1:] - p[:-1]
+    starts = np.cumsum(tfs)[:-1]
+    d[starts] = p[starts]  # reset delta at each doc boundary
+    return vint_encode(d.astype(np.uint32))
+
+
+def decode_positions(pos_bytes: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions` -> flat positions array; split
+    per doc with ``np.split(out, np.cumsum(tfs)[:-1])`` if needed."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    d = vint_decode(pos_bytes, total).astype(np.int64)
+    csum = np.cumsum(d)
+    starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+    # subtract the running total accumulated before each doc's first element
+    base = np.zeros(total, dtype=np.int64)
+    base[starts[1:]] = csum[starts[1:] - 1]
+    base = np.maximum.accumulate(base)
+    return csum - base
+
+
+def decode_postings(docs_bytes: bytes, tfs_bytes: bytes, meta) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a full posting list -> (doc_ids int64, tfs int64)."""
+    doc_chunks = []
+    tf_chunks = []
+    dpos = tpos = 0
+    prev_last = -1
+    for last_doc, n_docs, bits_doc, bits_tf, _fn, _tf in meta:
+        n_docs = int(n_docs)
+        if int(bits_doc) == VINT_MARKER:
+            dbuf = docs_bytes[dpos:]
+            tbuf = tfs_bytes[tpos:]
+            dm1 = vint_decode(dbuf, n_docs)
+            tm1 = vint_decode(tbuf, n_docs)
+            dpos = len(docs_bytes)
+            tpos = len(tfs_bytes)
+        else:
+            dn = _block_nbytes(int(bits_doc), n_docs)
+            tn = _block_nbytes(int(bits_tf), n_docs)
+            dm1 = bitunpack(docs_bytes[dpos:dpos + dn], int(bits_doc), n_docs)
+            tm1 = bitunpack(tfs_bytes[tpos:tpos + tn], int(bits_tf), n_docs)
+            dpos += dn
+            tpos += tn
+        docs = np.cumsum(dm1.astype(np.int64) + 1) + prev_last
+        prev_last = int(docs[-1])
+        assert prev_last == int(last_doc), (prev_last, last_doc)
+        doc_chunks.append(docs)
+        tf_chunks.append(tm1.astype(np.int64) + 1)
+    if not doc_chunks:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(doc_chunks), np.concatenate(tf_chunks)

@@ -1,0 +1,64 @@
+"""Index reader: pins an index directory as a set of DataFrames.
+
+The analogue of the reference `Searcher` (src/core/searcher.rs:180-237):
+an immutable snapshot of segment data + global statistics.  Global BM25
+statistics (total docs, total tokens -> avg fieldnorm) come from the
+manifest; per-term doc_freq comes from the ``term_stats`` table
+(ref: Bm25StatisticsProvider, src/query/bm25.rs:27-50).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import cached_property
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.manifest = json.load(f)
+        t = self.manifest["totals"]
+        self.num_docs: int = int(t["num_docs"])
+        self.total_num_tokens: int = int(t["total_num_tokens"])
+        self.avg_fieldnorm: float = float(t["avg_fieldnorm"]) or 1.0
+        self.with_positions: bool = bool(self.manifest["config"].get("with_positions", True))
+
+    @cached_property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+
+    @cached_property
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+
+    @cached_property
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+
+    def doc_freqs(self, terms: list[str]) -> dict[str, int]:
+        """Global doc_freq for a small set of query terms (driver-side).
+
+        This is the one deliberate collect in the query path: the same
+        O(#query-terms) statistics lookup the reference does when building
+        a Weight (bm25.rs:95-129).
+        """
+        if not terms:
+            return {}
+        rows = (
+            self.term_stats.filter(F.col("term").isin(list(set(terms))))
+            .select("term", "doc_freq").collect()
+        )
+        out = {t: 0 for t in terms}
+        out.update({r["term"]: int(r["doc_freq"]) for r in rows})
+        return out
+
+    def postings_for_terms(self, terms: list[str]) -> DataFrame:
+        """Posting rows for a term set — parquet scan with an IN filter
+        pushed down to row-group pruning."""
+        return self.postings.filter(F.col("term").isin(list(set(terms))))

@@ -1,0 +1,148 @@
+"""Query tree dataclasses.
+
+The analogue of the reference's `Query` trait object tree
+(/root/reference/src/query/): each node declares *what* matches and how
+scores combine; the planners in ``exact.py`` / ``wand.py`` lower a tree to
+a DataFrame program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class Occur(str, Enum):
+    MUST = "must"
+    SHOULD = "should"
+    MUST_NOT = "must_not"
+
+
+class Query:
+    """Base class.  ``terms()`` returns every positive text term used,
+    for statistics lookup and posting-scan planning."""
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass
+class TermQuery(Query):
+    """All docs containing `term`, BM25-scored
+    (ref: src/query/term_query/)."""
+    term: str
+
+    def terms(self) -> list[str]:
+        return [self.term]
+
+
+@dataclass
+class BooleanQuery(Query):
+    """MUST / SHOULD / MUST_NOT with tantivy scoring: score = sum of
+    matching positive subclause scores (ref: src/query/boolean_query/).
+    ``minimum_should_match`` applies when there is at least one SHOULD."""
+    clauses: list[tuple[Occur, Query]]
+    minimum_should_match: int = 1
+
+    def terms(self) -> list[str]:
+        out: list[str] = []
+        for occur, q in self.clauses:
+            if occur != Occur.MUST_NOT:
+                out.extend(q.terms())
+        return out
+
+    def negative_terms(self) -> list[str]:
+        out: list[str] = []
+        for occur, q in self.clauses:
+            if occur == Occur.MUST_NOT:
+                out.extend(q.terms())
+        return out
+
+
+@dataclass
+class PhraseQuery(Query):
+    """Adjacent terms (slop=0) or within-slop ordered match
+    (ref: src/query/phrase_query/).  Scored with the summed-idf
+    multi-term BM25 weight and phrase frequency as tf."""
+    phrase_terms: list[str]
+    slop: int = 0
+
+    def terms(self) -> list[str]:
+        return list(self.phrase_terms)
+
+
+@dataclass
+class TermSetQuery(Query):
+    """Docs containing any term of the set, constant score 1.0
+    (ref: src/query/set_query.rs — scoring disabled there too)."""
+    set_terms: list[str]
+
+    def terms(self) -> list[str]:
+        return list(self.set_terms)
+
+
+@dataclass
+class AllQuery(Query):
+    """Every doc, score 1.0 (ref: src/query/all_query.rs)."""
+
+
+@dataclass
+class EmptyQuery(Query):
+    """Matches nothing (ref: src/query/empty_query.rs)."""
+
+
+@dataclass
+class BoostQuery(Query):
+    """Child scores multiplied by a constant (ref: src/query/boost_query.rs)."""
+    child: Query
+    boost: float
+
+    def terms(self) -> list[str]:
+        return self.child.terms()
+
+
+@dataclass
+class ConstScoreQuery(Query):
+    """Child matches, constant score (ref: src/query/const_score_query.rs)."""
+    child: Query
+    score: float = 1.0
+
+    def terms(self) -> list[str]:
+        return self.child.terms()
+
+
+@dataclass
+class DisjunctionMaxQuery(Query):
+    """score = max(children) + tie_breaker * (sum(children) - max)
+    (ref: src/query/disjunction_max_query.rs:63-82)."""
+    disjuncts: list[Query]
+    tie_breaker: float = 0.0
+
+    def terms(self) -> list[str]:
+        out: list[str] = []
+        for q in self.disjuncts:
+            out.extend(q.terms())
+        return out
+
+
+@dataclass
+class FuzzyTermQuery(Query):
+    """Terms within Levenshtein distance <= d of `term`
+    (ref: src/query/fuzzy_query.rs).  Expanded against the term
+    dictionary at plan time."""
+    term: str
+    distance: int = 1
+    prefix: bool = False
+
+    def terms(self) -> list[str]:  # expansion happens at plan time
+        return []
+
+
+@dataclass
+class RegexQuery(Query):
+    """Terms matching a regex (ref: src/query/regex_query.rs), expanded
+    against the term dictionary at plan time; constant score 1.0."""
+    pattern: str
+
+    def terms(self) -> list[str]:
+        return []

@@ -1,0 +1,283 @@
+"""Exact declarative scorer: lowers a Query tree to a DataFrame program.
+
+This is the correctness-oracle execution path: pure Catalyst-optimizable
+joins/filters over the decoded postings, BM25 in float64 with a fixed
+association order so results are bit-reproducible across engines (the
+DuckDB oracle mirrors the same expression shapes).  The WAND kernel
+(wand.py) must return the same top-k.
+
+Scale notes: the only data that moves is the posting rows of the query's
+terms (parquet IN-filter pushdown on ``term``); scoring is whole-stage
+codegen'd JVM arithmetic; top-k is ``TakeOrderedAndProject`` (per-partition
+heap + driver merge, the exact analogue of the reference's per-segment
+TopNComputer + merge_fruits, src/collector/top_score_collector.rs).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tantivy_spark import B, K1
+from tantivy_spark.fieldnorm import FIELD_NORMS_TABLE
+from tantivy_spark.index import codec
+from tantivy_spark.index.reader import IndexReader
+from tantivy_spark.query import ast
+
+FLAT_SCHEMA = "term STRING, segment_ord INT, doc_id INT, tf BIGINT, fieldnorm_id INT"
+FLAT_POS_SCHEMA = FLAT_SCHEMA + ", pos INT"
+
+
+def idf64(doc_freq: int, total_docs: int) -> float:
+    """float64 idf — ln(1 + (N - df + 0.5)/(df + 0.5)) (bm25.rs:52-56)."""
+    return math.log(1.0 + (total_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+
+
+def _decode_kernel(with_positions: bool):
+    def decode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            terms, segs, docs, tfs, fns, poss = [], [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                meta = list(zip(row.last_docs, row.n_docs, row.bits_doc,
+                                row.bits_tf, row.wand_fn, row.wand_tf))
+                d, t = codec.decode_postings(bytes(row.docs), bytes(row.tfs), meta)
+                fn = codec.decode_fns(bytes(row.fns))
+                n = len(d)
+                terms.append(np.full(n, row.term, dtype=object))
+                segs.append(np.full(n, row.segment_ord, dtype=np.int32))
+                docs.append(d.astype(np.int32))
+                tfs.append(t)
+                fns.append(fn.astype(np.int32))
+                if with_positions:
+                    p = codec.decode_positions(bytes(row.pos), t)
+                    poss.append(p.astype(np.int32))
+            if not terms:
+                continue
+            out = {
+                "term": np.concatenate(terms),
+                "segment_ord": np.concatenate(segs),
+                "doc_id": np.concatenate(docs),
+                "tf": np.concatenate(tfs),
+                "fieldnorm_id": np.concatenate(fns),
+            }
+            if with_positions:
+                # one row per occurrence: repeat doc rows tf times
+                rep = np.repeat(np.arange(len(out["doc_id"])),
+                                out["tf"].astype(np.int64))
+                flat_pos = np.concatenate(poss)
+                out = {k: v[rep] for k, v in out.items()}
+                out["pos"] = flat_pos
+            yield pd.DataFrame(out)
+
+    return decode
+
+
+class ExactSearcher:
+    """Query executor over an IndexReader (f64 declarative path)."""
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+        self.N = reader.num_docs
+        self.avg = reader.avg_fieldnorm
+        self._norms_arr = F.array(*[F.lit(int(v)) for v in FIELD_NORMS_TABLE.tolist()])
+
+    # ------------------------------------------------------------------ io
+    def flat_postings(self, terms: list[str], with_positions: bool = False) -> DataFrame:
+        """Decoded postings for a term set: one scan, Arrow decode kernel."""
+        rows = self.reader.postings_for_terms(terms)
+        if not with_positions:
+            rows = rows.drop("pos")
+            return rows.mapInPandas(_decode_kernel(False), schema=FLAT_SCHEMA)
+        return rows.mapInPandas(_decode_kernel(True), schema=FLAT_POS_SCHEMA)
+
+    # -------------------------------------------------------------- scoring
+    def _score_col(self, weight: float):
+        """BM25 f64 column over (tf, fieldnorm_id) with baked weight.
+
+        Fixed shape: w * tf / (tf + K1*(1-B) + (K1*B/avg) * qnorm)
+        — association order mirrored exactly by the DuckDB oracle builder.
+        """
+        qnorm = F.element_at(self._norms_arr, F.col("fieldnorm_id") + 1).cast("double")
+        tf = F.col("tf").cast("double")
+        return (F.lit(float(weight)) * tf
+                / (tf + F.lit(K1 * (1.0 - B)) + F.lit(K1 * B / self.avg) * qnorm))
+
+    def _term_frame(self, term: str, doc_freq: int, boost: float = 1.0) -> DataFrame:
+        flat = self.flat_postings([term]).filter(F.col("term") == term)
+        if doc_freq <= 0:
+            return flat.select("segment_ord", "doc_id", F.lit(0.0).alias("score")).limit(0)
+        w = idf64(doc_freq, self.N) * (1.0 + K1) * boost
+        return flat.select("segment_ord", "doc_id", self._score_col(w).alias("score"))
+
+    # ------------------------------------------------------------- matching
+    def matching(self, q: ast.Query, boost: float = 1.0) -> DataFrame:
+        """(segment_ord, doc_id, score) for every matching doc."""
+        dfs = self.reader.doc_freqs(q.terms())
+        return self._lower(q, boost, dfs)
+
+    def _lower(self, q: ast.Query, boost: float, dfs: dict[str, int]) -> DataFrame:
+        r = self.reader
+        if isinstance(q, ast.TermQuery):
+            return self._term_frame(q.term, dfs.get(q.term, 0), boost)
+        if isinstance(q, ast.BoostQuery):
+            return self._lower(q.child, boost * q.boost, dfs)
+        if isinstance(q, ast.ConstScoreQuery):
+            child = self._lower(q.child, 1.0, dfs)
+            return child.select("segment_ord", "doc_id",
+                                F.lit(float(q.score) * boost).alias("score"))
+        if isinstance(q, ast.AllQuery):
+            return r.docmap.select("segment_ord", "doc_id",
+                                   F.lit(1.0 * boost).alias("score"))
+        if isinstance(q, ast.EmptyQuery):
+            return r.docmap.select("segment_ord", "doc_id",
+                                   F.lit(0.0).alias("score")).limit(0)
+        if isinstance(q, ast.TermSetQuery):
+            flat = self.flat_postings(q.set_terms)
+            return (flat.filter(F.col("term").isin(q.set_terms))
+                    .select("segment_ord", "doc_id").distinct()
+                    .select("segment_ord", "doc_id", F.lit(1.0 * boost).alias("score")))
+        if isinstance(q, ast.PhraseQuery):
+            return self._phrase(q, boost, dfs)
+        if isinstance(q, ast.DisjunctionMaxQuery):
+            frames = [self._lower(c, 1.0, dfs) for c in q.disjuncts]
+            tagged = [f.select("segment_ord", "doc_id", F.col("score").alias(f"s_{i}"))
+                      for i, f in enumerate(frames)]
+            acc = reduce(lambda a, b: a.join(b, ["segment_ord", "doc_id"], "full"), tagged)
+            cols = [F.col(f"s_{i}") for i in range(len(frames))]
+            mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
+            total = reduce(lambda a, b: a + b,
+                           [F.coalesce(c, F.lit(0.0)) for c in cols])
+            tb = float(q.tie_breaker)
+            score = (mx + F.lit(tb) * (total - mx)) * F.lit(boost)
+            return acc.select("segment_ord", "doc_id", score.alias("score"))
+        if isinstance(q, ast.RegexQuery):
+            terms = self._expand_regex(q.pattern)
+            if not terms:
+                return self._lower(ast.EmptyQuery(), boost, dfs)
+            return self._lower(ast.TermSetQuery(terms), boost, dfs)
+        if isinstance(q, ast.FuzzyTermQuery):
+            terms = self._expand_fuzzy(q.term, q.distance, q.prefix)
+            if not terms:
+                return self._lower(ast.EmptyQuery(), boost, dfs)
+            # fuzzy matches score like an OR of term queries (per-term idf)
+            sub = ast.BooleanQuery([(ast.Occur.SHOULD, ast.TermQuery(t)) for t in terms])
+            return self._lower(sub, boost, self.reader.doc_freqs(terms))
+        if isinstance(q, ast.BooleanQuery):
+            return self._boolean(q, boost, dfs)
+        raise NotImplementedError(type(q).__name__)
+
+    def _boolean(self, q: ast.BooleanQuery, boost: float, dfs: dict[str, int]) -> DataFrame:
+        musts = [c for occ, c in q.clauses if occ == ast.Occur.MUST]
+        shoulds = [c for occ, c in q.clauses if occ == ast.Occur.SHOULD]
+        nots = [c for occ, c in q.clauses if occ == ast.Occur.MUST_NOT]
+
+        def frame(c, i, tag):
+            f = self._lower(c, 1.0, dfs)
+            return f.select("segment_ord", "doc_id", F.col("score").alias(f"{tag}_{i}"))
+
+        acc: DataFrame | None = None
+        if musts:
+            for i, c in enumerate(musts):
+                f = frame(c, i, "m")
+                acc = f if acc is None else acc.join(f, ["segment_ord", "doc_id"], "inner")
+            for j, c in enumerate(shoulds):
+                acc = acc.join(frame(c, j, "s"), ["segment_ord", "doc_id"], "left")
+            score_cols = [F.col(f"m_{i}") for i in range(len(musts))] + [
+                F.coalesce(F.col(f"s_{j}"), F.lit(0.0)) for j in range(len(shoulds))
+            ]
+        else:
+            if not shoulds:
+                return self._lower(ast.EmptyQuery(), boost, dfs)
+            for j, c in enumerate(shoulds):
+                f = frame(c, j, "s")
+                acc = f if acc is None else acc.join(f, ["segment_ord", "doc_id"], "full")
+            matched = reduce(
+                lambda a, b: a + b,
+                [F.when(F.col(f"s_{j}").isNotNull(), 1).otherwise(0)
+                 for j in range(len(shoulds))],
+            )
+            acc = acc.filter(matched >= q.minimum_should_match)
+            score_cols = [F.coalesce(F.col(f"s_{j}"), F.lit(0.0))
+                          for j in range(len(shoulds))]
+        score = reduce(lambda a, b: a + b, score_cols) * F.lit(boost)
+        out = acc.select("segment_ord", "doc_id", score.alias("score"))
+        for c in nots:
+            nf = self._lower(c, 1.0, self.reader.doc_freqs(c.terms()) if c.terms() else dfs)
+            out = out.join(nf.select("segment_ord", "doc_id"),
+                           ["segment_ord", "doc_id"], "left_anti")
+        return out
+
+    def _phrase(self, q: ast.PhraseQuery, boost: float, dfs: dict[str, int]) -> DataFrame:
+        """slop=0 phrase via the shifted-position trick: pos - ordinal is
+        equal across all phrase terms exactly at phrase start positions."""
+        terms = q.phrase_terms
+        if q.slop != 0:
+            raise NotImplementedError("slop > 0 lands with the WAND kernel")
+        flat = self.flat_postings(terms, with_positions=True)
+        parts = []
+        for i, t in enumerate(terms):
+            parts.append(
+                flat.filter(F.col("term") == t).select(
+                    "segment_ord", "doc_id", "fieldnorm_id",
+                    (F.col("pos") - F.lit(i)).alias("apos"),
+                    F.lit(i).alias("ord"),
+                )
+            )
+        allp = reduce(lambda a, b: a.unionByName(b), parts)
+        hits = (
+            allp.groupBy("segment_ord", "doc_id", "fieldnorm_id", "apos")
+            .agg(F.countDistinct("ord").alias("nmatch"))
+            .filter(F.col("nmatch") == len(terms))
+            .groupBy("segment_ord", "doc_id", "fieldnorm_id")
+            .agg(F.count("*").alias("tf"))
+        )
+        idf_sum = sum(idf64(dfs.get(t, 0), self.N) for t in terms)
+        w = idf_sum * (1.0 + K1) * boost
+        return hits.select("segment_ord", "doc_id", self._score_col(w).alias("score"))
+
+    # ------------------------------------------------------- dict expansion
+    def _expand_regex(self, pattern: str, cap: int = 1024) -> list[str]:
+        rows = (self.reader.term_stats
+                .filter(F.col("term").rlike(f"^(?:{pattern})$"))
+                .select("term").limit(cap).collect())
+        return sorted(r["term"] for r in rows)
+
+    def _expand_fuzzy(self, term: str, distance: int, prefix: bool,
+                      cap: int = 1024) -> list[str]:
+        base = self.reader.term_stats
+        if prefix:
+            base = base.filter(F.col("term").startswith(term[: max(len(term) - distance, 1)]))
+        rows = (base.filter(F.levenshtein(F.col("term"), F.lit(term)) <= distance)
+                .select("term").limit(cap).collect())
+        return sorted(r["term"] for r in rows)
+
+    # ------------------------------------------------------------ collectors
+    def search(self, q: ast.Query, k: int = 10, offset: int = 0) -> DataFrame:
+        """TopDocs: (rank, segment_ord, doc_id, score, key) — tie-break
+        (score desc, segment_ord asc, doc_id asc), ref
+        top_score_collector.rs:26-28; offset semantics per :93-96."""
+        scored = self.matching(q)
+        top = scored.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")) \
+                    .limit(k + offset)
+        from pyspark.sql import Window
+        w = Window.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
+        ranked = top.withColumn("rank", F.row_number().over(w)) \
+                    .filter(F.col("rank") > offset)
+        return (ranked.join(self.reader.docmap.select("segment_ord", "doc_id", "key"),
+                            ["segment_ord", "doc_id"], "left")
+                .select("rank", "segment_ord", "doc_id", "score", "key")
+                .orderBy("rank"))
+
+    def count(self, q: ast.Query) -> int:
+        """Count collector (ref: src/collector/count_collector.rs).  A
+        single-term count short-circuits to the term_stats lookup."""
+        if isinstance(q, ast.TermQuery):
+            return self.reader.doc_freqs([q.term])[q.term]
+        return self.matching(q).count()

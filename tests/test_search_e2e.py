@@ -1,0 +1,84 @@
+"""End-to-end: Spark index build + exact scorer vs the pure-numpy golden
+engine on the sf0.001 documents corpus (as pages)."""
+
+import numpy as np
+import pytest
+
+from tantivy_spark.query import (
+    AllQuery,
+    BooleanQuery,
+    BoostQuery,
+    ConstScoreQuery,
+    DisjunctionMaxQuery,
+    Occur,
+    PhraseQuery,
+    TermQuery,
+    TermSetQuery,
+)
+from tantivy_spark.query.exact import ExactSearcher
+
+QUERIES = [
+    TermQuery("the"),                                   # hot term
+    TermQuery("data"),
+    TermQuery("zzz_no_such_term"),
+    BooleanQuery([(Occur.MUST, TermQuery("fast")), (Occur.MUST, TermQuery("scan"))]),
+    BooleanQuery([(Occur.SHOULD, TermQuery("fast")), (Occur.SHOULD, TermQuery("slow"))]),
+    BooleanQuery([
+        (Occur.MUST, TermQuery("table")),
+        (Occur.SHOULD, TermQuery("join")),
+        (Occur.MUST_NOT, TermQuery("slow")),
+    ]),
+    BooleanQuery([(Occur.SHOULD, TermQuery("fast")), (Occur.SHOULD, TermQuery("slow"))],
+                 minimum_should_match=2),
+    PhraseQuery(["order", "sort"]),
+    TermSetQuery(["fast", "slow", "zzz_nope"]),
+    BoostQuery(TermQuery("data"), 2.5),
+    ConstScoreQuery(TermQuery("data"), 0.5),
+    DisjunctionMaxQuery([TermQuery("fast"), TermQuery("slow")], tie_breaker=0.3),
+]
+
+
+@pytest.fixture(scope="module")
+def searcher(tiny_index):
+    return ExactSearcher(tiny_index)
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: type(q).__name__ + "/" + "-".join(q.terms())[:30])
+def test_topk_matches_golden(searcher, tiny_golden, q):
+    k = 10
+    got = searcher.search(q, k=k).collect()
+    want = tiny_golden.top_k(q, k=k)
+    got_addrs = [(r["segment_ord"], r["doc_id"]) for r in got]
+    want_addrs = [(seg, doc) for _r, seg, doc, _s in want]
+    assert got_addrs == want_addrs, f"{got_addrs[:5]} vs {want_addrs[:5]}"
+    # f64 Spark scores vs f32 golden scores agree to f32 tolerance
+    for r, (_rank, _s, _d, ws) in zip(got, want):
+        assert r["score"] == pytest.approx(ws, rel=1e-5, abs=1e-6)
+
+
+@pytest.mark.parametrize("q", QUERIES[:8], ids=lambda q: type(q).__name__ + "-" + "-".join(q.terms())[:25])
+def test_count_matches_golden(searcher, tiny_golden, q):
+    assert searcher.count(q) == tiny_golden.count(q)
+
+
+def test_all_and_stats(searcher, tiny_golden, tiny_index):
+    assert searcher.count(AllQuery()) == tiny_golden.num_docs
+    assert tiny_index.num_docs == tiny_golden.num_docs
+    assert tiny_index.total_num_tokens == tiny_golden.total_tokens
+    assert tiny_index.avg_fieldnorm == pytest.approx(tiny_golden.avg_fieldnorm)
+
+
+def test_doc_freqs_match(searcher, tiny_golden, tiny_index):
+    terms = ["the", "data", "fast", "scan", "zzz_no_such_term"]
+    got = tiny_index.doc_freqs(terms)
+    for t in terms:
+        assert got[t] == tiny_golden.doc_freq(t), t
+
+
+def test_offset_semantics(searcher, tiny_golden):
+    q = TermQuery("the")
+    base = tiny_golden.top_k(q, k=15)
+    got = searcher.search(q, k=5, offset=5).collect()
+    want = base[5:10]
+    assert [(r["segment_ord"], r["doc_id"]) for r in got] == [(s, d) for _r, s, d, _ in want]
+    assert [r["rank"] for r in got] == [6, 7, 8, 9, 10]
