@@ -46,7 +46,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tantivy_spark.analyzer import tokenize_with_positions_series
 from tantivy_spark.bm25 import tf_cache_f32
 from tantivy_spark.fieldnorm import fieldnorm_to_id
 from tantivy_spark.index import codec
@@ -60,7 +59,15 @@ POSTINGS_SCHEMA = (
     "wand_fn ARRAY<INT>, wand_tf ARRAY<INT>"
 )
 
-DOCMAP_SCHEMA = "segment_ord INT, doc_id INT, key STRING, num_tokens INT"
+DOCMAP_SCHEMA = "segment_ord INT, doc_id INT, key STRING"
+
+#: Reserved pseudo-term carrying per-segment per-doc stats inside the
+#: postings table (one row per segment): ``docs`` = VInt(num_tokens per
+#: doc, doc_id-indexed), ``fns`` = fieldnorm-id byte per doc,
+#: ``doc_freq`` = n_docs, ``total_tf`` = segment token count.  "\x00" can
+#: never appear in analyzer output ([\p{L}\p{N}]+), so no collision.
+#: This keeps the build single-pass: no stage ever re-tokenizes.
+FIELDNORM_SENTINEL = "\x00fieldnorms"
 
 
 @dataclass
@@ -90,84 +97,141 @@ def _segmented_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     )
 
 
+def _tokenized_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """(segment_ord, key, toks): raw alphanumeric runs split JVM-side with
+    a plain (codegen-friendly) regexp_extract_all — no higher-order
+    functions, whose per-token struct allocation dominates otherwise.
+    Lowercasing, the 40-byte filter, and position bookkeeping happen in
+    the Arrow kernel at C speed."""
+    from tantivy_spark.analyzer import raw_tokens_col
+
+    seg = _segmented_docs(df, cfg)
+    return seg.select(
+        "segment_ord", "key",
+        raw_tokens_col(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
+    )
+
+
 def _segment_kernel(cfg: IndexConfig):
-    """applyInPandas kernel: one whole segment in -> posting rows out.
+    """applyInArrow kernel: one whole segment in -> posting rows out.
 
     The analogue of one reference indexing thread
-    (SegmentWriter + PostingsSerializer).  All heavy lifting is
-    pandas/numpy-vectorized; the only Python loop is per unique term
-    (each iteration operates on numpy slices).
+    (SegmentWriter + PostingsSerializer).  The analyzer tail (lowercase,
+    40-byte filter) runs as Arrow compute (C); terms are
+    dictionary-encoded so all grouping/sorting happens on integer numpy
+    arrays; the only Python loop is per unique term, each iteration
+    operating on numpy slices.
     """
     with_positions = cfg.with_positions
 
-    def build_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = int(pdf["segment_ord"].iloc[0])
-        pdf = pdf.sort_values("key", kind="mergesort", ignore_index=True)
-        n_docs = len(pdf)
-        tok_lists = tokenize_with_positions_series(pdf["text"])
-        counts = tok_lists.map(len).to_numpy(dtype=np.int64)
+    def build_segment(tbl: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        seg = int(tbl.column("segment_ord")[0].as_py())
+        order = pc.sort_indices(tbl.column("key").combine_chunks())
+        la = tbl.column("toks").combine_chunks().take(order)
+        n_docs = len(la)
+        raw_counts = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+        raw_counts = np.nan_to_num(raw_counts.astype(np.float64)).astype(np.int64) \
+            if raw_counts.dtype == object else raw_counts.astype(np.int64)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        if n_docs:
+            starts[1:] = np.cumsum(raw_counts)[:-1]
+        flat_raw = la.flatten()
+        total_raw = len(flat_raw)
+
+        if total_raw:
+            blen = pc.binary_length(flat_raw).to_numpy()
+            keep = blen < 40  # MAX_TOKEN_BYTES, on the pre-lowercase token
+            low = pc.utf8_lower(flat_raw)
+            dic = pc.dictionary_encode(low)
+            codes_raw = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            # remap codes so code order == lexicographic term order (the
+            # serializer contract: terms stream out sorted, ref
+            # src/postings/postings_writer.rs:74-79)
+            vocab_order = pc.sort_indices(dic.dictionary).to_numpy().astype(np.int64)
+            rank = np.empty(len(vocab_order), dtype=np.int64)
+            rank[vocab_order] = np.arange(len(vocab_order))
+            codes_all = rank[codes_raw]
+            vocab = dic.dictionary.take(pa.array(vocab_order))
+            doc_rep_all = np.repeat(np.arange(n_docs, dtype=np.int64), raw_counts)
+            pos_all_raw = np.arange(total_raw, dtype=np.int64) - starts[doc_rep_all]
+            codes = codes_all[keep]
+            doc_rep = doc_rep_all[keep]
+            pos_kept = pos_all_raw[keep]
+            counts = np.bincount(doc_rep, minlength=n_docs).astype(np.int64)
+        else:
+            codes = doc_rep = pos_kept = np.zeros(0, dtype=np.int64)
+            vocab = None
+            counts = np.zeros(n_docs, dtype=np.int64)
+
         fn_ids_per_doc = fieldnorm_to_id(counts)
+        total_tokens = int(counts.sum())
         # segment-average fieldnorm drives block-max pair selection
         # (ref: serializer.rs:404-428 uses the segment's average)
-        total_tokens = int(counts.sum())
         avg_fn = (total_tokens / n_docs) if n_docs else 1.0
         cache = tf_cache_f32(max(avg_fn, 1e-9))
 
-        doc_rep = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-        flat = [p for lst in tok_lists for p in lst]
-        if not flat:
-            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY_POSTINGS.items()})
-        terms = pd.array([p[0] for p in flat], dtype="string")
-        poss = np.fromiter((p[1] for p in flat), dtype=np.int64, count=len(flat))
+        rows = [(
+            seg, FIELDNORM_SENTINEL, 0, n_docs, total_tokens,
+            codec.vint_encode(counts.astype(np.uint32)), b"",
+            fn_ids_per_doc.tobytes(), None,
+            [], [], [], [], [], [],
+        )]
+        if total_tokens:
+            sort_ix = np.lexsort((pos_kept, doc_rep, codes))
+            t_codes = codes[sort_ix]
+            docs_all = doc_rep[sort_ix]
+            pos_all = pos_kept[sort_ix]
+            npost = len(t_codes)
+            # (term, doc) run-length -> tf
+            td_change = np.empty(npost, dtype=bool)
+            td_change[0] = True
+            td_change[1:] = (t_codes[1:] != t_codes[:-1]) | (docs_all[1:] != docs_all[:-1])
+            td_starts = np.nonzero(td_change)[0]
+            tfs_all = np.diff(np.append(td_starts, npost))
+            docs_td = docs_all[td_starts]
+            tcodes_td = t_codes[td_starts]
+            # per-term ranges over the (term, doc) axis
+            t_change = np.empty(len(td_starts), dtype=bool)
+            t_change[0] = True
+            t_change[1:] = tcodes_td[1:] != tcodes_td[:-1]
+            t_starts = np.nonzero(t_change)[0]
+            t_ends = np.append(t_starts[1:], len(td_starts))
+            pos_starts = td_starts[t_starts]
+            pos_ends = np.append(td_starts[t_starts[1:]], npost)
 
-        fdf = pd.DataFrame({"term": terms, "doc": doc_rep, "pos": poss})
-        fdf.sort_values(["term", "doc", "pos"], kind="mergesort", ignore_index=True, inplace=True)
-        t_codes, t_uniques = pd.factorize(fdf["term"], sort=False)  # already sorted
-        docs_all = fdf["doc"].to_numpy()
-        pos_all = fdf["pos"].to_numpy()
-        # (term, doc) run-length -> tf
-        td_change = np.empty(len(fdf), dtype=bool)
-        td_change[0] = True
-        td_change[1:] = (t_codes[1:] != t_codes[:-1]) | (docs_all[1:] != docs_all[:-1])
-        td_starts = np.nonzero(td_change)[0]
-        tfs_all = np.diff(np.append(td_starts, len(fdf)))
-        docs_td = docs_all[td_starts]
-        tcodes_td = t_codes[td_starts]
-        # per-term ranges over the (term, doc) axis
-        t_change = np.empty(len(td_starts), dtype=bool)
-        t_change[0] = True
-        t_change[1:] = tcodes_td[1:] != tcodes_td[:-1]
-        t_starts = np.nonzero(t_change)[0]
-        t_ends = np.append(t_starts[1:], len(td_starts))
-        # flat-position ranges per term
-        pos_starts = td_starts[t_starts]
-        pos_ends = np.append(td_starts[t_starts[1:]], len(fdf))
-
-        rows = []
-        for ti in range(len(t_starts)):
-            lo, hi = t_starts[ti], t_ends[ti]
-            term = str(t_uniques[tcodes_td[t_starts[ti]]])
-            d = docs_td[lo:hi]
-            tf = tfs_all[lo:hi]
-            fn = fn_ids_per_doc[d]
-            term_pos = pos_all[pos_starts[ti]:pos_ends[ti]] if with_positions else None
-            # chunk split
-            for c0 in range(0, len(d), CHUNK_DOCS):
-                c1 = min(c0 + CHUNK_DOCS, len(d))
-                db, tb, fb, meta = codec.encode_postings(d[c0:c1], tf[c0:c1], fn[c0:c1], cache)
-                if with_positions:
-                    p_lo = int(tf[:c0].sum())
-                    p_hi = p_lo + int(tf[c0:c1].sum())
-                    pb = codec.encode_positions(term_pos[p_lo:p_hi], tf[c0:c1])
-                else:
-                    pb = None
-                m = list(zip(*meta))
-                rows.append((
-                    seg, term, c0 // CHUNK_DOCS, c1 - c0, int(tf[c0:c1].sum()),
-                    db, tb, fb, pb,
-                    list(m[0]), list(m[1]), list(m[2]), list(m[3]), list(m[4]), list(m[5]),
-                ))
-        return pd.DataFrame(rows, columns=list(_EMPTY_POSTINGS.keys()))
+            for ti in range(len(t_starts)):
+                lo, hi = t_starts[ti], t_ends[ti]
+                term = vocab[int(tcodes_td[lo])].as_py()
+                d = docs_td[lo:hi]
+                tf = tfs_all[lo:hi]
+                fn = fn_ids_per_doc[d]
+                term_pos = pos_all[pos_starts[ti]:pos_ends[ti]] if with_positions else None
+                for c0 in range(0, len(d), CHUNK_DOCS):
+                    c1 = min(c0 + CHUNK_DOCS, len(d))
+                    db, tb, fb, meta = codec.encode_postings(d[c0:c1], tf[c0:c1],
+                                                             fn[c0:c1], cache)
+                    if with_positions:
+                        p_lo = int(tf[:c0].sum())
+                        p_hi = p_lo + int(tf[c0:c1].sum())
+                        pb = codec.encode_positions(term_pos[p_lo:p_hi], tf[c0:c1])
+                    else:
+                        pb = None
+                    m = list(zip(*meta))
+                    rows.append((
+                        seg, term, c0 // CHUNK_DOCS, c1 - c0, int(tf[c0:c1].sum()),
+                        db, tb, fb, pb,
+                        list(m[0]), list(m[1]), list(m[2]), list(m[3]),
+                        list(m[4]), list(m[5]),
+                    ))
+        cols = list(zip(*rows))
+        names = list(_EMPTY_POSTINGS.keys())
+        return pa.table(
+            {names[i]: list(cols[i]) for i in range(len(names))},
+            schema=_POSTINGS_PA_SCHEMA,
+        )
 
     return build_segment
 
@@ -180,6 +244,18 @@ _EMPTY_POSTINGS = {
     "bits_tf": "object", "wand_fn": "object", "wand_tf": "object",
 }
 
+import pyarrow as _pa  # noqa: E402
+
+_POSTINGS_PA_SCHEMA = _pa.schema([
+    ("segment_ord", _pa.int32()), ("term", _pa.string()), ("chunk_id", _pa.int32()),
+    ("doc_freq", _pa.int64()), ("total_tf", _pa.int64()),
+    ("docs", _pa.binary()), ("tfs", _pa.binary()), ("fns", _pa.binary()),
+    ("pos", _pa.binary()),
+    ("last_docs", _pa.list_(_pa.int32())), ("n_docs", _pa.list_(_pa.int32())),
+    ("bits_doc", _pa.list_(_pa.int32())), ("bits_tf", _pa.list_(_pa.int32())),
+    ("wand_fn", _pa.list_(_pa.int32())), ("wand_tf", _pa.list_(_pa.int32())),
+])
+
 
 def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
                 cfg: IndexConfig | None = None, resume: bool = True) -> dict:
@@ -189,6 +265,28 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
     """
     cfg = cfg or IndexConfig()
     os.makedirs(out_dir, exist_ok=True)
+
+    # Pin the build's shuffle layout: AQE's partition coalescing optimizes
+    # for bytes-per-partition, but the segment kernels are Python-CPU-bound,
+    # so collapsing small shuffles to one partition serializes the build.
+    # One shuffle partition per segment keeps every core busy.
+    _saved = {
+        "spark.sql.adaptive.coalescePartitions.enabled":
+            spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        "spark.sql.shuffle.partitions":
+            spark.conf.get("spark.sql.shuffle.partitions", "200"),
+    }
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(cfg.n_segments))
+    try:
+        return _build_index_inner(spark, df, out_dir, cfg, resume)
+    finally:
+        for k, v in _saved.items():
+            spark.conf.set(k, v)
+
+
+def _build_index_inner(spark: SparkSession, df: DataFrame, out_dir: str,
+                       cfg: IndexConfig, resume: bool) -> dict:
     manifest_path = os.path.join(out_dir, "meta.json")
     manifest: dict = {"version": 1, "config": asdict(cfg), "stages": {}}
     if resume and os.path.exists(manifest_path):
@@ -201,73 +299,87 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
 
     docs = _segmented_docs(df, cfg)
 
-    # ---- stage: docmap (DocAddress assignment + fieldnorms) -------------
-    t0 = time.time()
-    if not (resume and _stage_done(out_dir, "docmap")):
-        from tantivy_spark.analyzer import fieldnorm_col
-        w = Window.partitionBy("segment_ord").orderBy("key")
-        docmap = docs.select(
-            "segment_ord", "key",
-            fieldnorm_col(F.col("text")).alias("num_tokens"),
-        ).withColumn("doc_id", (F.row_number().over(w) - 1).cast("int")) \
-         .select("segment_ord", "doc_id", "key", "num_tokens")
-        docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
-        manifest["stages"]["docmap"] = {"wall_sec": time.time() - t0, "status": "done"}
-        _write_manifest(manifest_path, manifest)
+    # ---- stages: docmap || postings (independent scans of the source, so
+    # they are submitted concurrently — the small docmap job fills slots
+    # the postings waves leave idle), then term_stats || lineage over the
+    # compact postings output.  Stage completion is still checkpointed
+    # individually for resume.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # ---- stage: postings (per-segment Arrow kernel) ----------------------
-    t0 = time.time()
-    if not (resume and _stage_done(out_dir, "postings")):
+    def _docmap_job():
+        t0 = time.time()
+        w = Window.partitionBy("segment_ord").orderBy("key")
+        docmap = docs.select("segment_ord", "key") \
+            .withColumn("doc_id", (F.row_number().over(w) - 1).cast("int")) \
+            .select("segment_ord", "doc_id", "key")
+        docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
+        return time.time() - t0
+
+    def _postings_job():
+        t0 = time.time()
         postings = (
-            docs.groupBy("segment_ord")
-            .applyInPandas(_segment_kernel(cfg), schema=POSTINGS_SCHEMA)
+            _tokenized_docs(df, cfg)
+            .groupBy("segment_ord")
+            .applyInArrow(_segment_kernel(cfg), schema=POSTINGS_SCHEMA)
         )
         postings.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
-        manifest["stages"]["postings"] = {"wall_sec": time.time() - t0, "status": "done"}
+        return time.time() - t0
+
+    jobs = {}
+    if not (resume and _stage_done(out_dir, "docmap")):
+        jobs["docmap"] = _docmap_job
+    if not (resume and _stage_done(out_dir, "postings")):
+        jobs["postings"] = _postings_job
+    if jobs:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = {name: ex.submit(fn) for name, fn in jobs.items()}
+            for name, fut in futs.items():
+                manifest["stages"][name] = {"wall_sec": fut.result(), "status": "done"}
         _write_manifest(manifest_path, manifest)
 
-    # ---- stage: term_stats + lineage -------------------------------------
-    t0 = time.time()
-    if not (resume and _stage_done(out_dir, "term_stats")):
+    def _term_stats_job():
+        t0 = time.time()
         postings = spark.read.parquet(os.path.join(out_dir, "postings"))
-        (postings.groupBy("term")
+        (postings.filter(F.col("term") != FIELDNORM_SENTINEL)
+         .groupBy("term")
          .agg(F.sum("doc_freq").alias("doc_freq"), F.sum("total_tf").alias("total_tf"))
          .write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats")))
-        manifest["stages"]["term_stats"] = {"wall_sec": time.time() - t0, "status": "done"}
-        _write_manifest(manifest_path, manifest)
+        return time.time() - t0
 
-    t0 = time.time()
-    if not (resume and _stage_done(out_dir, "lineage")):
+    def _lineage_job():
+        t0 = time.time()
         postings = spark.read.parquet(os.path.join(out_dir, "postings"))
-        docmap = spark.read.parquet(os.path.join(out_dir, "docmap"))
-        lin_p = postings.groupBy("segment_ord").agg(
-            F.lit("postings").alias("stage"),
-            F.count("*").alias("rows"),
+        is_sent = F.col("term") == FIELDNORM_SENTINEL
+        lin = postings.groupBy("segment_ord").agg(
+            F.sum(F.when(is_sent, F.col("doc_freq"))).alias("n_docs"),
+            F.sum(F.when(is_sent, F.col("total_tf"))).alias("n_tokens"),
+            F.sum(F.when(~is_sent, 1).otherwise(0)).alias("posting_rows"),
+            F.sum(F.when(~is_sent, F.col("doc_freq"))).alias("postings"),
             (F.sum(F.octet_length("docs")) + F.sum(F.octet_length("tfs"))
              + F.sum(F.octet_length("fns"))
              + F.sum(F.coalesce(F.octet_length("pos"), F.lit(0)))).alias("bytes"),
-            F.sum("doc_freq").alias("postings"),
         )
-        lin_d = docmap.groupBy("segment_ord").agg(
-            F.lit("docmap").alias("stage"),
-            F.count("*").alias("rows"),
-            F.sum("num_tokens").alias("bytes"),
-            F.count("*").alias("postings"),
-        )
-        lin_p.unionByName(lin_d).write.mode("overwrite").parquet(os.path.join(out_dir, "lineage"))
-        manifest["stages"]["lineage"] = {"wall_sec": time.time() - t0, "status": "done"}
+        lin.write.mode("overwrite").parquet(os.path.join(out_dir, "lineage"))
+        return time.time() - t0
+
+    jobs = {}
+    if not (resume and _stage_done(out_dir, "term_stats")):
+        jobs["term_stats"] = _term_stats_job
+    if not (resume and _stage_done(out_dir, "lineage")):
+        jobs["lineage"] = _lineage_job
+    if jobs:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = {name: ex.submit(fn) for name, fn in jobs.items()}
+            for name, fut in futs.items():
+                manifest["stages"][name] = {"wall_sec": fut.result(), "status": "done"}
         _write_manifest(manifest_path, manifest)
 
-    # ---- totals -----------------------------------------------------------
+    # ---- totals (driver-side sum over the tiny lineage table) ------------
     if "totals" not in manifest:
-        docmap = spark.read.parquet(os.path.join(out_dir, "docmap"))
-        tot = docmap.agg(
-            F.count("*").alias("num_docs"),
-            F.sum("num_tokens").alias("total_num_tokens"),
-            F.countDistinct("segment_ord").alias("num_segments"),
-        ).collect()[0]
-        num_docs = tot["num_docs"] or 0
-        total_tokens = int(tot["total_num_tokens"] or 0)
+        lin_rows = spark.read.parquet(os.path.join(out_dir, "lineage")).collect()
+        num_docs = sum(int(r["n_docs"] or 0) for r in lin_rows)
+        total_tokens = sum(int(r["n_tokens"] or 0) for r in lin_rows)
+        tot = {"num_segments": len({r["segment_ord"] for r in lin_rows})}
         manifest["totals"] = {
             "num_docs": num_docs,
             "total_num_tokens": total_tokens,

@@ -1,0 +1,291 @@
+"""DuckDB oracle-SQL generator mirroring the exact scorer.
+
+For every Query tree the :class:`OracleBuilder` emits a self-contained
+DuckDB SQL statement over the raw ``documents`` view that reproduces the
+whole engine — analyzer, DocAddress assignment, quantized fieldnorms,
+BM25, tie-break — with the *same expression shapes and the same baked
+constants* as ``query/exact.py``, so Spark and DuckDB agree on every
+double bit (the only transcendental, ``ln``, may differ by 1 ulp across
+libms, which the 4-decimal output rounding absorbs).
+
+DocAddress convention for oracle-checked indexes: ``segment_ord =
+doc_id % n_segments``, ``doc_id_within = row_number() over (partition by
+segment order by doc_id) - 1`` — expressible in both engines.
+"""
+
+from __future__ import annotations
+
+from tantivy_spark import B, K1, MAX_TOKEN_BYTES
+from tantivy_spark.analyzer import RE2_TOKEN_PATTERN
+from tantivy_spark.fieldnorm import sql_quantize_fieldnorm
+from tantivy_spark.query import ast
+
+_W = 1.0 + K1            # 2.2
+_KB1 = K1 * (1.0 - B)    # 0.3…
+_KB = K1 * B             # 0.9
+
+
+class OracleBuilder:
+    def __init__(self, table: str = "documents", id_col: str = "doc_id",
+                 text_col: str = "text", n_segments: int = 8):
+        self.table = table
+        self.id = id_col
+        self.text = text_col
+        self.n = n_segments
+        self._ctr = 0
+
+    # ---------------------------------------------------------------- base
+    def _base_ctes(self, need_positions: bool) -> list[str]:
+        toks = (
+            f"list_transform(list_filter(regexp_extract_all({self.text}, "
+            f"'{RE2_TOKEN_PATTERN}'), t -> strlen(t) < {MAX_TOKEN_BYTES}), t -> lower(t))"
+        )
+        ctes = [
+            f"docs0 AS (SELECT {self.id} AS did, {toks} AS toks FROM {self.table})",
+            (
+                "docs AS (SELECT did, did % {n} AS seg, "
+                "row_number() OVER (PARTITION BY did % {n} ORDER BY did) - 1 AS sdoc, "
+                "len(toks) AS ntok, toks FROM docs0)"
+            ).format(n=self.n),
+            "stats AS (SELECT CAST(count(*) AS DOUBLE) AS nn, "
+            "CAST(sum(ntok) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgfn FROM docs)",
+            "tok AS (SELECT did, unnest(toks) AS tk FROM docs)",
+        ]
+        if need_positions:
+            raw = f"regexp_extract_all({self.text}, '{RE2_TOKEN_PATTERN}')"
+            ctes.append(
+                f"tokpos AS (SELECT did, lower(raw[i]) AS tk, i - 1 AS pos FROM "
+                f"(SELECT {self.id} AS did, {raw} AS raw FROM {self.table}), "
+                f"LATERAL (SELECT unnest(generate_series(1, len(raw))) AS i) g "
+                f"WHERE strlen(raw[i]) < {MAX_TOKEN_BYTES})"
+            )
+        return ctes
+
+    def _name(self, prefix: str) -> str:
+        self._ctr += 1
+        return f"{prefix}_{self._ctr}"
+
+    # ----------------------------------------------------------- term score
+    def _term_cte(self, term: str, boost: float, ctes: list[str]) -> str:
+        t = term.replace("'", "''")
+        tf = self._name("tf")
+        sc = self._name("sc")
+        ctes.append(
+            f"{tf} AS (SELECT did, CAST(count(*) AS DOUBLE) AS tf "
+            f"FROM tok WHERE tk = '{t}' GROUP BY did)"
+        )
+        dfq = f"(SELECT CAST(count(*) AS DOUBLE) FROM {tf})"
+        weight = f"(ln(1.0 + ((SELECT nn FROM stats) - {dfq} + 0.5) / ({dfq} + 0.5)) * {_W!r})"
+        if boost != 1.0:
+            weight = f"({weight} * {float(boost)!r})"
+        qn = sql_quantize_fieldnorm("d.ntok")
+        score = (
+            f"{weight} * t.tf / (t.tf + {_KB1!r} + "
+            f"({_KB!r} / (SELECT avgfn FROM stats)) * CAST({qn} AS DOUBLE))"
+        )
+        ctes.append(
+            f"{sc} AS (SELECT t.did, {score} AS score "
+            f"FROM {tf} t JOIN docs d ON t.did = d.did)"
+        )
+        return sc
+
+    # ------------------------------------------------------------ lowering
+    def _lower(self, q: ast.Query, boost: float, ctes: list[str]) -> str:
+        """Returns the CTE name holding (did, score) for matching docs."""
+        if isinstance(q, ast.TermQuery):
+            return self._term_cte(q.term, boost, ctes)
+        if isinstance(q, ast.BoostQuery):
+            return self._lower(q.child, boost * q.boost, ctes)
+        if isinstance(q, ast.ConstScoreQuery):
+            child = self._lower(q.child, 1.0, ctes)
+            sc = self._name("cs")
+            ctes.append(
+                f"{sc} AS (SELECT did, {float(q.score) * boost!r} AS score FROM {child})"
+            )
+            return sc
+        if isinstance(q, ast.AllQuery):
+            sc = self._name("all")
+            ctes.append(f"{sc} AS (SELECT did, {1.0 * boost!r} AS score FROM docs)")
+            return sc
+        if isinstance(q, ast.EmptyQuery):
+            sc = self._name("emp")
+            ctes.append(f"{sc} AS (SELECT did, 0.0 AS score FROM docs WHERE 1=0)")
+            return sc
+        if isinstance(q, ast.TermSetQuery):
+            sc = self._name("ts")
+            lits = ", ".join("'" + t.replace("'", "''") + "'" for t in q.set_terms)
+            ctes.append(
+                f"{sc} AS (SELECT DISTINCT did, {1.0 * boost!r} AS score "
+                f"FROM tok WHERE tk IN ({lits}))"
+            )
+            return sc
+        if isinstance(q, ast.PhraseQuery):
+            return self._phrase(q, boost, ctes)
+        if isinstance(q, ast.DisjunctionMaxQuery):
+            subs = [self._lower(c, 1.0, ctes) for c in q.disjuncts]
+            acc = self._join_chain(subs, "FULL OUTER", ctes)
+            cols = [f"COALESCE(s_{i}, 0.0)" for i in range(len(subs))]
+            mx = f"greatest({', '.join(cols)})" if len(cols) > 1 else cols[0]
+            total = self._add_chain(cols)
+            score = f"({mx} + {float(q.tie_breaker)!r} * ({total} - {mx}))"
+            if boost != 1.0:
+                score = f"({score} * {float(boost)!r})"
+            out = self._name("dm")
+            ctes.append(f"{out} AS (SELECT did, {score} AS score FROM {acc})")
+            return out
+        if isinstance(q, ast.BooleanQuery):
+            return self._boolean(q, boost, ctes)
+        raise NotImplementedError(type(q).__name__)
+
+    @staticmethod
+    def _add_chain(cols: list[str]) -> str:
+        expr = cols[0]
+        for c in cols[1:]:
+            expr = f"({expr} + {c})"
+        return expr
+
+    def _join_chain(self, subs: list[str], how: str, ctes: list[str]) -> str:
+        """Chain-join clause CTEs on did, tagging scores s_0..s_{k-1};
+        association order fixed left-to-right to mirror exact.py."""
+        acc = self._name("j")
+        ctes.append(f"{acc} AS (SELECT did, score AS s_0 FROM {subs[0]})")
+        for i, nxt in enumerate(subs[1:], start=1):
+            nacc = self._name("j")
+            prev_cols = ", ".join(
+                f"COALESCE(a.s_{j}, NULL) AS s_{j}" for j in range(i)
+            )
+            ctes.append(
+                f"{nacc} AS (SELECT COALESCE(a.did, b.did) AS did, {prev_cols}, "
+                f"b.score AS s_{i} FROM {acc} a {how} JOIN {nxt} b ON a.did = b.did)"
+            )
+            acc = nacc
+        return acc
+
+    def _boolean(self, q: ast.BooleanQuery, boost: float, ctes: list[str]) -> str:
+        musts = [c for occ, c in q.clauses if occ == ast.Occur.MUST]
+        shoulds = [c for occ, c in q.clauses if occ == ast.Occur.SHOULD]
+        nots = [c for occ, c in q.clauses if occ == ast.Occur.MUST_NOT]
+        if musts:
+            m_subs = [self._lower(c, 1.0, ctes) for c in musts]
+            acc = self._join_chain(m_subs, "INNER", ctes)
+            s_subs = [self._lower(c, 1.0, ctes) for c in shoulds]
+            # left joins for shoulds
+            for j, nxt in enumerate(s_subs):
+                nacc = self._name("j")
+                base_cols = ", ".join(
+                    [f"a.s_{i} AS s_{i}" for i in range(len(m_subs))]
+                    + [f"a.t_{jj} AS t_{jj}" for jj in range(j)]
+                )
+                ctes.append(
+                    f"{nacc} AS (SELECT a.did AS did, {base_cols}, b.score AS t_{j} "
+                    f"FROM {acc} a LEFT JOIN {nxt} b ON a.did = b.did)"
+                )
+                acc = nacc
+            cols = [f"s_{i}" for i in range(len(m_subs))] + [
+                f"COALESCE(t_{j}, 0.0)" for j in range(len(s_subs))
+            ]
+            where = ""
+        else:
+            s_subs = [self._lower(c, 1.0, ctes) for c in shoulds]
+            acc = self._join_chain(s_subs, "FULL OUTER", ctes)
+            matched = " + ".join(
+                f"(CASE WHEN s_{j} IS NOT NULL THEN 1 ELSE 0 END)"
+                for j in range(len(s_subs))
+            )
+            flt = self._name("msm")
+            ctes.append(
+                f"{flt} AS (SELECT * FROM {acc} WHERE ({matched}) >= {q.minimum_should_match})"
+            )
+            acc = flt
+            cols = [f"COALESCE(s_{j}, 0.0)" for j in range(len(s_subs))]
+        score = self._add_chain(cols)
+        if boost != 1.0:
+            score = f"(({score}) * {float(boost)!r})"
+        out = self._name("bq")
+        ctes.append(f"{out} AS (SELECT did, {score} AS score FROM {acc})")
+        for c in nots:
+            nf = self._lower(c, 1.0, ctes)
+            anti = self._name("an")
+            ctes.append(
+                f"{anti} AS (SELECT o.did, o.score FROM {out} o "
+                f"WHERE NOT EXISTS (SELECT 1 FROM {nf} x WHERE x.did = o.did))"
+            )
+            out = anti
+        return out
+
+    def _phrase(self, q: ast.PhraseQuery, boost: float, ctes: list[str]) -> str:
+        if q.slop != 0:
+            raise NotImplementedError
+        terms = q.phrase_terms
+        ph_names = []
+        df_parts = []
+        for i, t in enumerate(terms):
+            tt = t.replace("'", "''")
+            ph = self._name("ph")
+            ctes.append(
+                f"{ph} AS (SELECT did, pos - {i} AS apos FROM tokpos WHERE tk = '{tt}')"
+            )
+            ph_names.append(ph)
+            df_parts.append(
+                f"ln(1.0 + ((SELECT nn FROM stats) - "
+                f"(SELECT CAST(count(DISTINCT did) AS DOUBLE) FROM {ph}) + 0.5) / "
+                f"((SELECT CAST(count(DISTINCT did) AS DOUBLE) FROM {ph}) + 0.5))"
+            )
+        joined = self._name("phj")
+        join_sql = f"{ph_names[0]} p0"
+        for i in range(1, len(ph_names)):
+            join_sql += (
+                f" JOIN {ph_names[i]} p{i} ON p0.did = p{i}.did AND p0.apos = p{i}.apos"
+            )
+        ctes.append(
+            f"{joined} AS (SELECT p0.did, CAST(count(*) AS DOUBLE) AS tf "
+            f"FROM {join_sql} GROUP BY p0.did)"
+        )
+        idf_sum = self._add_chain([f"({p})" for p in df_parts])
+        weight = f"(({idf_sum}) * {_W!r})"
+        if boost != 1.0:
+            weight = f"({weight} * {float(boost)!r})"
+        qn = sql_quantize_fieldnorm("d.ntok")
+        sc = self._name("sc")
+        ctes.append(
+            f"{sc} AS (SELECT t.did, {weight} * t.tf / (t.tf + {_KB1!r} + "
+            f"({_KB!r} / (SELECT avgfn FROM stats)) * CAST({qn} AS DOUBLE)) AS score "
+            f"FROM {joined} t JOIN docs d ON t.did = d.did)"
+        )
+        return sc
+
+    # ------------------------------------------------------------- outputs
+    def _needs_positions(self, q: ast.Query) -> bool:
+        if isinstance(q, ast.PhraseQuery):
+            return True
+        if isinstance(q, ast.BooleanQuery):
+            return any(self._needs_positions(c) for _o, c in q.clauses)
+        if isinstance(q, (ast.BoostQuery, ast.ConstScoreQuery)):
+            return self._needs_positions(q.child)
+        if isinstance(q, ast.DisjunctionMaxQuery):
+            return any(self._needs_positions(c) for c in q.disjuncts)
+        return False
+
+    def topk_sql(self, q: ast.Query, k: int = 10, offset: int = 0) -> str:
+        """Top-k statement with columns (rank BIGINT, doc_id BIGINT,
+        score_r DOUBLE), tie-break (score desc, seg asc, sdoc asc)."""
+        self._ctr = 0
+        ctes = self._base_ctes(self._needs_positions(q))
+        final = self._lower(q, 1.0, ctes)
+        body = ",\n".join(ctes)
+        return (
+            f"WITH {body}\n"
+            f"SELECT CAST(row_number() OVER "
+            f"(ORDER BY s.score DESC, d.seg ASC, d.sdoc ASC) AS BIGINT) AS rank, "
+            f"CAST(s.did AS BIGINT) AS doc_id, round(s.score, 4) AS score_r "
+            f"FROM {final} s JOIN docs d ON s.did = d.did "
+            f"ORDER BY s.score DESC, d.seg ASC, d.sdoc ASC LIMIT {k} OFFSET {offset}"
+        )
+
+    def count_sql(self, q: ast.Query) -> str:
+        """Count statement with column (cnt BIGINT)."""
+        self._ctr = 0
+        ctes = self._base_ctes(self._needs_positions(q))
+        final = self._lower(q, 1.0, ctes)
+        body = ",\n".join(ctes)
+        return f"WITH {body}\nSELECT CAST(count(*) AS BIGINT) AS cnt FROM {final}"

@@ -1,0 +1,124 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+Scale notes:
+- exact dedup is a hash-groupBy: one shuffle keyed by content hash, no
+  skew beyond true duplicate groups (bounded output per group).
+- MinHash: shingles and signatures are computed JVM-side (xxhash64 over
+  sliding shingles — no Python in the hot path); LSH banding turns the
+  O(n^2) similarity join into an equi-join on (band, band_hash), the
+  classic shuffle-friendly formulation.  Hot buckets (boilerplate text)
+  are capped with a per-bucket limit to bound worst-case join fan-out.
+- SimHash: 64-bit signature via per-token hash bit-voting, all in one
+  groupBy-free pass of array expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from tantivy_spark.analyzer import tokens_col
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_dupes, min_id).
+
+    Keeps one representative (min id) per group — the standard
+    keep-first policy.  Only groups with >1 member are returned.
+    """
+    return (
+        df.select(F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_hash"),
+                  F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dupes"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+def _shingles(tokens: Column, k: int) -> Column:
+    """k-token shingles as strings (empty array when fewer than k tokens)."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, k), " "))
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = 64, shingle_k: int = 3) -> DataFrame:
+    """(id, sig: array<bigint>) — MinHash signature over k-token shingles.
+
+    Permutation i is simulated with xxhash64(shingle, seed=i); the
+    signature element is the min hash per seed.  All JVM expressions.
+    """
+    toks = tokens_col(F.col(text_col))
+    sh = _shingles(toks, shingle_k).alias("sh")
+    base = df.select(F.col(id_col).alias("id"), sh).filter(F.size("sh") > 0)
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]).alias("sig")
+    return base.select("id", sig)
+
+
+def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16,
+                           rows_per_band: int = 4,
+                           max_bucket: int = 200) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, n_bands_matched).
+
+    Bands the signature, hashes each band, equi-joins on
+    (band, band_hash).  ``max_bucket`` caps pathological buckets
+    (boilerplate-heavy corpora) to bound join fan-out — capped buckets
+    are dropped, trading recall for bounded cost (logged via count).
+    """
+    b = bands
+    r = rows_per_band
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)])
+                for i in range(b)
+            ])
+        ).alias("band", "bhash"),
+    )
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bhash"))
+    ).filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    a = sized.alias("a")
+    c = sized.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.band") == F.col("c.band"))
+               & (F.col("a.bhash") == F.col("c.bhash"))
+               & (F.col("a.id") < F.col("c.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands_matched"))
+    )
+    return pairs
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over analyzer tokens.
+
+    Bit j of the signature is the sign of sum over tokens of
+    (bit j of xxhash64(token) ? +1 : -1).  Pure JVM array expressions;
+    near-duplicate candidates are docs at small Hamming distance.
+    """
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    hashes = F.transform(F.col("toks"), lambda t: F.xxhash64(t))
+    def _vote(j: int):
+        def merge(acc, h):
+            return acc + F.when(
+                h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), j)) != 0, 1
+            ).otherwise(-1)
+        return merge
+
+    votes = [F.aggregate(hashes, F.lit(0).cast("long"), _vote(j)) for j in range(64)]
+    sig = None
+    for j, v in enumerate(votes):
+        bit = F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return base.select("id", sig.alias("simhash"))

@@ -1,0 +1,81 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with struct metadata.
+The Spark-side plumbing — schemas, Arrow batch shapes, partition-size
+discipline (binary rows are fat: cap ``maxRecordsPerBatch``/file split
+sizes) — is real and tested; the actual media decoding is stubbed behind
+``DECODERS`` because codec libraries are not available in this
+environment.  Plug a real decoder in by registering a function
+``bytes -> dict`` per modality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "id BIGINT, modality STRING, n_bytes BIGINT, header_hex STRING, "
+    "width INT, height INT, duration_ms INT, ok BOOLEAN, error STRING"
+)
+
+#: modality -> decoder(bytes) -> dict(width, height, duration_ms, ...)
+DECODERS: dict[str, Callable[[bytes], dict]] = {}
+
+
+def _deterministic_fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real media decoder: derives fake
+    dimensions from the payload bytes so tests are stable and the full
+    pipeline (schema, batching, error paths) is exercised."""
+    if len(payload) == 0:
+        raise ValueError("empty payload")
+    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+    return {"width": 16 + h % 1024, "height": 16 + (h >> 10) % 1024,
+            "duration_ms": int(h % 100_000)}
+
+
+def decode_media_meta(df: DataFrame, payload_col: str = "html",
+                      id_col: str = "doc_id", modality: str = "image",
+                      use_fake: bool = True) -> DataFrame:
+    """Arrow-batched metadata extraction over a binary column.
+
+    Emits one metadata row per input row; decoder failures are captured
+    per-row (ok=false, error) rather than failing the task — at corpus
+    scale a fraction of payloads is always corrupt.
+    """
+    decoder = DECODERS.get(modality)
+    if decoder is None:
+        if not use_fake:
+            raise NotImplementedError(
+                f"no decoder registered for {modality!r}; codec libraries "
+                "are unavailable in this environment — register one in "
+                "tantivy_spark.pipeline.multimodal.DECODERS"
+            )
+        decoder = _deterministic_fake_decode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["_id"], pdf["_payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                base = {
+                    "id": int(rid), "modality": modality,
+                    "n_bytes": len(payload),
+                    "header_hex": payload[:8].hex(),
+                    "width": None, "height": None, "duration_ms": None,
+                    "ok": False, "error": None,
+                }
+                try:
+                    meta = decoder(payload)
+                    base.update(meta)
+                    base["ok"] = True
+                except Exception as e:  # per-row failure isolation
+                    base["error"] = f"{type(e).__name__}: {e}"
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
+    return src.mapInPandas(kernel, schema=MEDIA_META_SCHEMA)

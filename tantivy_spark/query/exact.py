@@ -150,10 +150,11 @@ class ExactSearcher:
             tagged = [f.select("segment_ord", "doc_id", F.col("score").alias(f"s_{i}"))
                       for i, f in enumerate(frames)]
             acc = reduce(lambda a, b: a.join(b, ["segment_ord", "doc_id"], "full"), tagged)
-            cols = [F.col(f"s_{i}") for i in range(len(frames))]
+            # scores are strictly positive, so 0.0-filling keeps max correct
+            # and gives the oracle an engine-independent NULL discipline
+            cols = [F.coalesce(F.col(f"s_{i}"), F.lit(0.0)) for i in range(len(frames))]
             mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
-            total = reduce(lambda a, b: a + b,
-                           [F.coalesce(c, F.lit(0.0)) for c in cols])
+            total = reduce(lambda a, b: a + b, cols)
             tb = float(q.tie_breaker)
             score = (mx + F.lit(tb) * (total - mx)) * F.lit(boost)
             return acc.select("segment_ord", "doc_id", score.alias("score"))

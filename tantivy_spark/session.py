@@ -35,3 +35,29 @@ def get_spark(app: str = "tantivy_spark", master: str | None = None,
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warmup_python_workers(spark: SparkSession, n_workers: int | None = None) -> None:
+    """Force-spawn one Python worker per core and pre-import the heavy
+    kernel dependencies (numpy/pandas/pyarrow).
+
+    Spark reuses Python workers across tasks, but the first wave of a
+    fresh session pays fork + import per worker, concurrently — a startup
+    storm that can dominate short jobs at high core counts.  Long-lived
+    cluster executors never see this; calling it once after session
+    creation removes the artifact locally too.
+    """
+    if n_workers is None:
+        master = spark.sparkContext.master
+        n_workers = int(master.split("[")[1].rstrip("]")) if "[" in master else 32
+
+    def _imp(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+        import time as _t
+        _t.sleep(0.4)  # hold the slot so every core spawns its own worker
+        yield from batches
+
+    (spark.range(0, n_workers * 2, 1, n_workers * 2)
+     .mapInPandas(_imp, schema="id long").count())
