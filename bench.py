@@ -74,6 +74,12 @@ def main() -> None:
                           (Occur.SHOULD, TermQuery("slow"))]), k=10).collect(),
         "q_phrase_top10": lambda: searcher.search(
             PhraseQuery(["order", "sort"]), k=10).collect(),
+        "q_wand_or_top10": lambda: __import__(
+            "tantivy_spark.query.wand", fromlist=["wand_topk"]
+        ).wand_topk(searcher.reader, ["fast", "slow"], k=10, mode="or").collect(),
+        "q_wand_and_top10": lambda: __import__(
+            "tantivy_spark.query.wand", fromlist=["wand_topk"]
+        ).wand_topk(searcher.reader, ["fast", "scan"], k=10, mode="and").collect(),
         "q_count_and": lambda: searcher.count(
             BooleanQuery([(Occur.MUST, TermQuery("fast")),
                           (Occur.MUST, TermQuery("scan"))])),

@@ -58,6 +58,37 @@ class IndexReader:
         out.update({r["term"]: int(r["doc_freq"]) for r in rows})
         return out
 
+    @cached_property
+    def fieldnorms(self) -> DataFrame:
+        """(segment_ord, doc_id, num_tokens, fieldnorm_id) decoded from the
+        per-segment sentinel rows (see build.FIELDNORM_SENTINEL)."""
+        import numpy as np
+        import pandas as pd
+
+        from tantivy_spark.fieldnorm import fieldnorm_to_id  # noqa: F401
+        from tantivy_spark.index import codec
+        from tantivy_spark.index.build import FIELDNORM_SENTINEL
+
+        rows = self.postings.filter(F.col("term") == FIELDNORM_SENTINEL) \
+            .select("segment_ord", "doc_freq", "docs", "fns")
+
+        def decode(batches):
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    n = int(row.doc_freq)
+                    counts = codec.vint_decode(bytes(row.docs), n).astype(np.int64)
+                    fns = np.frombuffer(bytes(row.fns), dtype=np.uint8)
+                    yield pd.DataFrame({
+                        "segment_ord": np.full(n, row.segment_ord, dtype=np.int32),
+                        "doc_id": np.arange(n, dtype=np.int32),
+                        "num_tokens": counts,
+                        "fieldnorm_id": fns.astype(np.int32),
+                    })
+
+        return rows.mapInPandas(
+            decode,
+            schema="segment_ord INT, doc_id INT, num_tokens BIGINT, fieldnorm_id INT")
+
     def postings_for_terms(self, terms: list[str]) -> DataFrame:
         """Posting rows for a term set — parquet scan with an IN filter
         pushed down to row-group pruning."""

@@ -11,7 +11,9 @@ from tantivy_spark.query.ast import (  # noqa: F401
     Occur,
     PhraseQuery,
     Query,
+    ExistsQuery,
     RegexQuery,
     TermQuery,
+    TermRangeQuery,
     TermSetQuery,
 )

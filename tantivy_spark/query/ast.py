@@ -139,6 +139,23 @@ class FuzzyTermQuery(Query):
 
 
 @dataclass
+class TermRangeQuery(Query):
+    """Docs containing any term within [lower, upper] bounds over the
+    term dictionary, constant score 1.0 (ref: src/query/range_query/
+    range_query.rs — term-range variant collects docs into a bitset)."""
+    lower: str | None = None
+    upper: str | None = None
+    lower_inclusive: bool = True
+    upper_inclusive: bool = True
+
+
+@dataclass
+class ExistsQuery(Query):
+    """Docs where the text field has at least one indexed token
+    (ref: src/query/exist_query.rs — field-has-value semantics)."""
+
+
+@dataclass
 class RegexQuery(Query):
     """Terms matching a regex (ref: src/query/regex_query.rs), expanded
     against the term dictionary at plan time; constant score 1.0."""

@@ -158,6 +158,22 @@ class ExactSearcher:
             tb = float(q.tie_breaker)
             score = (mx + F.lit(tb) * (total - mx)) * F.lit(boost)
             return acc.select("segment_ord", "doc_id", score.alias("score"))
+        if isinstance(q, ast.TermRangeQuery):
+            ts = self.reader.term_stats
+            if q.lower is not None:
+                ts = ts.filter(F.col("term") >= q.lower if q.lower_inclusive
+                               else F.col("term") > q.lower)
+            if q.upper is not None:
+                ts = ts.filter(F.col("term") <= q.upper if q.upper_inclusive
+                               else F.col("term") < q.upper)
+            terms = sorted(r["term"] for r in ts.select("term").limit(4096).collect())
+            if not terms:
+                return self._lower(ast.EmptyQuery(), boost, dfs)
+            return self._lower(ast.TermSetQuery(terms), boost, dfs)
+        if isinstance(q, ast.ExistsQuery):
+            return (self.reader.fieldnorms.filter(F.col("num_tokens") > 0)
+                    .select("segment_ord", "doc_id",
+                            F.lit(1.0 * boost).alias("score")))
         if isinstance(q, ast.RegexQuery):
             terms = self._expand_regex(q.pattern)
             if not terms:

@@ -33,6 +33,7 @@ class GoldenIndex:
         self.doc_key: list[tuple[int, int, str]] = []
         self.postings: dict[str, list[tuple[int, int, int, list[int]]]] = {}
         self.fieldnorm_id: dict[tuple[int, int], int] = {}
+        self._num_tokens: dict[tuple[int, int], int] = {}
         self.num_docs = 0
         self.total_tokens = 0
         seg_counter: dict[int, int] = {}
@@ -44,6 +45,7 @@ class GoldenIndex:
             self.num_docs += 1
             self.total_tokens += len(toks)
             self.fieldnorm_id[(seg, doc)] = int(fieldnorm_to_id(np.array([len(toks)]))[0])
+            self._num_tokens[(seg, doc)] = len(toks)
             per_term: dict[str, list[int]] = {}
             for tok, pos in toks:
                 per_term.setdefault(tok, []).append(pos)
@@ -83,6 +85,19 @@ class GoldenIndex:
             return out
         if isinstance(q, ast.PhraseQuery):
             return self._phrase_scores(q, boost)
+        if isinstance(q, ast.TermRangeQuery):
+            out = {}
+            for t, plist in self.postings.items():
+                if q.lower is not None and (t < q.lower or (t == q.lower and not q.lower_inclusive)):
+                    continue
+                if q.upper is not None and (t > q.upper or (t == q.upper and not q.upper_inclusive)):
+                    continue
+                for seg, doc, _tf, _pos in plist:
+                    out[(seg, doc)] = np.float32(boost)
+            return out
+        if isinstance(q, ast.ExistsQuery):
+            return {(s, d): np.float32(boost) for s, d, _ in self.doc_key
+                    if self._num_tokens.get((s, d), 0) > 0}
         if isinstance(q, ast.DisjunctionMaxQuery):
             subs = [self.scores(c, 1.0) for c in q.disjuncts]
             keys = set().union(*[set(s) for s in subs]) if subs else set()

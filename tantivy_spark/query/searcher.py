@@ -1,0 +1,66 @@
+"""Top-level search facade: parse, plan, dispatch.
+
+The analogue of the reference's `Searcher::search` + the
+`BooleanWeight::for_each_pruning` dispatch (boolean_weight.rs:581-600):
+a top-k over a pure multi-term OR lowers to the block-max WAND union
+kernel, a pure term AND to the WAND intersection kernel, everything else
+to the exact declarative scorer.  WAND and exact return identical
+rankings (tests assert it); WAND scores are float32 (reference parity),
+exact scores float64 (oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from tantivy_spark.index.reader import IndexReader
+from tantivy_spark.query import ast
+from tantivy_spark.query.exact import ExactSearcher
+from tantivy_spark.query.parser import QueryParser
+from tantivy_spark.query.wand import wand_topk
+
+
+def _pure_term_shape(q: ast.Query) -> tuple[str, list[str]] | None:
+    """Detect TermUnion / TermIntersection shapes eligible for WAND."""
+    if isinstance(q, ast.TermQuery):
+        return ("or", [q.term])
+    if isinstance(q, ast.BooleanQuery):
+        occs = {o for o, _ in q.clauses}
+        kids = [c for _, c in q.clauses]
+        if not all(isinstance(c, ast.TermQuery) for c in kids):
+            return None
+        if occs == {ast.Occur.SHOULD} and q.minimum_should_match <= 1:
+            return ("or", [c.term for c in kids])
+        if occs == {ast.Occur.MUST}:
+            return ("and", [c.term for c in kids])
+    return None
+
+
+class Searcher:
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+        self.exact = ExactSearcher(reader)
+        self.parser = QueryParser()
+
+    def _as_query(self, q) -> ast.Query:
+        return self.parser.parse(q) if isinstance(q, str) else q
+
+    def search(self, q, k: int = 10, offset: int = 0,
+               method: str = "auto") -> DataFrame:
+        """TopDocs: (rank, segment_ord, doc_id, score, key)."""
+        query = self._as_query(q)
+        if method in ("auto", "wand"):
+            shape = _pure_term_shape(query)
+            if shape is not None:
+                mode, terms = shape
+                df = wand_topk(self.reader, terms, k=k + offset, mode=mode)
+                if offset:
+                    from pyspark.sql import functions as F
+                    df = df.filter(F.col("rank") > offset)
+                return df
+            if method == "wand":
+                raise ValueError("query shape not WAND-eligible")
+        return self.exact.search(query, k=k, offset=offset)
+
+    def count(self, q) -> int:
+        return self.exact.count(self._as_query(q))

@@ -1,0 +1,305 @@
+"""Block-max WAND top-k: dynamic pruning over block metadata.
+
+Reference semantics: Block-Max WAND (Ding & Suel), as implemented in
+/root/reference/src/query/boolean_query/block_wand_union.rs (pivot loop,
+block-max sums vs threshold, shallow block seeks) and
+block_wand_intersection.rs.  The reference's loop is a per-doc sequential
+iterator; a data-parallel engine wants a *vectorized* equivalent, so this
+kernel re-derives BMW at block granularity:
+
+1. doc-id space is partitioned into **strips** by the union of all query
+   terms' block boundaries — every doc lies in exactly one strip, and
+   within a strip each term is covered by at most one block;
+2. each strip's score upper bound = sum (union) / gated sum (intersection)
+   of the covering blocks' block-max scores (from the stored
+   (wand_fieldnorm_id, wand_tf) pairs — serializer.rs:404-428 semantics);
+3. strips are processed in descending upper bound; processing stops the
+   moment the bound drops strictly below the current kth score
+   (ties are still processed, so address tie-breaks stay exact);
+4. only blocks touching an accepted strip are ever decoded (memoized).
+
+The result is **identical** to the exhaustive scorer — pruning only
+affects speed — which tests assert against both the exact DataFrame
+oracle and the pure-numpy golden engine (f32 bit-equality).
+
+Distribution: posting rows for the query's terms (a parquet IN-filtered
+scan) are shuffled once by segment; one kernel instance runs per segment
+with its own threshold (per-partition thresholds; the driver-side final
+merge keeps global exactness regardless of per-segment pruning).
+Per-segment top-k outputs are tiny, so the final merge is a broadcast-size
+orderBy/limit — the same partial/final shape as the reference's
+per-segment collect + merge_fruits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tantivy_spark.bm25 import Bm25Params
+from tantivy_spark.index import codec
+from tantivy_spark.index.reader import IndexReader
+
+OUT_SCHEMA = "segment_ord INT, doc_id INT, score FLOAT"
+
+
+class _TermBlocks:
+    """Flattened per-term block table across chunk rows (one segment)."""
+
+    __slots__ = ("starts", "ends", "n_docs", "bits_doc", "bits_tf",
+                 "doc_off", "tf_off", "fn_off", "docs_buf", "tfs_buf",
+                 "fns_buf", "bms", "chunk_of", "chunk_bufs")
+
+    def __init__(self, rows: list, params: Bm25Params):
+        starts, ends, n_docs, bits_d, bits_t = [], [], [], [], []
+        doc_off, tf_off, fn_off = [], [], []
+        wand_fn, wand_tf = [], []
+        self.chunk_bufs = []
+        chunk_of = []
+        for ci, row in enumerate(sorted(rows, key=lambda r: r.chunk_id)):
+            self.chunk_bufs.append((bytes(row.docs), bytes(row.tfs), bytes(row.fns)))
+            d_pos = t_pos = f_pos = 0
+            prev_last = -1
+            for b in range(len(row.last_docs)):
+                nd = int(row.n_docs[b])
+                bd, bt = int(row.bits_doc[b]), int(row.bits_tf[b])
+                starts.append(prev_last + 1)
+                ends.append(int(row.last_docs[b]))
+                n_docs.append(nd)
+                bits_d.append(bd)
+                bits_t.append(bt)
+                doc_off.append(d_pos)
+                tf_off.append(t_pos)
+                fn_off.append(f_pos)
+                wand_fn.append(int(row.wand_fn[b]))
+                wand_tf.append(int(row.wand_tf[b]))
+                chunk_of.append(ci)
+                if bd != codec.VINT_MARKER:
+                    d_pos += (nd * bd + 7) // 8
+                    t_pos += (nd * bt + 7) // 8
+                else:
+                    d_pos = len(self.chunk_bufs[ci][0])
+                    t_pos = len(self.chunk_bufs[ci][1])
+                f_pos += nd
+                prev_last = int(row.last_docs[b])
+        self.starts = np.array(starts, dtype=np.int64)
+        self.ends = np.array(ends, dtype=np.int64)
+        self.n_docs = np.array(n_docs, dtype=np.int64)
+        self.bits_doc = np.array(bits_d, dtype=np.int64)
+        self.bits_tf = np.array(bits_t, dtype=np.int64)
+        self.doc_off = np.array(doc_off, dtype=np.int64)
+        self.tf_off = np.array(tf_off, dtype=np.int64)
+        self.fn_off = np.array(fn_off, dtype=np.int64)
+        self.chunk_of = np.array(chunk_of, dtype=np.int64)
+        # block-max score from the stored (fieldnorm_id, capped tf) pair
+        self.bms = params.score(np.array(wand_fn, dtype=np.int64),
+                                np.array(wand_tf, dtype=np.int64))
+
+    def decode_block(self, b: int):
+        """-> (doc_ids int64, scores f32-inputs (tf, fn)) for block b."""
+        ci = int(self.chunk_of[b])
+        docs_buf, tfs_buf, fns_buf = self.chunk_bufs[ci]
+        nd = int(self.n_docs[b])
+        bd, bt = int(self.bits_doc[b]), int(self.bits_tf[b])
+        if bd == codec.VINT_MARKER:
+            dm1 = codec.vint_decode(docs_buf[self.doc_off[b]:], nd)
+            tm1 = codec.vint_decode(tfs_buf[self.tf_off[b]:], nd)
+        else:
+            dlen = (nd * bd + 7) // 8
+            tlen = (nd * bt + 7) // 8
+            dm1 = codec.bitunpack(docs_buf[self.doc_off[b]:self.doc_off[b] + dlen], bd, nd)
+            tm1 = codec.bitunpack(tfs_buf[self.tf_off[b]:self.tf_off[b] + tlen], bt, nd)
+        docs = np.cumsum(dm1.astype(np.int64) + 1) + (self.starts[b] - 1)
+        tfs = tm1.astype(np.int64) + 1
+        fns = np.frombuffer(fns_buf, dtype=np.uint8,
+                            count=nd, offset=int(self.fn_off[b])).astype(np.int64)
+        return docs, tfs, fns
+
+
+def _segment_wand(terms_blocks: list[_TermBlocks], params: list[Bm25Params],
+                  k: int, mode: str):
+    """Run the strip-pruned scorer for one segment.
+    Returns (doc_ids int64, scores float32) of the segment's top-k
+    (plus ties at the kth score)."""
+    T = len(terms_blocks)
+    # ---- strip decomposition ------------------------------------------------
+    edges = np.unique(np.concatenate(
+        [tb.starts for tb in terms_blocks] + [tb.ends + 1 for tb in terms_blocks]))
+    if len(edges) < 2:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    s_lo = edges[:-1]
+    s_hi = edges[1:] - 1  # inclusive
+    S = len(s_lo)
+    ub = np.zeros(S, dtype=np.float64)
+    cover = np.full((T, S), -1, dtype=np.int64)  # block idx covering strip, -1 none
+    covered_cnt = np.zeros(S, dtype=np.int64)
+    for ti, tb in enumerate(terms_blocks):
+        bi = np.searchsorted(tb.ends, s_lo, side="left")
+        valid = (bi < len(tb.starts))
+        ok = valid.copy()
+        ok[valid] &= tb.starts[bi[valid]] <= s_lo[valid]
+        cover[ti, ok] = bi[ok]
+        ub[ok] += tb.bms[bi[ok]].astype(np.float64)
+        covered_cnt[ok] += 1
+    if mode == "and":
+        active = covered_cnt == T
+    else:
+        active = covered_cnt > 0
+    ub[~active] = -1.0
+
+    order = np.argsort(-ub, kind="stable")
+    cand_docs: list[np.ndarray] = []
+    cand_scores: list[np.ndarray] = []
+    n_cand = 0
+    threshold = -np.inf
+    decoded: dict[tuple[int, int], tuple] = {}
+
+    def get_block(ti: int, b: int):
+        key = (ti, b)
+        if key not in decoded:
+            decoded[key] = terms_blocks[ti].decode_block(b)
+        return decoded[key]
+
+    for si in order:
+        if ub[si] < 0:
+            break
+        if n_cand >= k and ub[si] < threshold:
+            break
+        lo, hi = s_lo[si], s_hi[si]
+        docs_parts, score_parts, ord_parts = [], [], []
+        for ti in range(T):
+            b = cover[ti, si]
+            if b < 0:
+                continue
+            docs, tfs, fns = get_block(ti, int(b))
+            a = np.searchsorted(docs, lo, side="left")
+            z = np.searchsorted(docs, hi, side="right")
+            if a == z:
+                continue
+            docs_parts.append(docs[a:z])
+            score_parts.append(params[ti].score(fns[a:z], tfs[a:z]))
+            ord_parts.append(np.full(z - a, ti, dtype=np.int64))
+        if not docs_parts:
+            continue
+        d = np.concatenate(docs_parts)
+        s = np.concatenate(score_parts)
+        o = np.concatenate(ord_parts)
+        # deterministic f32 sum order: (doc, term ordinal), matching the
+        # clause-order summation of the exact scorer / golden engine
+        ix = np.lexsort((o, d))
+        d, s = d[ix], s[ix]
+        change = np.empty(len(d), dtype=bool)
+        change[0] = True
+        change[1:] = d[1:] != d[:-1]
+        starts = np.nonzero(change)[0]
+        docs_u = d[starts]
+        # strictly sequential f32 summation in clause order (reduceat/np.sum
+        # use pairwise summation, whose rounding differs from the reference's
+        # one-by-one accumulation): scatter each doc's contributions into
+        # columns by arrival order, then fold columns left to right.
+        gid = np.cumsum(change) - 1
+        within = np.arange(len(d)) - starts[gid]
+        mat = np.zeros((len(docs_u), T), dtype=np.float32)
+        mat[gid, within] = s
+        sums = np.zeros(len(docs_u), dtype=np.float32)
+        for j in range(T):
+            sums = sums + mat[:, j]
+        if mode == "and":
+            cnts = np.diff(np.append(starts, len(d)))
+            keep = cnts == T
+            docs_u, sums = docs_u[keep], sums[keep]
+        if len(docs_u) == 0:
+            continue
+        cand_docs.append(docs_u)
+        cand_scores.append(sums)
+        n_cand += len(docs_u)
+        if n_cand >= k:
+            alls = np.concatenate(cand_scores)
+            if len(alls) >= k:
+                threshold = float(np.partition(alls, -k)[-k])
+    if not cand_docs:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    docs_all = np.concatenate(cand_docs)
+    scores_all = np.concatenate(cand_scores).astype(np.float32)
+    # top-k + ties, tie-break doc_id asc
+    ix = np.lexsort((docs_all, -scores_all.astype(np.float64)))
+    take = min(k, len(ix))
+    # include everything tying the kth score so the global merge stays exact
+    if take and take < len(ix):
+        kth = scores_all[ix[take - 1]]
+        while take < len(ix) and scores_all[ix[take]] == kth:
+            take += 1
+    ix = ix[:take]
+    return docs_all[ix], scores_all[ix]
+
+
+def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
+              mode: str = "or") -> DataFrame:
+    """Distributed BMW top-k for a pure term union ("or") or pure term
+    intersection ("and").  Returns (rank, segment_ord, doc_id, score, key)
+    with the reference tie-break; score is float32.
+    """
+    terms = list(terms)
+    dfs = reader.doc_freqs(terms)
+    live_terms = [t for t in terms if dfs[t] > 0]
+    if mode == "and" and len(live_terms) < len(terms):
+        live_terms = []
+    params_by_term = {
+        t: Bm25Params.for_one_term(dfs[t], reader.num_docs, reader.avg_fieldnorm)
+        for t in live_terms
+    }
+    spark = reader.spark
+    if not live_terms:
+        empty = spark.createDataFrame([], schema=OUT_SCHEMA)
+        rows = empty
+    else:
+        rows = (reader.postings_for_terms(live_terms)
+                .drop("pos")
+                .repartition("segment_ord"))
+
+        term_order = {t: i for i, t in enumerate(live_terms)}
+        n_terms = len(live_terms)
+        kk = int(k)
+        md = mode
+
+        def kernel(batches):
+            # group rows per segment (repartition guarantees segment locality)
+            by_seg: dict[int, dict[str, list]] = {}
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    by_seg.setdefault(int(row.segment_ord), {}) \
+                        .setdefault(row.term, []).append(row)
+            for seg, per_term in by_seg.items():
+                tbs, prms = [], []
+                for t in live_terms:
+                    if t not in per_term:
+                        if md == "and":
+                            break
+                        continue
+                    tbs.append(_TermBlocks(per_term[t], params_by_term[t]))
+                    prms.append(params_by_term[t])
+                else:
+                    if md == "and" and len(tbs) != n_terms:
+                        continue
+                    if not tbs:
+                        continue
+                    d, s = _segment_wand(tbs, prms, kk, md)
+                    if len(d):
+                        yield pd.DataFrame({
+                            "segment_ord": np.full(len(d), seg, dtype=np.int32),
+                            "doc_id": d.astype(np.int32),
+                            "score": s,
+                        })
+
+        rows = rows.mapInPandas(kernel, schema=OUT_SCHEMA)
+
+    top = rows.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")).limit(k)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .join(reader.docmap.select("segment_ord", "doc_id", "key"),
+                  ["segment_ord", "doc_id"], "left")
+            .select("rank", "segment_ord", "doc_id", "score", "key")
+            .orderBy("rank"))

@@ -1,0 +1,75 @@
+"""Merge invariants: a merged index answers every query identically
+(same keys, same scores, same ranks) and stacking preserves order.
+
+Mirrors the reference's merger tests (merged-vs-monolithic equality of
+query results, src/indexer/merger.rs tests)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tantivy_spark.index.reader import IndexReader
+from tantivy_spark.query import BooleanQuery, Occur, PhraseQuery, TermQuery
+from tantivy_spark.query.exact import ExactSearcher
+
+QUERIES = [
+    TermQuery("the"),
+    TermQuery("data"),
+    BooleanQuery([(Occur.MUST, TermQuery("fast")), (Occur.MUST, TermQuery("scan"))]),
+    BooleanQuery([(Occur.SHOULD, TermQuery("fast")), (Occur.SHOULD, TermQuery("slow"))]),
+    PhraseQuery(["order", "sort"]),
+]
+
+
+@pytest.fixture(scope="module")
+def merged_index(spark, tiny_index, tmp_path_factory):
+    from tantivy_spark.index.merge import merge_segments
+
+    out = str(tmp_path_factory.mktemp("midx") / "merged")
+    merge_segments(spark, tiny_index.index_dir, out, n_salts=4)
+    return IndexReader(spark, out)
+
+
+def test_merged_has_one_segment(merged_index, tiny_index):
+    segs = [r[0] for r in merged_index.postings.select("segment_ord").distinct().collect()]
+    assert segs == [0]
+    assert merged_index.num_docs == tiny_index.num_docs
+    assert merged_index.total_num_tokens == tiny_index.total_num_tokens
+
+
+def test_doc_freqs_preserved(merged_index, tiny_index):
+    terms = ["the", "data", "fast", "scan", "order"]
+    assert merged_index.doc_freqs(terms) == tiny_index.doc_freqs(terms)
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: "-".join(q.terms())[:30])
+def test_query_results_identical_after_merge(spark, tiny_index, merged_index, q):
+    a = ExactSearcher(tiny_index).search(q, k=15).collect()
+    b = ExactSearcher(merged_index).search(q, k=15).collect()
+    assert [(r["rank"], r["key"]) for r in a] == [(r["rank"], r["key"]) for r in b]
+    for ra, rb in zip(a, b):
+        assert ra["score"] == pytest.approx(rb["score"], rel=1e-12)
+
+
+def test_stacking_preserves_address_order(spark, tiny_index, merged_index):
+    """merged doc_id = offset(segment) + old doc_id, so old (segment_ord,
+    doc_id) order == new doc_id order (merger.rs:697-708 semantics)."""
+    old = tiny_index.docmap.orderBy("segment_ord", "doc_id").select("key").collect()
+    new = merged_index.docmap.orderBy("doc_id").select("key").collect()
+    assert [r["key"] for r in old] == [r["key"] for r in new]
+    # dense, gap-free doc ids
+    ids = [r[0] for r in merged_index.docmap.select("doc_id").orderBy("doc_id").collect()]
+    assert ids == list(range(len(ids)))
+
+
+def test_salting_does_not_change_output(spark, tiny_index, tmp_path_factory):
+    from tantivy_spark.index.merge import merge_segments
+
+    out1 = str(tmp_path_factory.mktemp("m1") / "a")
+    out8 = str(tmp_path_factory.mktemp("m8") / "b")
+    merge_segments(spark, tiny_index.index_dir, out1, n_salts=1)
+    merge_segments(spark, tiny_index.index_dir, out8, n_salts=8)
+    a = spark.read.parquet(f"{out1}/postings").orderBy("term", "chunk_id") \
+        .select("term", "chunk_id", "doc_freq", F.md5(F.col("docs")).alias("h")).collect()
+    b = spark.read.parquet(f"{out8}/postings").orderBy("term", "chunk_id") \
+        .select("term", "chunk_id", "doc_freq", F.md5(F.col("docs")).alias("h")).collect()
+    assert a == b

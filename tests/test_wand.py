@@ -1,0 +1,90 @@
+"""WAND kernel == exhaustive scoring (pruning must never change results).
+
+Mirrors the reference's property test (block_wand_union.rs:293-320:
+random corpora, WAND top-k equals exhaustive heap top-k), using the tiny
+corpus + the golden engine as the exhaustive oracle, with f32 score
+bit-equality."""
+
+import numpy as np
+import pytest
+
+from tantivy_spark.query import BooleanQuery, Occur, TermQuery
+from tantivy_spark.query.golden import GoldenIndex
+from tantivy_spark.query.wand import wand_topk
+
+UNION_CASES = [
+    (["the"], 10),
+    (["data"], 5),
+    (["fast", "slow"], 10),
+    (["the", "data", "join"], 10),
+    (["fast", "slow", "scan", "merge"], 7),
+    (["zzz_nope"], 10),
+    (["zzz_nope", "data"], 10),
+    (["the"], 1),
+    (["the", "of"], 100),
+]
+
+AND_CASES = [
+    (["fast", "scan"], 10),
+    (["the", "data"], 10),
+    (["fast", "slow", "scan"], 10),
+    (["data", "zzz_nope"], 10),
+    (["table"], 10),
+]
+
+
+def _golden_topk(golden: GoldenIndex, terms, k, mode):
+    occ = Occur.MUST if mode == "and" else Occur.SHOULD
+    q = BooleanQuery([(occ, TermQuery(t)) for t in terms])
+    return golden.top_k(q, k=k)
+
+
+@pytest.mark.parametrize("terms,k", UNION_CASES, ids=lambda x: str(x))
+def test_wand_union_matches_golden(tiny_index, tiny_golden, terms, k):
+    if not isinstance(terms, list):
+        pytest.skip("param order")
+    got = wand_topk(tiny_index, terms, k=k, mode="or").collect()
+    want = _golden_topk(tiny_golden, terms, k, "or")
+    assert [(r["segment_ord"], r["doc_id"]) for r in got] == \
+        [(s, d) for _r, s, d, _ in want]
+    for r, (_rank, _s, _d, ws) in zip(got, want):
+        assert np.float32(r["score"]) == np.float32(ws), (r, ws)
+
+
+@pytest.mark.parametrize("terms,k", AND_CASES, ids=lambda x: str(x))
+def test_wand_intersection_matches_golden(tiny_index, tiny_golden, terms, k):
+    if not isinstance(terms, list):
+        pytest.skip("param order")
+    got = wand_topk(tiny_index, terms, k=k, mode="and").collect()
+    occ_q = BooleanQuery([(Occur.MUST, TermQuery(t)) for t in terms])
+    want = tiny_golden.top_k(occ_q, k=k)
+    assert [(r["segment_ord"], r["doc_id"]) for r in got] == \
+        [(s, d) for _r, s, d, _ in want]
+    for r, (_rank, _s, _d, ws) in zip(got, want):
+        assert np.float32(r["score"]) == np.float32(ws)
+
+
+def test_wand_randomized_merged(spark, tmp_path_factory):
+    """Random Zipf corpus, single + merged-index variants: WAND == golden."""
+    from tantivy_spark.corpus import synthetic_pages
+    from tantivy_spark.index.build import IndexConfig, build_index
+    from tantivy_spark.index.reader import IndexReader
+
+    pages = synthetic_pages(spark, 400, seed=99).select("url", "text")
+    rows = pages.collect()
+    golden = GoldenIndex([r["url"] for r in rows], [r["text"] or "" for r in rows],
+                         segment_of=lambda i, key: int(key[-12:]) % 3)
+    out = str(tmp_path_factory.mktemp("widx") / "rand")
+    build_index(spark, pages, out, IndexConfig(
+        key_col="url", text_col="text", n_segments=3,
+        segment_expr="pmod(cast(substring(url, -12, 12) as bigint), 3)"))
+    reader = IndexReader(spark, out)
+    for terms, mode in [(["the", "of", "and"], "or"), (["the", "of"], "and"),
+                        (["zeta001", "the"], "or"), (["naïve"], "or")]:
+        got = wand_topk(reader, terms, k=10, mode=mode).collect()
+        occ = Occur.MUST if mode == "and" else Occur.SHOULD
+        want = golden.top_k(BooleanQuery([(occ, TermQuery(t)) for t in terms]), k=10)
+        assert [(r["segment_ord"], r["doc_id"]) for r in got] == \
+            [(s, d) for _r, s, d, _ in want], (terms, mode)
+        for r, (_rank, _s, _d, ws) in zip(got, want):
+            assert np.float32(r["score"]) == np.float32(ws)
