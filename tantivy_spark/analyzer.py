@@ -123,6 +123,77 @@ def flat_tokenize(doc_ids: np.ndarray, texts: pd.Series):
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer / filter registry (ref: src/tokenizer/tokenizer_manager.rs —
+# named analyzers "raw", "default", "whitespace", plus the specialty
+# tokenizers and filters; all as JVM Column expressions)
+# ---------------------------------------------------------------------------
+
+def raw_analyzer(text: Column) -> Column:
+    """Whole value as a single token (ref: raw_tokenizer.rs)."""
+    return F.when(F.length(text) > 0, F.array(text)).otherwise(
+        F.array().cast("array<string>"))
+
+
+def whitespace_analyzer(text: Column) -> Column:
+    """Split on whitespace runs, no lowercasing
+    (ref: whitespace_tokenizer.rs)."""
+    return F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"),
+                    lambda t: F.length(t) > 0)
+
+
+def ngram_tokens(text: Column, min_gram: int = 2, max_gram: int = 3) -> Column:
+    """Character n-grams of each value, n in [min_gram, max_gram]
+    (ref: ngram_tokenizer.rs)."""
+    t = F.coalesce(text, F.lit(""))
+    n = F.length(t)
+    def gram_fn(g: int):
+        def inner(i):  # single-arg: pyspark passes only the element
+            return t.substr(i, F.lit(g))
+        return inner
+
+    grams = []
+    for g in range(min_gram, max_gram + 1):
+        idx = F.sequence(F.lit(1), F.greatest(n - g + 1, F.lit(0)))
+        grams.append(F.transform(idx, gram_fn(g)))
+    out = grams[0]
+    for more in grams[1:]:
+        out = F.concat(out, more)
+    return out
+
+
+def stopword_filter(tokens: Column, stopwords: list[str]) -> Column:
+    """Drop stop tokens (ref: stop_word_filter/)."""
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.filter(tokens, lambda t: ~F.array_contains(arr, t))
+
+
+def alphanum_only_filter(tokens: Column) -> Column:
+    """Keep only tokens that are purely alphanumeric
+    (ref: alpha_num_only_filter.rs)."""
+    return F.filter(tokens, lambda t: t.rlike(r"^[\p{L}\p{N}]+$"))
+
+
+def ascii_folding_chain(text: Column) -> Column:
+    """Default analyzer + diacritic folding to ASCII via NFD decomposition
+    and combining-mark removal (ref: ascii_folding_filter.rs; covers the
+    Latin diacritics class, not the full 4k-entry table)."""
+    import unicodedata
+
+    # JVM-side approximation: translate the common Latin-1/Latin-A range
+    src = "àáâãäåāăąçćĉċčèéêëēĕėęěìíîïĩīĭįñńņňòóôõöøōŏőùúûüũūŭůűßÿýž"
+    dst_pairs = [(c, unicodedata.normalize("NFD", c)[0]) for c in src]
+    dst = "".join(d if ord(d) < 128 else "?" for _c, d in dst_pairs)
+    return F.transform(tokens_col(text), lambda t: F.translate(t, src, dst))
+
+
+ANALYZERS = {
+    "default": tokens_col,
+    "raw": raw_analyzer,
+    "whitespace": whitespace_analyzer,
+}
+
+
+# ---------------------------------------------------------------------------
 # 3. DuckDB SQL form (oracle)
 # ---------------------------------------------------------------------------
 

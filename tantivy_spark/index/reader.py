@@ -52,8 +52,9 @@ class IndexReader:
             return {}
         rows = (
             self.term_stats.filter(F.col("term").isin(list(set(terms))))
-            .select("term", "doc_freq").collect()
-        )
+            .groupBy("term").agg(F.sum("doc_freq").alias("doc_freq"))
+            .collect()
+        )  # sum: incremental ingest appends per-batch term_stats deltas
         out = {t: 0 for t in terms}
         out.update({r["term"]: int(r["doc_freq"]) for r in rows})
         return out

@@ -214,8 +214,6 @@ class OracleBuilder:
         return out
 
     def _phrase(self, q: ast.PhraseQuery, boost: float, ctes: list[str]) -> str:
-        if q.slop != 0:
-            raise NotImplementedError
         terms = q.phrase_terms
         ph_names = []
         df_parts = []
@@ -223,7 +221,7 @@ class OracleBuilder:
             tt = t.replace("'", "''")
             ph = self._name("ph")
             ctes.append(
-                f"{ph} AS (SELECT did, pos - {i} AS apos FROM tokpos WHERE tk = '{tt}')"
+                f"{ph} AS (SELECT did, pos FROM tokpos WHERE tk = '{tt}')"
             )
             ph_names.append(ph)
             df_parts.append(
@@ -232,15 +230,30 @@ class OracleBuilder:
                 f"((SELECT CAST(count(DISTINCT did) AS DOUBLE) FROM {ph}) + 0.5))"
             )
         joined = self._name("phj")
-        join_sql = f"{ph_names[0]} p0"
-        for i in range(1, len(ph_names)):
-            join_sql += (
-                f" JOIN {ph_names[i]} p{i} ON p0.did = p{i}.did AND p0.apos = p{i}.apos"
+        if q.slop == 0:
+            join_sql = f"{ph_names[0]} p0"
+            for i in range(1, len(ph_names)):
+                join_sql += (
+                    f" JOIN {ph_names[i]} p{i} ON p0.did = p{i}.did "
+                    f"AND p{i}.pos = p0.pos + {i}"
+                )
+            ctes.append(
+                f"{joined} AS (SELECT p0.did, CAST(count(*) AS DOUBLE) AS tf "
+                f"FROM {join_sql} GROUP BY p0.did)"
             )
-        ctes.append(
-            f"{joined} AS (SELECT p0.did, CAST(count(*) AS DOUBLE) AS tf "
-            f"FROM {join_sql} GROUP BY p0.did)"
-        )
+        else:
+            # chained in-order-within-slop joins (mirror of exact._phrase)
+            join_sql = f"{ph_names[0]} p0"
+            for i in range(1, len(ph_names)):
+                join_sql += (
+                    f" JOIN {ph_names[i]} p{i} ON p0.did = p{i}.did "
+                    f"AND p{i}.pos > p{i - 1}.pos "
+                    f"AND p{i}.pos <= p{i - 1}.pos + 1 + {q.slop}"
+                )
+            ctes.append(
+                f"{joined} AS (SELECT p0.did, CAST(count(DISTINCT p0.pos) AS DOUBLE) AS tf "
+                f"FROM {join_sql} GROUP BY p0.did)"
+            )
         idf_sum = self._add_chain([f"({p})" for p in df_parts])
         weight = f"(({idf_sum}) * {_W!r})"
         if boost != 1.0:

@@ -24,6 +24,69 @@ def _norm(a):
                               F.lit(0.0), lambda acc, v: acc + v))
 
 
+def hyperplane_lsh_buckets(df: DataFrame, dim: int, n_bits: int = 16,
+                           seed: int = 13, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket) — random-hyperplane LSH signature as a bucket id.
+
+    Hyperplanes are a deterministic seeded numpy draw baked into the plan
+    as literal arrays, so buckets are reproducible at any parallelism.
+    Scale path for repeated ANN queries: bucket once (one narrow table),
+    then each query touches only its own bucket (+ optional multiprobe
+    neighbors) — candidate sets of ~n/2^bits instead of full scans.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = None
+    for j in range(n_bits):
+        p = F.array(*[F.lit(float(v)) for v in planes[j]])
+        bit = F.when(_dot(vec, p) > 0,
+                     F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                    n_bits: int = 6, n_tables: int = 4, seed: int = 13,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    exclude_id: int | None = None,
+                    multiprobe_bits: int = 1) -> DataFrame:
+    """Approximate cosine top-k: OR-amplified multi-table hyperplane LSH.
+
+    Each of ``n_tables`` independent tables hashes vectors to ``n_bits``
+    buckets; candidates are the union over tables of the query's bucket
+    plus all buckets within ``multiprobe_bits`` Hamming distance, then the
+    exact scorer ranks the candidate set.  Recall per true neighbour at
+    angular similarity p is 1-(1-p^b)^L — tune (b, L) to the corpus; more
+    tables buy recall, more bits buy selectivity.
+    """
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cand_ids = None
+    for t in range(n_tables):
+        tseed = seed + 7919 * t
+        rng = np.random.default_rng(tseed)
+        planes = rng.standard_normal((n_bits, len(q)))
+        qb = 0
+        for j in range(n_bits):
+            if float(planes[j] @ q) > 0:
+                qb |= 1 << j
+        probes = {qb}
+        if multiprobe_bits >= 1:
+            probes |= {qb ^ (1 << j) for j in range(n_bits)}
+        buckets = hyperplane_lsh_buckets(df, len(q), n_bits, tseed, id_col, vec_col)
+        ids = buckets.filter(F.col("bucket").isin(list(probes))).select("id")
+        cand_ids = ids if cand_ids is None else cand_ids.unionByName(ids)
+    cand_ids = cand_ids.distinct()
+    cand = df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
+    return brute_force_cosine_topk(cand, query_vec, k=k, id_col=id_col,
+                                   vec_col=vec_col, exclude_id=exclude_id)
+
+
 def brute_force_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",

@@ -12,6 +12,8 @@ from tantivy_spark.query.ast import (  # noqa: F401
     PhraseQuery,
     Query,
     ExistsQuery,
+    MoreLikeThisQuery,
+    PhrasePrefixQuery,
     RegexQuery,
     TermQuery,
     TermRangeQuery,

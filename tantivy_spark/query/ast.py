@@ -72,6 +72,30 @@ class PhraseQuery(Query):
 
 
 @dataclass
+class PhrasePrefixQuery(Query):
+    """Phrase whose last term is a prefix, expanded against the term
+    dictionary (ref: src/query/phrase_prefix_query/)."""
+    phrase_terms: list[str]   # all but the prefix
+    prefix: str
+    max_expansions: int = 50
+
+    def terms(self) -> list[str]:
+        return list(self.phrase_terms)
+
+
+@dataclass
+class MoreLikeThisQuery(Query):
+    """OR-query over the top tf-idf terms of a reference document's text
+    (ref: src/query/more_like_this/)."""
+    doc_text: str
+    max_query_terms: int = 10
+    min_term_freq: int = 1
+
+    def terms(self) -> list[str]:  # resolved at plan time
+        return []
+
+
+@dataclass
 class TermSetQuery(Query):
     """Docs containing any term of the set, constant score 1.0
     (ref: src/query/set_query.rs — scoring disabled there too)."""

@@ -145,6 +145,27 @@ class ExactSearcher:
                     .select("segment_ord", "doc_id", F.lit(1.0 * boost).alias("score")))
         if isinstance(q, ast.PhraseQuery):
             return self._phrase(q, boost, dfs)
+        if isinstance(q, ast.PhrasePrefixQuery):
+            expansions = sorted(
+                r["term"] for r in self.reader.term_stats
+                .filter(F.col("term").startswith(q.prefix))
+                .select("term").limit(q.max_expansions).collect())
+            if not expansions:
+                return self._lower(ast.EmptyQuery(), boost, dfs)
+            # one phrase per expansion; a doc scores via its best expansion
+            # (max), mirroring "any expansion matches at the last slot"
+            subs = [ast.PhraseQuery(q.phrase_terms + [e]) for e in expansions]
+            return self._lower(ast.DisjunctionMaxQuery(subs, tie_breaker=0.0),
+                               boost, self.reader.doc_freqs(
+                                   q.phrase_terms + expansions))
+        if isinstance(q, ast.MoreLikeThisQuery):
+            sel = self.select_mlt_terms(q.doc_text, q.max_query_terms,
+                                        q.min_term_freq)
+            if not sel:
+                return self._lower(ast.EmptyQuery(), boost, dfs)
+            sub = ast.BooleanQuery([(ast.Occur.SHOULD, ast.TermQuery(t))
+                                    for t in sel])
+            return self._lower(sub, boost, self.reader.doc_freqs(sel))
         if isinstance(q, ast.DisjunctionMaxQuery):
             frames = [self._lower(c, 1.0, dfs) for c in q.disjuncts]
             tagged = [f.select("segment_ord", "doc_id", F.col("score").alias(f"s_{i}"))
@@ -232,32 +253,69 @@ class ExactSearcher:
         return out
 
     def _phrase(self, q: ast.PhraseQuery, boost: float, dfs: dict[str, int]) -> DataFrame:
-        """slop=0 phrase via the shifted-position trick: pos - ordinal is
-        equal across all phrase terms exactly at phrase start positions."""
+        """slop=0: the shifted-position trick — pos - ordinal is equal
+        across all phrase terms exactly at phrase start positions.
+        slop>0: chained range joins — consecutive terms must appear in
+        order within slop+1 positions of each other; phrase frequency =
+        number of distinct start positions with a valid chain."""
         terms = q.phrase_terms
-        if q.slop != 0:
-            raise NotImplementedError("slop > 0 lands with the WAND kernel")
         flat = self.flat_postings(terms, with_positions=True)
-        parts = []
-        for i, t in enumerate(terms):
-            parts.append(
-                flat.filter(F.col("term") == t).select(
-                    "segment_ord", "doc_id", "fieldnorm_id",
-                    (F.col("pos") - F.lit(i)).alias("apos"),
-                    F.lit(i).alias("ord"),
+        if q.slop != 0:
+            cur = flat.filter(F.col("term") == terms[0]).select(
+                "segment_ord", "doc_id", "fieldnorm_id",
+                F.col("pos").alias("p0"), F.col("pos").alias("prev"))
+            for i, t in enumerate(terms[1:], start=1):
+                nxt = flat.filter(F.col("term") == t).select(
+                    "segment_ord", "doc_id", F.col("pos").alias(f"p{i}"))
+                cur = (cur.join(nxt, ["segment_ord", "doc_id"])
+                       .filter((F.col(f"p{i}") > F.col("prev"))
+                               & (F.col(f"p{i}") <= F.col("prev") + 1 + q.slop))
+                       .drop("prev")
+                       .withColumn("prev", F.col(f"p{i}")))
+            hits = (cur.groupBy("segment_ord", "doc_id", "fieldnorm_id")
+                    .agg(F.countDistinct("p0").alias("tf")))
+        else:
+            parts = []
+            for i, t in enumerate(terms):
+                parts.append(
+                    flat.filter(F.col("term") == t).select(
+                        "segment_ord", "doc_id", "fieldnorm_id",
+                        (F.col("pos") - F.lit(i)).alias("apos"),
+                        F.lit(i).alias("ord"),
+                    )
                 )
+            allp = reduce(lambda a, b: a.unionByName(b), parts)
+            hits = (
+                allp.groupBy("segment_ord", "doc_id", "fieldnorm_id", "apos")
+                .agg(F.countDistinct("ord").alias("nmatch"))
+                .filter(F.col("nmatch") == len(terms))
+                .groupBy("segment_ord", "doc_id", "fieldnorm_id")
+                .agg(F.count("*").alias("tf"))
             )
-        allp = reduce(lambda a, b: a.unionByName(b), parts)
-        hits = (
-            allp.groupBy("segment_ord", "doc_id", "fieldnorm_id", "apos")
-            .agg(F.countDistinct("ord").alias("nmatch"))
-            .filter(F.col("nmatch") == len(terms))
-            .groupBy("segment_ord", "doc_id", "fieldnorm_id")
-            .agg(F.count("*").alias("tf"))
-        )
         idf_sum = sum(idf64(dfs.get(t, 0), self.N) for t in terms)
         w = idf_sum * (1.0 + K1) * boost
         return hits.select("segment_ord", "doc_id", self._score_col(w).alias("score"))
+
+    def select_mlt_terms(self, doc_text: str, max_terms: int = 10,
+                         min_tf: int = 1) -> list[str]:
+        """MoreLikeThis term selection: top terms of the reference text by
+        tf*idf, tie-break term asc (ref: src/query/more_like_this/ builds a
+        term-boost query from the doc's top TF-IDF terms)."""
+        from collections import Counter
+
+        from tantivy_spark.analyzer import tokenize_series
+
+        toks = list(pd.Series([doc_text]).pipe(tokenize_series)[0])
+        tfs = {t: c for t, c in Counter(toks).items() if c >= min_tf}
+        if not tfs:
+            return []
+        dfs = self.reader.doc_freqs(list(tfs))
+        scored = [
+            (t, tfs[t] * idf64(dfs[t], self.N))
+            for t in tfs if dfs[t] > 0
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return [t for t, _ in scored[:max_terms]]
 
     # ------------------------------------------------------- dict expansion
     def _expand_regex(self, pattern: str, cap: int = 1024) -> list[str]:

@@ -1,0 +1,106 @@
+"""Pipeline operators: dedup (exact / minhash / simhash), similarity
+search (brute force + LSH recall), text stats, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_finds_planted_dupes(spark, docs):
+    from tantivy_spark.pipeline.dedup import exact_dedup_groups
+
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 10_000)
+    g = exact_dedup_groups(docs.unionByName(dup)).collect()
+    assert len(g) == 5
+    assert all(r["n_dupes"] == 2 and r["keep_id"] < 10_000 for r in g)
+
+
+def test_minhash_lsh_finds_near_dupes(spark, docs):
+    from tantivy_spark.pipeline.dedup import minhash_lsh_candidates, minhash_signatures
+
+    # plant a near-duplicate: the longest doc's text with one word changed
+    longest = docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(1).collect()[0]
+    words = longest["text"].split()
+    words[len(words) // 2] = "CHANGED"
+    near = spark.createDataFrame([(9_999, " ".join(words))], "doc_id long, text string")
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    sigs = minhash_signatures(corpus, num_hashes=32)
+    pairs = minhash_lsh_candidates(sigs, bands=16, rows_per_band=2).collect()
+    src = int(longest["doc_id"])
+    assert any(r["id_a"] == src and r["id_b"] == 9_999 for r in pairs)
+
+
+def test_simhash_near_dupes_close(spark, docs):
+    from tantivy_spark.pipeline.dedup import simhash64
+
+    base = docs.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    txt = base.collect()[0]["text"]
+    words = txt.split()
+    words[0] = "changed"
+    near = spark.createDataFrame([(9_999, " ".join(words))], "doc_id long, text string")
+    far = spark.createDataFrame([(9_998, "zeta quark nimbus vortex ember")],
+                                "doc_id long, text string")
+    sh = {r["id"]: r["simhash"] for r in
+          simhash64(base.unionByName(near).unionByName(far)).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sh[0], sh[9_999]) < ham(sh[0], sh[9_998])
+    assert ham(sh[0], sh[9_999]) <= 8
+
+
+def test_lsh_ann_recall(spark, emb):
+    from tantivy_spark.pipeline.similarity import brute_force_cosine_topk, lsh_cosine_topk
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = [r["id"] for r in
+             brute_force_cosine_topk(emb, q, k=10, exclude_id=0).collect()]
+    approx = [r["id"] for r in
+              lsh_cosine_topk(emb, q, k=10, n_bits=6, n_tables=6, exclude_id=0,
+                              multiprobe_bits=1).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (recall, exact, approx)
+
+
+def test_lsh_buckets_deterministic(spark, emb):
+    from tantivy_spark.pipeline.similarity import hyperplane_lsh_buckets
+
+    a = {r["id"]: r["bucket"] for r in
+         hyperplane_lsh_buckets(emb, 64, n_bits=8).collect()}
+    b = {r["id"]: r["bucket"] for r in
+         hyperplane_lsh_buckets(emb.repartition(7), 64, n_bits=8).collect()}
+    assert a == b
+
+
+def test_multimodal_meta_and_error_isolation(spark, docs):
+    from tantivy_spark.corpus import pages_from_documents
+    from tantivy_spark.pipeline.multimodal import decode_media_meta
+
+    pages = pages_from_documents(spark, SF).limit(20).select(
+        "html", F.substring("url", -10, 10).cast("bigint").alias("doc_id"))
+    bad = spark.createDataFrame([(b"", 77_777)], "html binary, doc_id long")
+    out = decode_media_meta(pages.unionByName(bad), payload_col="html",
+                            id_col="doc_id").collect()
+    ok = [r for r in out if r["ok"]]
+    err = [r for r in out if not r["ok"]]
+    assert len(ok) == 20 and len(err) == 1
+    assert err[0]["id"] == 77_777 and "ValueError" in err[0]["error"]
+    assert all(r["width"] >= 16 and r["n_bytes"] > 0 for r in ok)
+
+
+def test_token_counts_and_quality(spark, docs):
+    from tantivy_spark.pipeline.textstats import quality_scores, token_counts
+
+    tc = token_counts(docs).filter(F.col("id") == 0).collect()[0]
+    assert tc["n_tokens"] > 0 and tc["avg_token_len_r"] > 0
+    qs = quality_scores(docs).collect()
+    assert all(0.0 <= r["quality_r"] <= 1.0 for r in qs)

@@ -1,0 +1,48 @@
+"""Specialty tokenizers/filters (ref: src/tokenizer/ registry)."""
+
+from pyspark.sql import functions as F
+
+from tantivy_spark.analyzer import (
+    alphanum_only_filter,
+    ascii_folding_chain,
+    ngram_tokens,
+    raw_analyzer,
+    stopword_filter,
+    tokens_col,
+    whitespace_analyzer,
+)
+
+
+def _one(spark, col, text):
+    return spark.createDataFrame([(text,)], ["t"]).select(col.alias("o")).collect()[0]["o"]
+
+
+def test_raw(spark):
+    assert list(_one(spark, raw_analyzer(F.col("t")), "Hello World!")) == ["Hello World!"]
+    assert list(_one(spark, raw_analyzer(F.col("t")), "")) == []
+
+
+def test_whitespace(spark):
+    assert list(_one(spark, whitespace_analyzer(F.col("t")), " a\tB  c\n")) == ["a", "B", "c"]
+
+
+def test_ngram(spark):
+    got = list(_one(spark, ngram_tokens(F.col("t"), 2, 3), "abcd"))
+    assert got == ["ab", "bc", "cd", "abc", "bcd"]
+
+
+def test_stopword(spark):
+    toks = tokens_col(F.col("t"))
+    got = list(_one(spark, stopword_filter(toks, ["the", "of"]), "The rest of us"))
+    assert got == ["rest", "us"]
+
+
+def test_alphanum_only(spark):
+    got = list(_one(spark, alphanum_only_filter(whitespace_analyzer(F.col("t"))),
+                    "ab c-d 12"))
+    assert got == ["ab", "12"]
+
+
+def test_ascii_folding(spark):
+    got = list(_one(spark, ascii_folding_chain(F.col("t")), "café naïve übel"))
+    assert got == ["cafe", "naive", "ubel"]
