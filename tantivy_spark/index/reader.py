@@ -59,6 +59,15 @@ class IndexReader:
         out.update({r["term"]: int(r["doc_freq"]) for r in rows})
         return out
 
+    @property
+    def deletes(self) -> DataFrame | None:
+        """(segment_ord, doc_id) of deleted docs, or None when none exist.
+        Not cached: deletes are the one mutable part of an index."""
+        p = os.path.join(self.index_dir, "deletes")
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.parquet(p)
+
     @cached_property
     def fieldnorms(self) -> DataFrame:
         """(segment_ord, doc_id, num_tokens, fieldnorm_id) decoded from the

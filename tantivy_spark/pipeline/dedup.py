@@ -36,30 +36,49 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
     )
 
 
-def _shingles(tokens: Column, k: int) -> Column:
-    """k-token shingles as strings (empty array when fewer than k tokens)."""
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, k), " "))
-    )
+def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   shingle_k: int = 3) -> DataFrame:
+    """(id, sh: bigint) — 64-bit hash of each k-token shingle.
+
+    Tokenizes ONCE (posexplode), forms shingles with window ``lead``s, and
+    hash-combines the k tokens — everything whole-stage-codegen'd.  (A
+    higher-order-function formulation re-evaluates the tokenizer per
+    reference and runs interpreted: ~10x slower, measured.)  The shuffle
+    is the token stream keyed by doc id; shingles never materialize as
+    strings.
+    """
+    # dedup tokenization: lowercase-then-split, no length filter — plain
+    # codegen'd expressions (the canonical search analyzer chain uses
+    # higher-order functions, which run interpreted; dedup does not need
+    # byte-level parity with the query analyzer, only self-consistency)
+    from tantivy_spark.analyzer import JAVA_TOKEN_PATTERN
+
+    toks = F.regexp_extract_all(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                                F.lit(JAVA_TOKEN_PATTERN), 0)
+    rows = df.select(F.col(id_col).alias("id"),
+                     F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, shingle_k)]
+    return (rows.select("id", F.xxhash64(*leads).alias("sh"),
+                        leads[-1].alias("_last"))
+            .filter(F.col("_last").isNotNull())
+            .drop("_last"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = 64, shingle_k: int = 3) -> DataFrame:
     """(id, sig: array<bigint>) — MinHash signature over k-token shingles.
 
-    Permutation i is simulated with xxhash64(shingle, seed=i); the
-    signature element is the min hash per seed.  All JVM expressions.
-    """
-    toks = tokens_col(F.col(text_col))
-    sh = _shingles(toks, shingle_k).alias("sh")
-    base = df.select(F.col(id_col).alias("id"), sh).filter(F.size("sh") > 0)
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ]).alias("sig")
-    return base.select("id", sig)
+    Permutation i is simulated with xxhash64(shingle_hash, seed=i); the
+    signature element is the min per seed, computed as a map-side-combining
+    groupBy over the shingle-hash rows."""
+    sh_rows = shingle_hashes(df, text_col, id_col, shingle_k)
+    hashed = sh_rows.select(
+        "id", *[F.xxhash64("sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)])
+    agg = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    return agg.select("id", sig)
 
 
 def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16,

@@ -118,9 +118,17 @@ class ExactSearcher:
 
     # ------------------------------------------------------------- matching
     def matching(self, q: ast.Query, boost: float = 1.0) -> DataFrame:
-        """(segment_ord, doc_id, score) for every matching doc."""
+        """(segment_ord, doc_id, score) for every matching *alive* doc.
+
+        Deleted docs are filtered from the match set, but BM25 statistics
+        keep including them until a merge — the reference's alive-bitset
+        semantics (ARCHITECTURE.md:59-64)."""
         dfs = self.reader.doc_freqs(q.terms())
-        return self._lower(q, boost, dfs)
+        out = self._lower(q, boost, dfs)
+        dels = self.reader.deletes
+        if dels is not None:
+            out = out.join(F.broadcast(dels), ["segment_ord", "doc_id"], "left_anti")
+        return out
 
     def _lower(self, q: ast.Query, boost: float, dfs: dict[str, int]) -> DataFrame:
         r = self.reader
@@ -345,14 +353,19 @@ class ExactSearcher:
         w = Window.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
         ranked = top.withColumn("rank", F.row_number().over(w)) \
                     .filter(F.col("rank") > offset)
-        return (ranked.join(self.reader.docmap.select("segment_ord", "doc_id", "key"),
-                            ["segment_ord", "doc_id"], "left")
+        # broadcast the k-row result side — docmap is the table that is
+        # huge at corpus scale, so it must stay distributed.  Inner join:
+        # every DocAddress exists in docmap, and left-outer would force
+        # Spark to build (broadcast) the docmap side.
+        return (F.broadcast(ranked)
+                .join(self.reader.docmap.select("segment_ord", "doc_id", "key"),
+                      ["segment_ord", "doc_id"], "inner")
                 .select("rank", "segment_ord", "doc_id", "score", "key")
                 .orderBy("rank"))
 
     def count(self, q: ast.Query) -> int:
         """Count collector (ref: src/collector/count_collector.rs).  A
         single-term count short-circuits to the term_stats lookup."""
-        if isinstance(q, ast.TermQuery):
+        if isinstance(q, ast.TermQuery) and self.reader.deletes is None:
             return self.reader.doc_freqs([q.term])[q.term]
         return self.matching(q).count()

@@ -51,6 +51,13 @@ class Searcher:
         query = self._as_query(q)
         if method in ("auto", "wand"):
             shape = _pure_term_shape(query)
+            if shape is not None and self.reader.deletes is not None:
+                shape = None  # deletes would skew in-kernel thresholds:
+                # a dead doc holding a top-k slot could prune a live one.
+                # Exact path filters deletes safely; kernels learn alive
+                # bitsets in a later round.
+                if method == "wand":
+                    raise ValueError("WAND path unavailable while deletes exist")
             if shape is not None:
                 mode, terms = shape
                 df = wand_topk(self.reader, terms, k=k + offset, mode=mode)
@@ -64,3 +71,16 @@ class Searcher:
 
     def count(self, q) -> int:
         return self.exact.count(self._as_query(q))
+
+    def fetch_docs(self, topk: DataFrame, source: DataFrame,
+                   key_col: str = "url") -> DataFrame:
+        """Docstore retrieval: join the (tiny, broadcast) top-k back to the
+        source table for full documents — the reference's row-store lookup
+        of top hits (ARCHITECTURE.md:138-159), with the source Iceberg/
+        parquet table playing the docstore."""
+        from pyspark.sql import functions as F
+
+        return (F.broadcast(topk)
+                .join(source, topk["key"] == source[key_col], "inner")
+                .drop(source[key_col])
+                .orderBy("rank"))

@@ -298,8 +298,12 @@ def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
     top = rows.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")).limit(k)
     from pyspark.sql import Window
     w = Window.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id"))
-    return (top.withColumn("rank", F.row_number().over(w))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    # broadcast the k-row side; docmap stays distributed (huge at scale).
+    # Inner join — every DocAddress exists in docmap, and left-outer would
+    # force building the docmap side.
+    return (F.broadcast(ranked)
             .join(reader.docmap.select("segment_ord", "doc_id", "key"),
-                  ["segment_ord", "doc_id"], "left")
+                  ["segment_ord", "doc_id"], "inner")
             .select("rank", "segment_ord", "doc_id", "score", "key")
             .orderBy("rank"))

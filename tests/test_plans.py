@@ -1,0 +1,60 @@
+"""Physical-plan audits: the properties that make the engine survive a
+100x scale-up must be visible in the executed plan, not assumed.
+
+- term lookups push an In() filter into the parquet scan (row-group
+  pruning via the term-sorted file layout);
+- unused fat columns (positions) are pruned from the read schema;
+- top-k is TakeOrderedAndProject (per-partition heap + driver merge),
+  never a global sort;
+- the k-row result side is broadcast into the docmap join, keeping the
+  corpus-scale table distributed.
+"""
+
+import pytest
+
+from tantivy_spark.query import TermQuery
+from tantivy_spark.query.exact import ExactSearcher
+
+
+def _plan(df, execute: bool = False) -> str:
+    if execute:  # AQE finalizes join strategies only at execution time
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def searcher(tiny_index):
+    return ExactSearcher(tiny_index)
+
+
+def test_term_filter_pushed_to_parquet(searcher):
+    plan = _plan(searcher.flat_postings(["data", "fast"]))
+    assert "PushedFilters: [In(term" in plan
+    assert "pos" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_positions_read_only_when_needed(searcher):
+    plan = _plan(searcher.flat_postings(["data"], with_positions=True))
+    assert "pos:binary" in plan.split("ReadSchema")[1][:500]
+
+
+def test_topk_uses_take_ordered_and_broadcast(searcher):
+    plan = _plan(searcher.search(TermQuery("data"), k=10), execute=True)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BuildLeft" in plan  # the k-row side is built/broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_wand_topk_plan(tiny_index):
+    from tantivy_spark.query.wand import wand_topk
+
+    plan = _plan(wand_topk(tiny_index, ["fast", "slow"], k=10), execute=True)
+    assert "TakeOrderedAndProject" in plan
+    assert "BuildLeft" in plan
+    assert "PushedFilters: [In(term" in plan
+
+
+def test_count_single_term_is_stats_lookup(searcher, tiny_golden):
+    # no postings decode at all: answered from term_stats
+    assert searcher.count(TermQuery("data")) == tiny_golden.doc_freq("data")
