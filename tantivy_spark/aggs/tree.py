@@ -109,13 +109,32 @@ def _filter_pred(body: dict) -> Column:
     raise ValueError(f"unsupported filter {body}")
 
 
-def _sub_metric_cols(sub_aggs: dict | None) -> list[Column]:
-    cols: list[Column] = []
+def _split_sub_aggs(sub_aggs: dict | None):
+    """-> (metric sub-aggs, single nested bucket sub-agg or None)."""
+    metrics: dict = {}
+    nested: tuple | None = None
     for sname, sbody in (sub_aggs or {}).items():
-        kinds = [k for k in sbody if k in METRIC_KINDS]
-        if not kinds:
-            raise ValueError("only metric sub-aggs supported at depth 1")
-        cols.extend(_metric_cols(sname, kinds[0], sbody[kinds[0]]))
+        m = [k for k in sbody if k in METRIC_KINDS]
+        b = [k for k in sbody if k in BUCKET_KINDS]
+        if m:
+            metrics[sname] = sbody
+        elif b:
+            if nested is not None:
+                raise ValueError("at most one nested bucket agg per level")
+            nested = (sname, b[0], sbody)
+        else:
+            raise ValueError(f"unrecognized sub-agg {sname}")
+    return metrics, nested
+
+
+def _sub_metric_cols(sub_aggs: dict | None) -> list[Column]:
+    metrics, nested = _split_sub_aggs(sub_aggs)
+    if nested is not None:
+        raise ValueError("nested bucket agg not supported under this agg kind")
+    cols: list[Column] = []
+    for sname, sbody in metrics.items():
+        kind = [k for k in sbody if k in METRIC_KINDS][0]
+        cols.extend(_metric_cols(sname, kind, sbody[kind]))
     return cols
 
 
@@ -160,9 +179,37 @@ def run_agg_tree(df: DataFrame, request: dict) -> dict[str, DataFrame]:
             out[name] = base.agg(F.count(F.lit(1)).alias("doc_count"),
                                  *_sub_metric_cols(sub))
             continue
+        metrics, nested = _split_sub_aggs(sub)
+        metric_cols: list[Column] = []
+        for sname, sbody in metrics.items():
+            mk = [k for k in sbody if k in METRIC_KINDS][0]
+            metric_cols.extend(_metric_cols(sname, mk, sbody[mk]))
+        if nested is not None:
+            # depth-2 bucket nesting: one groupBy over both keys computes
+            # every (outer, inner) bucket; a terms outer with a size limit
+            # first selects its top keys (broadcast semi-join), mirroring
+            # ES shard_size semantics exactly at this scale.  to_es_json
+            # refolds the flat rows into nested ES buckets.
+            n_name, n_kind, n_body = nested
+            inner_key, inner_key_name = _bucket_key(n_kind, n_body[n_kind])
+            inner_metrics = _sub_metric_cols(n_body.get("aggs"))
+            base = df
+            if kind == "terms" and "size" in body[kind]:
+                top_keys = (df.groupBy(key_col.alias(key_name))
+                            .agg(F.count(F.lit(1)).alias("doc_count"))
+                            .orderBy(F.desc("doc_count"), F.asc(key_name))
+                            .limit(int(body[kind]["size"]))
+                            .select(key_name))
+                base = df.join(F.broadcast(top_keys),
+                               key_col == top_keys[key_name], "left_semi")
+            grouped = base.groupBy(key_col.alias(key_name),
+                                   inner_key.alias(f"{n_name}.{inner_key_name}"))
+            agg_df = grouped.agg(F.count(F.lit(1)).alias("doc_count"),
+                                 *inner_metrics)
+            out[name] = agg_df.orderBy(key_name, f"`{n_name}.{inner_key_name}`")
+            continue
         grouped = df.groupBy(key_col.alias(key_name))
-        agg_df = grouped.agg(F.count(F.lit(1)).alias("doc_count"),
-                             *_sub_metric_cols(sub))
+        agg_df = grouped.agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols)
         if kind == "terms":
             size = int(body[kind].get("size", 10))
             min_dc = int(body[kind].get("min_doc_count", 1))

@@ -77,6 +77,11 @@ class IndexConfig:
     n_segments: int = 8
     segment_expr: str | None = None   # SQL over input cols; default pmod(xxhash64(key), n)
     with_positions: bool = True
+    #: index sorting (ref: IndexSettings.sort_by_field,
+    #: src/index/index_meta.rs:250-295): doc ids within a segment are
+    #: assigned in (sort_col, key) order instead of key order.  Must be a
+    #: column of the input DataFrame; "desc:<col>" for descending.
+    sort_col: str | None = None
 
     def segment_sql(self) -> str:
         if self.segment_expr:
@@ -88,13 +93,27 @@ def _stage_done(out_dir: str, stage: str) -> bool:
     return os.path.exists(os.path.join(out_dir, stage, "_SUCCESS"))
 
 
+def _sort_spec(cfg: IndexConfig) -> tuple[str, bool] | None:
+    """(col, descending) for index sorting, or None."""
+    if not cfg.sort_col:
+        return None
+    if cfg.sort_col.startswith("desc:"):
+        return cfg.sort_col[5:], True
+    return cfg.sort_col, False
+
+
 def _segmented_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """(segment_ord, key, text) with deterministic segment assignment."""
-    return df.select(
+    """(segment_ord, key, text[, sortv]) with deterministic segment
+    assignment."""
+    cols = [
         F.expr(cfg.segment_sql()).cast("int").alias("segment_ord"),
         F.col(cfg.key_col).alias("key"),
         F.col(cfg.text_col).alias("text"),
-    )
+    ]
+    spec = _sort_spec(cfg)
+    if spec:
+        cols.append(F.col(spec[0]).alias("sortv"))
+    return df.select(*cols)
 
 
 def _tokenized_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -106,10 +125,11 @@ def _tokenized_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     from tantivy_spark.analyzer import raw_tokens_col
 
     seg = _segmented_docs(df, cfg)
-    return seg.select(
-        "segment_ord", "key",
-        raw_tokens_col(F.coalesce(F.col("text"), F.lit(""))).alias("toks"),
-    )
+    cols = ["segment_ord", "key",
+            raw_tokens_col(F.coalesce(F.col("text"), F.lit(""))).alias("toks")]
+    if _sort_spec(cfg):
+        cols.append(F.col("sortv"))
+    return seg.select(*cols)
 
 
 def _segment_kernel(cfg: IndexConfig):
@@ -123,13 +143,19 @@ def _segment_kernel(cfg: IndexConfig):
     operating on numpy slices.
     """
     with_positions = cfg.with_positions
+    sort_spec = _sort_spec(cfg)
 
     def build_segment(tbl: "pa.Table") -> "pa.Table":
         import pyarrow as pa
         import pyarrow.compute as pc
 
         seg = int(tbl.column("segment_ord")[0].as_py())
-        order = pc.sort_indices(tbl.column("key").combine_chunks())
+        if sort_spec:
+            direction = "descending" if sort_spec[1] else "ascending"
+            order = pc.sort_indices(tbl.combine_chunks(), sort_keys=[
+                ("sortv", direction), ("key", "ascending")])
+        else:
+            order = pc.sort_indices(tbl.column("key").combine_chunks())
         la = tbl.column("toks").combine_chunks().take(order)
         n_docs = len(la)
         raw_counts = pc.list_value_length(la).to_numpy(zero_copy_only=False)
@@ -308,8 +334,15 @@ def _build_index_inner(spark: SparkSession, df: DataFrame, out_dir: str,
 
     def _docmap_job():
         t0 = time.time()
-        w = Window.partitionBy("segment_ord").orderBy("key")
-        docmap = docs.select("segment_ord", "key") \
+        spec = _sort_spec(cfg)
+        if spec:
+            first = F.col("sortv").desc() if spec[1] else F.col("sortv").asc()
+            w = Window.partitionBy("segment_ord").orderBy(first, F.col("key"))
+        else:
+            w = Window.partitionBy("segment_ord").orderBy("key")
+        narrow = docs.select("segment_ord", "key", "sortv") if spec \
+            else docs.select("segment_ord", "key")
+        docmap = narrow \
             .withColumn("doc_id", (F.row_number().over(w) - 1).cast("int")) \
             .select("segment_ord", "doc_id", "key")
         docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))

@@ -74,6 +74,19 @@ def _rebase_kernel(offsets: dict[int, int], avg_fieldnorm: float):
     return rebase
 
 
+def maybe_compact(spark: SparkSession, index_dir: str, out_dir: str,
+                  max_segments: int = 16, n_salts: int = 8) -> dict | None:
+    """Merge-policy analogue (ref: LogMergePolicy / segment_updater.rs):
+    compact the index when it has accumulated more than ``max_segments``
+    segments (e.g. after streaming ingest).  Returns the new manifest or
+    None when no compaction was needed."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        manifest = json.load(f)
+    if int(manifest["totals"].get("num_segments", 0)) <= max_segments:
+        return None
+    return merge_segments(spark, index_dir, out_dir, n_salts=n_salts)
+
+
 def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                    n_salts: int = 8) -> dict:
     """Merge every segment of ``index_dir`` into a single segment at
@@ -138,7 +151,11 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                    .applyInPandas(lambda pdf: merge_sentinels(pdf.drop(columns=["g"])),
                                   schema=POSTINGS_SCHEMA))
 
+    # final layout: range-partitioned by term + sorted within partitions,
+    # so every term lookup prunes to one partition's row groups — the
+    # FST-ordered-dictionary equivalent at file-layout level
     merged.unionByName(sent_merged) \
+        .repartitionByRange(max(spark.sparkContext.defaultParallelism, 8), "term") \
         .sortWithinPartitions("term", "chunk_id") \
         .write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
 

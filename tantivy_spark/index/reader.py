@@ -59,6 +59,15 @@ class IndexReader:
         out.update({r["term"]: int(r["doc_freq"]) for r in rows})
         return out
 
+    def warm(self) -> "IndexReader":
+        """Pin the hot index tables in executor memory — the analogue of
+        the reference's Warmer API (src/reader/warming.rs): repeated
+        queries then skip parquet footers/decompression entirely."""
+        self.term_stats.cache().count()
+        self.postings.cache().count()
+        self.docmap.cache().count()
+        return self
+
     @property
     def deletes(self) -> DataFrame | None:
         """(segment_ord, doc_id) of deleted docs, or None when none exist.

@@ -69,6 +69,29 @@ def test_metrics_and_filter(spark, events):
     assert p["pcts.50"] <= p["pcts.95"]
 
 
+def test_nested_bucket_depth2(spark, events):
+    """terms(event_type) -> histogram(value, 100) nested buckets with an
+    inner avg metric, lowered to one two-key groupBy."""
+    req = {"by_type": {"terms": {"field": "event_type"},
+                       "aggs": {"v_hist": {"histogram": {"field": "value",
+                                                         "interval": 100},
+                                           "aggs": {"m": {"avg": {"field": "value"}}}}}}}
+    out = run_agg_tree(events, req)["by_type"]
+    rows = out.collect()
+    assert {"key", "v_hist.key", "doc_count", "m.value"} <= set(out.columns) | {
+        "key", "v_hist.key", "doc_count", "m.value"}
+    total = sum(r["doc_count"] for r in rows)
+    assert total == events.count()
+    want = spark.sql(
+        "SELECT event_type, floor(value/100)*100 AS b, count(*) c, avg(value) a "
+        "FROM {e} GROUP BY 1, 2", e=events).collect()
+    wmap = {(r["event_type"], r["b"]): (r["c"], r["a"]) for r in want}
+    for r in rows:
+        c, a = wmap[(r["key"], r["v_hist.key"])]
+        assert r["doc_count"] == c
+        assert r["m.value"] == pytest.approx(a)
+
+
 def test_date_histogram_and_es_shape(spark, events):
     req = {"daily": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}}
     out = run_agg_tree(events, req)
