@@ -117,6 +117,71 @@ def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16,
     return pairs
 
 
+def jaccard_verify(df: DataFrame, candidates: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   shingle_k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: (id_a, id_b, jaccard).
+
+    The LSH stage proposes pairs; this verifies them exactly —
+    |A ∩ B| / |A ∪ B| over distinct k-token shingle sets — with one join
+    keyed by shingle hash restricted to candidate docs (never all-pairs).
+    """
+    cand_ids = (candidates.select(F.col("id_a").alias("id"))
+                .unionByName(candidates.select(F.col("id_b").alias("id")))
+                .distinct())
+    sh = (shingle_hashes(df, text_col, id_col, shingle_k)
+          .join(F.broadcast(cand_ids), "id", "left_semi")
+          .distinct())
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (candidates.alias("c")
+             .join(a, F.col("c.id_a") == F.col("a.id"))
+             .join(b, (F.col("c.id_b") == F.col("b.id"))
+                   & (F.col("a.sh") == F.col("b.sh")))
+             .groupBy("c.id_a", "c.id_b").agg(F.count("*").alias("n_inter")))
+    return (candidates
+            .join(inter, ["id_a", "id_b"], "left")
+            .join(sizes.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("n", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("n", "n_b"), "id_b")
+            .select("id_a", "id_b",
+                    (F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                     / (F.col("n_a") + F.col("n_b")
+                        - F.coalesce(F.col("n_inter"), F.lit(0))))
+                    .alias("jaccard")))
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_bits: int = 12, seed: int = 29) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_r).
+
+    LSH-bucket candidates (same random-hyperplane bucket) then exact
+    cosine within buckets — the scale path avoids the all-pairs join; at
+    threshold ~0.95 the angular distance is small enough that same-bucket
+    probability per true pair is high (multiply tables to raise recall).
+    """
+    from tantivy_spark.pipeline.similarity import _dot, _norm, hyperplane_lsh_buckets
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = int(dim_row[0]["d"]) if dim_row else 0
+    buckets = hyperplane_lsh_buckets(df, dim, n_bits, seed, id_col, vec_col)
+    vecs = df.select(F.col(id_col).alias("id"),
+                     F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    tagged = buckets.join(vecs, "id")
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     (_dot(F.col("a.v"), F.col("b.v"))
+                      / (_norm(F.col("a.v")) * _norm(F.col("b.v")))).alias("cos")))
+    return (pairs.filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos_r")))
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash: bigint) — 64-bit SimHash over analyzer tokens.
 

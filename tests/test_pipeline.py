@@ -41,6 +41,37 @@ def test_minhash_lsh_finds_near_dupes(spark, docs):
     assert any(r["id_a"] == src and r["id_b"] == 9_999 for r in pairs)
 
 
+def test_jaccard_verify_exact(spark, docs):
+    from tantivy_spark.pipeline.dedup import (
+        jaccard_verify, minhash_lsh_candidates, minhash_signatures)
+
+    longest = docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(1).collect()[0]
+    words = longest["text"].split()
+    words[len(words) // 2] = "CHANGED"
+    near = spark.createDataFrame([(9_999, " ".join(words))], "doc_id long, text string")
+    exact_dup = spark.createDataFrame([(9_998, longest["text"])],
+                                      "doc_id long, text string")
+    corpus = docs.select("doc_id", "text").unionByName(near).unionByName(exact_dup)
+    cands = minhash_lsh_candidates(
+        minhash_signatures(corpus, num_hashes=32), bands=16, rows_per_band=2)
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in jaccard_verify(corpus, cands).collect()}
+    src = int(longest["doc_id"])
+    assert verified[(src, 9_998)] == pytest.approx(1.0)
+    assert 0.5 < verified[(src, 9_999)] < 1.0
+
+
+def test_embedding_near_dups(spark, emb):
+    from tantivy_spark.pipeline.dedup import embedding_near_dups
+
+    # plant an exact duplicate vector
+    dup = emb.filter(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.lit(99_999).cast("long"))
+    pairs = embedding_near_dups(emb.unionByName(dup), threshold=0.99).collect()
+    assert any(r["id_a"] == 7 and r["id_b"] == 99_999
+               and r["cos_r"] >= 0.999 for r in pairs)
+
+
 def test_simhash_near_dupes_close(spark, docs):
     from tantivy_spark.pipeline.dedup import simhash64
 
