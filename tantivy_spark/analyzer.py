@@ -186,10 +186,28 @@ def ascii_folding_chain(text: Column) -> Column:
     return F.transform(tokens_col(text), lambda t: F.translate(t, src, dst))
 
 
+def en_stem_tokens_col(text: Column) -> Column:
+    """The "en_stem" chain: default analyzer + Porter stemmer
+    (ref: tokenizer_manager.rs en_stem registration).  The stemmer is an
+    Arrow-batched pandas UDF (no stemming library ships here; the Porter
+    algorithm is implemented in tantivy_spark.functions.porter)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _stem(tok_arrays: pd.Series) -> pd.Series:
+        from tantivy_spark.functions.porter import porter_stem
+
+        return tok_arrays.map(
+            lambda toks: [porter_stem(t) for t in toks] if toks is not None else [])
+
+    return _stem(tokens_col(text))
+
+
 ANALYZERS = {
     "default": tokens_col,
     "raw": raw_analyzer,
     "whitespace": whitespace_analyzer,
+    "en_stem": en_stem_tokens_col,
 }
 
 

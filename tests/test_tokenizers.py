@@ -46,3 +46,24 @@ def test_alphanum_only(spark):
 def test_ascii_folding(spark):
     got = list(_one(spark, ascii_folding_chain(F.col("t")), "café naïve übel"))
     assert got == ["cafe", "naive", "ubel"]
+
+
+def test_en_stem_chain(spark):
+    from tantivy_spark.analyzer import en_stem_tokens_col
+
+    got = list(_one(spark, en_stem_tokens_col(F.col("t")),
+                    "Relational conditional replacement, hopefulness!"))
+    assert got == ["relat", "condit", "replac", "hope"]
+
+
+def test_porter_vectors():
+    from tantivy_spark.functions.porter import porter_stem
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "motoring": "motor",
+        "agreed": "agre", "electrical": "electr", "adjustable": "adjust",
+        "vietnamization": "vietnam", "sensibiliti": "sensibl",
+        "rate": "rate", "roll": "roll", "sky": "sky",
+    }
+    for w, want in vectors.items():
+        assert porter_stem(w) == want, w
