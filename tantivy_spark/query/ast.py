@@ -84,6 +84,19 @@ class PhrasePrefixQuery(Query):
 
 
 @dataclass
+class RegexPhraseQuery(Query):
+    """Phrase where each slot is a regex over the term dictionary
+    (ref: src/query/phrase_query/regex_phrase_query.rs).  A doc matches at
+    position p if for every slot i some term matching regex_i occurs at
+    p + i; scored like a phrase with per-slot doc freqs."""
+    patterns: list[str]
+    max_expansions: int = 128
+
+    def terms(self) -> list[str]:  # resolved at plan time
+        return []
+
+
+@dataclass
 class MoreLikeThisQuery(Query):
     """OR-query over the top tf-idf terms of a reference document's text
     (ref: src/query/more_like_this/)."""

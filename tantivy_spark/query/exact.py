@@ -166,6 +166,8 @@ class ExactSearcher:
             return self._lower(ast.DisjunctionMaxQuery(subs, tie_breaker=0.0),
                                boost, self.reader.doc_freqs(
                                    q.phrase_terms + expansions))
+        if isinstance(q, ast.RegexPhraseQuery):
+            return self._regex_phrase(q, boost)
         if isinstance(q, ast.MoreLikeThisQuery):
             sel = self.select_mlt_terms(q.doc_text, q.max_query_terms,
                                         q.min_term_freq)
@@ -324,6 +326,46 @@ class ExactSearcher:
         ]
         scored.sort(key=lambda x: (-x[1], x[0]))
         return [t for t, _ in scored[:max_terms]]
+
+    def _regex_phrase(self, q: ast.RegexPhraseQuery, boost: float) -> DataFrame:
+        """Each slot expands against the term dictionary; a phrase start is
+        an aligned position where every slot has some matching term."""
+        slot_terms: list[list[str]] = []
+        for pat in q.patterns:
+            terms = self._expand_regex(pat, cap=q.max_expansions)
+            if not terms:
+                return self._lower(ast.EmptyQuery(), boost, {})
+            slot_terms.append(terms)
+        all_terms = sorted({t for ts in slot_terms for t in ts})
+        flat = self.flat_postings(all_terms, with_positions=True)
+        parts = []
+        for i, terms in enumerate(slot_terms):
+            parts.append(
+                flat.filter(F.col("term").isin(terms)).select(
+                    "segment_ord", "doc_id", "fieldnorm_id",
+                    (F.col("pos") - F.lit(i)).alias("apos"),
+                    F.lit(i).alias("slot"),
+                ).distinct()  # two slot-terms may share a position
+            )
+        allp = reduce(lambda a, b: a.unionByName(b), parts)
+        hits = (
+            allp.groupBy("segment_ord", "doc_id", "fieldnorm_id", "apos")
+            .agg(F.countDistinct("slot").alias("nmatch"))
+            .filter(F.col("nmatch") == len(slot_terms))
+            .groupBy("segment_ord", "doc_id", "fieldnorm_id")
+            .agg(F.count("*").alias("tf"))
+        )
+        # per-slot doc freq = docs containing any of the slot's terms; the
+        # summed-idf multi-term weight, like PhraseQuery (bm25.rs:120-128)
+        slot_dfs = []
+        for terms in slot_terms:
+            n = (self.flat_postings(terms)
+                 .filter(F.col("term").isin(terms))
+                 .select("segment_ord", "doc_id").distinct().count())
+            slot_dfs.append(n)
+        idf_sum = sum(idf64(df_, self.N) for df_ in slot_dfs)
+        w = idf_sum * (1.0 + K1) * boost
+        return hits.select("segment_ord", "doc_id", self._score_col(w).alias("score"))
 
     # ------------------------------------------------------- dict expansion
     def _expand_regex(self, pattern: str, cap: int = 1024) -> list[str]:

@@ -113,6 +113,20 @@ def test_wand_dispatch_matches_exact(tiny_index):
     assert [(r["rank"], r["key"]) for r in w] == [(r["rank"], r["key"]) for r in e]
 
 
+def test_regex_phrase_query(tiny_index, tiny_golden):
+    from tantivy_spark.query.ast import PhraseQuery, RegexPhraseQuery
+    from tantivy_spark.query.exact import ExactSearcher
+
+    s = ExactSearcher(tiny_index)
+    literal = s.search(PhraseQuery(["order", "sort"]), k=8).collect()
+    as_regex = s.search(RegexPhraseQuery(["order", "sort"]), k=8).collect()
+    assert [(r["segment_ord"], r["doc_id"]) for r in literal] == \
+        [(r["segment_ord"], r["doc_id"]) for r in as_regex]
+    # widening the last slot can only grow the matched doc set
+    widened = s.matching(RegexPhraseQuery(["order", "so.*"])).count()
+    assert widened >= s.matching(PhraseQuery(["order", "sort"])).count()
+
+
 def test_range_and_exists_queries(tiny_index, tiny_golden):
     from tantivy_spark.query import ast as A
     s = Searcher(tiny_index)
