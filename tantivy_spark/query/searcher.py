@@ -51,13 +51,6 @@ class Searcher:
         query = self._as_query(q)
         if method in ("auto", "wand"):
             shape = _pure_term_shape(query)
-            if shape is not None and self.reader.deletes is not None:
-                shape = None  # deletes would skew in-kernel thresholds:
-                # a dead doc holding a top-k slot could prune a live one.
-                # Exact path filters deletes safely; kernels learn alive
-                # bitsets in a later round.
-                if method == "wand":
-                    raise ValueError("WAND path unavailable while deletes exist")
             if shape is not None:
                 mode, terms = shape
                 df = wand_topk(self.reader, terms, k=k + offset, mode=mode)

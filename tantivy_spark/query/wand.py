@@ -119,7 +119,7 @@ class _TermBlocks:
 
 
 def _segment_wand(terms_blocks: list[_TermBlocks], params: list[Bm25Params],
-                  k: int, mode: str):
+                  k: int, mode: str, deleted: np.ndarray | None = None):
     """Run the strip-pruned scorer for one segment.
     Returns (doc_ids int64, scores float32) of the segment's top-k
     (plus ties at the kth score)."""
@@ -210,6 +210,12 @@ def _segment_wand(terms_blocks: list[_TermBlocks], params: list[Bm25Params],
             cnts = np.diff(np.append(starts, len(d)))
             keep = cnts == T
             docs_u, sums = docs_u[keep], sums[keep]
+        if deleted is not None and len(docs_u):
+            # alive filtering INSIDE the kernel: dead docs must not enter
+            # the candidate pool, or they would raise the pruning
+            # threshold / occupy top-k slots of live docs
+            alive = ~np.isin(docs_u, deleted)
+            docs_u, sums = docs_u[alive], sums[alive]
         if len(docs_u) == 0:
             continue
         cand_docs.append(docs_u)
@@ -235,13 +241,35 @@ def _segment_wand(terms_blocks: list[_TermBlocks], params: list[Bm25Params],
     return docs_all[ix], scores_all[ix]
 
 
+MAX_BROADCAST_DELETES = 2_000_000
+
+
 def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
               mode: str = "or") -> DataFrame:
     """Distributed BMW top-k for a pure term union ("or") or pure term
     intersection ("and").  Returns (rank, segment_ord, doc_id, score, key)
     with the reference tie-break; score is float32.
+
+    Deletes: per-segment alive bitsets are shipped into the kernels (task
+    broadcast) so dead docs never influence thresholds.  Indexes with more
+    than MAX_BROADCAST_DELETES deleted docs should be compacted first
+    (merge drops them) — callers get a ValueError rather than a silent
+    driver-memory blowup.
     """
     terms = list(terms)
+    deleted_by_seg: dict[int, np.ndarray] | None = None
+    dels = reader.deletes
+    if dels is not None:
+        if dels.count() > MAX_BROADCAST_DELETES:
+            raise ValueError(
+                "too many deletes for in-kernel alive bitsets; compact the "
+                "index (merge_segments) first")
+        deleted_by_seg = {}
+        for row in dels.collect():
+            deleted_by_seg.setdefault(int(row["segment_ord"]), []).append(
+                int(row["doc_id"]))
+        deleted_by_seg = {s: np.sort(np.array(v, dtype=np.int64))
+                          for s, v in deleted_by_seg.items()}
     dfs = reader.doc_freqs(terms)
     live_terms = [t for t in terms if dfs[t] > 0]
     if mode == "and" and len(live_terms) < len(terms):
@@ -285,7 +313,8 @@ def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
                         continue
                     if not tbs:
                         continue
-                    d, s = _segment_wand(tbs, prms, kk, md)
+                    dead = (deleted_by_seg or {}).get(seg)
+                    d, s = _segment_wand(tbs, prms, kk, md, deleted=dead)
                     if len(d):
                         yield pd.DataFrame({
                             "segment_ord": np.full(len(d), seg, dtype=np.int32),

@@ -50,10 +50,13 @@ def test_delete_by_term_and_count(spark, idx):
     deleted = delete_by_term(spark, reader, "zeta001")
     assert deleted == n_before
     assert s.count(TermQuery("zeta001")) == 0
-    # wand path refuses while deletes exist; auto falls back to exact
-    with pytest.raises(ValueError):
-        s.search("the of", k=3, method="wand")
-    assert len(s.search("the of", k=3).collect()) == 3
+    # WAND honours deletes via in-kernel alive bitsets: identical ranking
+    # to the exact path post-delete
+    w = s.search("the of", k=5, method="wand").collect()
+    e = s.search("the of", k=5, method="exact").collect()
+    assert [(r["rank"], r["key"]) for r in w] == [(r["rank"], r["key"]) for r in e]
+    for rw, re_ in zip(w, e):
+        assert rw["score"] == pytest.approx(re_["score"], rel=1e-5)
 
 
 def test_docstore_fetch(spark, idx):
