@@ -40,9 +40,17 @@ from tantivy_spark.index.build import (
 )
 
 
-def _rebase_kernel(offsets: dict[int, int], avg_fieldnorm: float):
-    """mapInPandas kernel: rebase each posting chunk by its segment offset."""
+def _rebase_kernel(offsets: dict[int, int], avg_fieldnorm: float,
+                   dead: dict[int, np.ndarray] | None = None):
+    """mapInPandas kernel: rebase each posting chunk by its segment offset.
+
+    With ``dead`` (per-segment sorted dead doc ids), deleted docs are
+    physically dropped and the survivors renumbered densely — the
+    reference merger's alive-doc remapping (merger.rs:697-708):
+    ``new_id = old_id - #dead_before(old_id) + alive_offset(segment)``.
+    """
     cache = tf_cache_f32(max(avg_fieldnorm, 1e-9))
+    dead = dead or {}
 
     def rebase(batches):
         for pdf in batches:
@@ -50,26 +58,40 @@ def _rebase_kernel(offsets: dict[int, int], avg_fieldnorm: float):
                 continue
             out_rows = []
             for row in pdf.itertuples(index=False):
-                off = offsets[int(row.segment_ord)]
+                seg = int(row.segment_ord)
+                off = offsets[seg]
                 meta = list(zip(row.last_docs, row.n_docs, row.bits_doc,
                                 row.bits_tf, row.wand_fn, row.wand_tf))
                 d, t = codec.decode_postings(bytes(row.docs), bytes(row.tfs), meta)
                 fn = codec.decode_fns(bytes(row.fns))
-                db, tb, fb, new_meta = codec.encode_postings(
-                    d + off, t, fn, cache)
+                pos_flat = (codec.decode_positions(bytes(row.pos), t)
+                            if row.pos is not None else None)
+                dd = dead.get(seg)
+                if dd is not None and len(dd):
+                    alive = ~np.isin(d, dd)
+                    if pos_flat is not None:
+                        pos_keep = np.repeat(alive, t)
+                        pos_flat = pos_flat[pos_keep]
+                    d, t, fn = d[alive], t[alive], fn[alive]
+                    if len(d) == 0:
+                        continue
+                    d = d - np.searchsorted(dd, d)
+                db, tb, fb, new_meta = codec.encode_postings(d + off, t, fn, cache)
+                pb = (codec.encode_positions(pos_flat, t)
+                      if pos_flat is not None else None)
                 m = list(zip(*new_meta))
                 out_rows.append((
-                    0, row.term, int(row.new_chunk_id), int(row.doc_freq),
-                    int(row.total_tf), db, tb, fb,
-                    bytes(row.pos) if row.pos is not None else None,
+                    0, row.term, int(row.new_chunk_id), len(d),
+                    int(t.sum()), db, tb, fb, pb,
                     list(m[0]), list(m[1]), list(m[2]), list(m[3]),
                     list(m[4]), list(m[5]),
                 ))
-            yield pd.DataFrame(out_rows, columns=[
-                "segment_ord", "term", "chunk_id", "doc_freq", "total_tf",
-                "docs", "tfs", "fns", "pos", "last_docs", "n_docs",
-                "bits_doc", "bits_tf", "wand_fn", "wand_tf",
-            ])
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=[
+                    "segment_ord", "term", "chunk_id", "doc_freq", "total_tf",
+                    "docs", "tfs", "fns", "pos", "last_docs", "n_docs",
+                    "bits_doc", "bits_tf", "wand_fn", "wand_tf",
+                ])
 
     return rebase
 
@@ -98,16 +120,41 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
 
     lineage = spark.read.parquet(os.path.join(index_dir, "lineage")).collect()
     seg_docs = {int(r["segment_ord"]): int(r["n_docs"] or 0) for r in lineage}
+
+    # deletes are physically dropped at merge (reference: merger drops
+    # deleted docs and renumbers the survivors; total_num_tokens is
+    # recomputed from alive fieldnorms — merger.rs:85-114, 697-708)
+    dead: dict[int, np.ndarray] = {}
+    deletes_path = os.path.join(index_dir, "deletes")
+    if os.path.isdir(deletes_path):
+        for row in spark.read.parquet(deletes_path).distinct().collect():
+            dead.setdefault(int(row["segment_ord"]), []).append(int(row["doc_id"]))
+        dead = {s: np.sort(np.array(v, dtype=np.int64)) for s, v in dead.items()}
+
+    alive_docs = {seg: n - len(dead.get(seg, ())) for seg, n in seg_docs.items()}
     offsets: dict[int, int] = {}
     acc = 0
-    for seg in sorted(seg_docs):
+    for seg in sorted(alive_docs):
         offsets[seg] = acc
-        acc += seg_docs[seg]
-    avg_fn = float(manifest["totals"]["avg_fieldnorm"]) or 1.0
+        acc += alive_docs[seg]
 
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     real = postings.filter(F.col("term") != FIELDNORM_SENTINEL)
     sent = postings.filter(F.col("term") == FIELDNORM_SENTINEL)
+
+    # alive-only global stats (drives both the block-max cache and the
+    # merged manifest)
+    alive_tokens = 0
+    for row in sent.select("segment_ord", "doc_freq", "docs").collect():
+        counts = codec.vint_decode(bytes(row["docs"]), int(row["doc_freq"]))
+        dd = dead.get(int(row["segment_ord"]))
+        if dd is not None and len(dd):
+            mask = np.ones(len(counts), dtype=bool)
+            mask[dd] = False
+            counts = counts[mask]
+        alive_tokens += int(counts.sum())
+    total_alive = acc
+    avg_fn = (alive_tokens / total_alive) if total_alive else 1.0
 
     # ---- per-term chunk renumbering via prefix sums (no giant window) ----
     counts = real.groupBy("term", "segment_ord").agg(F.count("*").alias("n_chunks"))
@@ -126,7 +173,7 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         .repartition("term", "salt")
         .drop("salt")
     )
-    merged = rebased_input.mapInPandas(_rebase_kernel(offsets, avg_fn),
+    merged = rebased_input.mapInPandas(_rebase_kernel(offsets, avg_fn, dead),
                                        schema=POSTINGS_SCHEMA)
 
     # ---- merged fieldnorm sentinel: concat per-doc stats in segment order
@@ -135,8 +182,15 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         counts_parts, fns_parts = [], []
         for row in pdf.itertuples(index=False):
             n = int(row.doc_freq)
-            counts_parts.append(codec.vint_decode(bytes(row.docs), n))
-            fns_parts.append(np.frombuffer(bytes(row.fns), dtype=np.uint8))
+            counts = codec.vint_decode(bytes(row.docs), n)
+            fns = np.frombuffer(bytes(row.fns), dtype=np.uint8)
+            dd = dead.get(int(row.segment_ord))
+            if dd is not None and len(dd):
+                mask = np.ones(n, dtype=bool)
+                mask[dd] = False
+                counts, fns = counts[mask], fns[mask]
+            counts_parts.append(counts)
+            fns_parts.append(fns)
         all_counts = np.concatenate(counts_parts) if counts_parts else np.zeros(0, np.uint32)
         all_fns = np.concatenate(fns_parts) if fns_parts else np.zeros(0, np.uint8)
         return pd.DataFrame([(
@@ -159,14 +213,22 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         .sortWithinPartitions("term", "chunk_id") \
         .write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
 
-    # ---- docmap rebase -----------------------------------------------------
+    # ---- docmap rebase (alive docs only, densely renumbered) --------------
     docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    if dead:
+        dels_df = spark.read.parquet(deletes_path).distinct()
+        docmap = docmap.join(F.broadcast(dels_df),
+                             ["segment_ord", "doc_id"], "left_anti")
     off_expr = F.create_map(
         *[x for seg, off in offsets.items() for x in (F.lit(seg), F.lit(off))])
-    (docmap.select(
-        F.lit(0).cast("int").alias("segment_ord"),
-        (F.col("doc_id") + off_expr[F.col("segment_ord")]).cast("int").alias("doc_id"),
-        "key")
+    w_alive = Window.partitionBy("segment_ord").orderBy("doc_id")
+    (docmap
+     .withColumn("alive_rank", F.row_number().over(w_alive) - 1)
+     .select(
+         F.lit(0).cast("int").alias("segment_ord"),
+         (F.col("alive_rank") + off_expr[F.col("segment_ord")]).cast("int")
+         .alias("doc_id"),
+         "key")
      .write.mode("overwrite").parquet(os.path.join(out_dir, "docmap")))
 
     # ---- term_stats / lineage / manifest ----------------------------------
@@ -188,7 +250,12 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "lineage")))
 
     new_manifest = dict(manifest)
-    new_manifest["totals"] = dict(manifest["totals"], num_segments=1)
+    new_manifest["totals"] = {
+        "num_docs": total_alive,
+        "total_num_tokens": alive_tokens,
+        "num_segments": 1,
+        "avg_fieldnorm": avg_fn,
+    }
     new_manifest["stages"] = dict(manifest.get("stages", {}),
                                   merge={"wall_sec": time.time() - t_start,
                                          "status": "done"})

@@ -61,6 +61,50 @@ def test_stacking_preserves_address_order(spark, tiny_index, merged_index):
     assert ids == list(range(len(ids)))
 
 
+def test_merge_drops_deleted_docs(spark, tmp_path_factory):
+    """After merging an index with deletes, the result is IDENTICAL to a
+    fresh index built over only the alive docs (docs dropped, ids dense,
+    stats recomputed from alive fieldnorms — merger.rs:85-114, 697-708)."""
+    from pyspark.sql import functions as F
+
+    from tantivy_spark.corpus import synthetic_pages
+    from tantivy_spark.index.build import IndexConfig, build_index
+    from tantivy_spark.index.deletes import delete_by_keys
+    from tantivy_spark.index.merge import merge_segments
+
+    pages = synthetic_pages(spark, 180, seed=17).select("url", "text")
+    cfg = IndexConfig(key_col="url", text_col="text", n_segments=3)
+    full = str(tmp_path_factory.mktemp("md") / "full")
+    build_index(spark, pages, full, cfg)
+    reader = IndexReader(spark, full)
+    victims = [r["key"] for r in
+               ExactSearcher(reader).search(TermQuery("the"), k=4).collect()]
+    assert delete_by_keys(spark, reader, victims) == 4
+
+    merged = str(tmp_path_factory.mktemp("md") / "merged")
+    merge_segments(spark, full, merged)
+    mr = IndexReader(spark, merged)
+    assert mr.deletes is None
+    assert mr.num_docs == 180 - 4
+
+    # oracle: a fresh single-segment index over only the alive docs
+    alive_pages = pages.filter(~F.col("url").isin(victims))
+    ref = str(tmp_path_factory.mktemp("md") / "ref")
+    build_index(spark, alive_pages, ref,
+                IndexConfig(key_col="url", text_col="text", n_segments=1,
+                            segment_expr="0"))
+    rr = IndexReader(spark, ref)
+    assert mr.total_num_tokens == rr.total_num_tokens
+    for q in (TermQuery("the"),
+              BooleanQuery([(Occur.SHOULD, TermQuery("the")),
+                            (Occur.SHOULD, TermQuery("of"))])):
+        a = ExactSearcher(mr).search(q, k=10).collect()
+        b = ExactSearcher(rr).search(q, k=10).collect()
+        assert [r["key"] for r in a] == [r["key"] for r in b]
+        for ra, rb in zip(a, b):
+            assert ra["score"] == pytest.approx(rb["score"], rel=1e-12)
+
+
 def test_salting_does_not_change_output(spark, tiny_index, tmp_path_factory):
     from tantivy_spark.index.merge import merge_segments
 
