@@ -186,6 +186,19 @@ def ascii_folding_chain(text: Column) -> Column:
     return F.transform(tokens_col(text), lambda t: F.translate(t, src, dst))
 
 
+def json_path_tokens_col(json_str: Column) -> Column:
+    """JsonObject indexing (ref: src/schema/term.rs:72-80 — terms for JSON
+    fields carry a path prefix): a flat JSON object column becomes
+    ``key=value`` terms, so queries address nested values as path-prefixed
+    terms exactly like the reference's json field.  One level deep here;
+    deeper paths would flatten to dotted prefixes."""
+    m = F.from_json(json_str, "map<string,string>")
+    return F.transform(
+        F.map_entries(F.coalesce(m, F.expr("map()"))),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+    )
+
+
 def en_stem_tokens_col(text: Column) -> Column:
     """The "en_stem" chain: default analyzer + Porter stemmer
     (ref: tokenizer_manager.rs en_stem registration).  The stemmer is an
