@@ -121,6 +121,10 @@ class OracleBuilder:
             return sc
         if isinstance(q, ast.PhraseQuery):
             return self._phrase(q, boost, ctes)
+        if isinstance(q, ast.PhrasePrefixQuery):
+            return self._phrase_prefix(q, boost, ctes)
+        if isinstance(q, ast.RegexPhraseQuery):
+            return self._regex_phrase(q, boost, ctes)
         if isinstance(q, ast.DisjunctionMaxQuery):
             subs = [self._lower(c, 1.0, ctes) for c in q.disjuncts]
             acc = self._join_chain(subs, "FULL OUTER", ctes)
@@ -267,9 +271,106 @@ class OracleBuilder:
         )
         return sc
 
+    def _phrase_prefix(self, q: ast.PhrasePrefixQuery, boost: float,
+                       ctes: list[str]) -> str:
+        """Mirror of exact._lower's PhrasePrefixQuery path: expansions are
+        the first max_expansions dictionary terms with the prefix in
+        lexicographic order; each expansion forms a slop-0 phrase; a doc
+        scores via its best expansion (DisjunctionMax, tie_breaker 0)."""
+        pre = q.prefix.replace("'", "''")
+        exp = self._name("exp")
+        ctes.append(
+            f"{exp} AS (SELECT tk FROM (SELECT DISTINCT tk FROM tok "
+            f"WHERE tk LIKE '{pre}%' ORDER BY tk LIMIT {int(q.max_expansions)}))")
+        ph_names, df_parts = [], []
+        for t in q.phrase_terms:
+            tt = t.replace("'", "''")
+            ph = self._name("ph")
+            ctes.append(f"{ph} AS (SELECT did, pos FROM tokpos WHERE tk = '{tt}')")
+            ph_names.append(ph)
+            df_parts.append(
+                f"ln(1.0 + ((SELECT nn FROM stats) - "
+                f"(SELECT CAST(count(DISTINCT did) AS DOUBLE) FROM {ph}) + 0.5) / "
+                f"((SELECT CAST(count(DISTINCT did) AS DOUBLE) FROM {ph}) + 0.5))")
+        pe = self._name("pe")
+        ctes.append(f"{pe} AS (SELECT did, pos, tk FROM tokpos "
+                    f"WHERE tk IN (SELECT tk FROM {exp}))")
+        dfe = self._name("dfe")
+        ctes.append(f"{dfe} AS (SELECT tk, CAST(count(DISTINCT did) AS DOUBLE) "
+                    f"AS df FROM {pe} GROUP BY tk)")
+        n = len(ph_names)
+        join_sql = f"{ph_names[0]} p0"
+        for i in range(1, n):
+            join_sql += (f" JOIN {ph_names[i]} p{i} ON p0.did = p{i}.did "
+                         f"AND p{i}.pos = p0.pos + {i}")
+        join_sql += f" JOIN {pe} pe ON p0.did = pe.did AND pe.pos = p0.pos + {n}"
+        phj = self._name("phj")
+        ctes.append(f"{phj} AS (SELECT p0.did, pe.tk AS e, "
+                    f"CAST(count(*) AS DOUBLE) AS tf "
+                    f"FROM {join_sql} GROUP BY p0.did, pe.tk)")
+        idf_fixed = self._add_chain([f"({p})" for p in df_parts])
+        idf_e = "ln(1.0 + ((SELECT nn FROM stats) - x.df + 0.5) / (x.df + 0.5))"
+        weight = f"((({idf_fixed}) + {idf_e}) * {_W!r})"
+        if boost != 1.0:
+            weight = f"({weight} * {float(boost)!r})"
+        qn = sql_quantize_fieldnorm("d.ntok")
+        sc = self._name("sc")
+        ctes.append(
+            f"{sc} AS (SELECT t.did, max({weight} * t.tf / (t.tf + {_KB1!r} + "
+            f"({_KB!r} / (SELECT avgfn FROM stats)) * CAST({qn} AS DOUBLE))) AS score "
+            f"FROM {phj} t JOIN {dfe} x ON t.e = x.tk "
+            f"JOIN docs d ON t.did = d.did GROUP BY t.did)")
+        return sc
+
+    def _regex_phrase(self, q: ast.RegexPhraseQuery, boost: float,
+                      ctes: list[str]) -> str:
+        """Mirror of exact._regex_phrase: each slot expands to the first
+        max_expansions dictionary terms matching its regex (lexicographic);
+        a phrase start is an aligned position where every slot matched;
+        scored with the summed per-slot idf (slot df = docs containing any
+        slot term)."""
+        pp_names, df_parts = [], []
+        for i, pat in enumerate(q.patterns):
+            p = pat.replace("'", "''")
+            sl = self._name("sl")
+            ctes.append(
+                f"{sl} AS (SELECT tk FROM (SELECT DISTINCT tk FROM tok "
+                f"WHERE regexp_full_match(tk, '{p}') ORDER BY tk "
+                f"LIMIT {int(q.max_expansions)}))")
+            pp = self._name("pp")
+            ctes.append(
+                f"{pp} AS (SELECT DISTINCT did, pos - {i} AS apos FROM tokpos "
+                f"WHERE tk IN (SELECT tk FROM {sl}))")
+            pp_names.append(pp)
+            df_parts.append(
+                f"ln(1.0 + ((SELECT nn FROM stats) - "
+                f"(SELECT CAST(count(DISTINCT did) AS DOUBLE) FROM tokpos "
+                f"WHERE tk IN (SELECT tk FROM {sl})) + 0.5) / "
+                f"((SELECT CAST(count(DISTINCT did) AS DOUBLE) FROM tokpos "
+                f"WHERE tk IN (SELECT tk FROM {sl})) + 0.5))")
+        join_sql = f"{pp_names[0]} p0"
+        for i in range(1, len(pp_names)):
+            join_sql += (f" JOIN {pp_names[i]} p{i} ON p0.did = p{i}.did "
+                         f"AND p0.apos = p{i}.apos")
+        phj = self._name("phj")
+        ctes.append(f"{phj} AS (SELECT p0.did, CAST(count(*) AS DOUBLE) AS tf "
+                    f"FROM {join_sql} GROUP BY p0.did)")
+        idf_sum = self._add_chain([f"({p})" for p in df_parts])
+        weight = f"(({idf_sum}) * {_W!r})"
+        if boost != 1.0:
+            weight = f"({weight} * {float(boost)!r})"
+        qn = sql_quantize_fieldnorm("d.ntok")
+        sc = self._name("sc")
+        ctes.append(
+            f"{sc} AS (SELECT t.did, {weight} * t.tf / (t.tf + {_KB1!r} + "
+            f"({_KB!r} / (SELECT avgfn FROM stats)) * CAST({qn} AS DOUBLE)) AS score "
+            f"FROM {phj} t JOIN docs d ON t.did = d.did)")
+        return sc
+
     # ------------------------------------------------------------- outputs
     def _needs_positions(self, q: ast.Query) -> bool:
-        if isinstance(q, ast.PhraseQuery):
+        if isinstance(q, (ast.PhraseQuery, ast.PhrasePrefixQuery,
+                          ast.RegexPhraseQuery)):
             return True
         if isinstance(q, ast.BooleanQuery):
             return any(self._needs_positions(c) for _o, c in q.clauses)

@@ -170,6 +170,9 @@ class FuzzyTermQuery(Query):
     term: str
     distance: int = 1
     prefix: bool = False
+    #: adjacent transposition costs 1 (Damerau) instead of 2
+    #: (ref: fuzzy_query.rs:85-93 ``transposition_cost_one``)
+    transposition_cost_one: bool = False
 
     def terms(self) -> list[str]:  # expansion happens at plan time
         return []

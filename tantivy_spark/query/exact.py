@@ -38,6 +38,25 @@ def idf64(doc_freq: int, total_docs: int) -> float:
     return math.log(1.0 + (total_docs - doc_freq + 0.5) / (doc_freq + 0.5))
 
 
+def _damerau_levenshtein(a: str, b: str) -> int:
+    """Restricted Damerau-Levenshtein (adjacent transposition cost 1) —
+    the reference's Levenshtein_distance(d, true) semantics
+    (fuzzy_query.rs:85-93).  Runs on tiny collected candidate sets only."""
+    la, lb = len(a), len(b)
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
 def _decode_kernel(with_positions: bool):
     def decode(batches):
         for pdf in batches:
@@ -154,10 +173,16 @@ class ExactSearcher:
         if isinstance(q, ast.PhraseQuery):
             return self._phrase(q, boost, dfs)
         if isinstance(q, ast.PhrasePrefixQuery):
-            expansions = sorted(
+            # expansion order is the term-dictionary (lexicographic) order,
+            # like the reference's prefix range scan taking the first
+            # max_expansions terms (phrase_prefix_query.rs:29,123) — an
+            # orderBy BEFORE the limit makes the chosen set deterministic
+            # at any parallelism (a bare .limit() is partition-order luck)
+            expansions = [
                 r["term"] for r in self.reader.term_stats
                 .filter(F.col("term").startswith(q.prefix))
-                .select("term").limit(q.max_expansions).collect())
+                .select("term").orderBy("term")
+                .limit(q.max_expansions).collect()]
             if not expansions:
                 return self._lower(ast.EmptyQuery(), boost, dfs)
             # one phrase per expansion; a doc scores via its best expansion
@@ -190,28 +215,34 @@ class ExactSearcher:
             score = (mx + F.lit(tb) * (total - mx)) * F.lit(boost)
             return acc.select("segment_ord", "doc_id", score.alias("score"))
         if isinstance(q, ast.TermRangeQuery):
-            ts = self.reader.term_stats
+            # fully distributed: the range predicate is pushed down to the
+            # postings parquet scan (min/max row-group pruning on the sorted
+            # `term` layout) — no driver-side dictionary materialization, no
+            # expansion cap, matching range_query.rs:16-31 which streams the
+            # FST range into a bitset without ever listing terms
+            cond = F.lit(True)
             if q.lower is not None:
-                ts = ts.filter(F.col("term") >= q.lower if q.lower_inclusive
+                cond = cond & (F.col("term") >= q.lower if q.lower_inclusive
                                else F.col("term") > q.lower)
             if q.upper is not None:
-                ts = ts.filter(F.col("term") <= q.upper if q.upper_inclusive
+                cond = cond & (F.col("term") <= q.upper if q.upper_inclusive
                                else F.col("term") < q.upper)
-            terms = sorted(r["term"] for r in ts.select("term").limit(4096).collect())
-            if not terms:
-                return self._lower(ast.EmptyQuery(), boost, dfs)
-            return self._lower(ast.TermSetQuery(terms), boost, dfs)
+            return self._const_docs_matching(cond, boost)
         if isinstance(q, ast.ExistsQuery):
             return (self.reader.fieldnorms.filter(F.col("num_tokens") > 0)
                     .select("segment_ord", "doc_id",
                             F.lit(1.0 * boost).alias("score")))
         if isinstance(q, ast.RegexQuery):
-            terms = self._expand_regex(q.pattern)
-            if not terms:
-                return self._lower(ast.EmptyQuery(), boost, dfs)
-            return self._lower(ast.TermSetQuery(terms), boost, dfs)
+            # distributed: the regex runs as a codegen'd filter on the
+            # postings scan — no driver-side expansion, no cap (the
+            # reference intersects a regex automaton with the FST, also
+            # never materializing the match set — regex_query.rs)
+            return self._const_docs_matching(
+                F.col("term").rlike(f"^(?:{q.pattern})$"), boost)
         if isinstance(q, ast.FuzzyTermQuery):
-            terms = self._expand_fuzzy(q.term, q.distance, q.prefix)
+            terms = self._expand_fuzzy(
+                q.term, q.distance, q.prefix,
+                transposition_cost_one=q.transposition_cost_one)
             if not terms:
                 return self._lower(ast.EmptyQuery(), boost, dfs)
             # fuzzy matches score like an OR of term queries (per-term idf)
@@ -367,21 +398,68 @@ class ExactSearcher:
         w = idf_sum * (1.0 + K1) * boost
         return hits.select("segment_ord", "doc_id", self._score_col(w).alias("score"))
 
+    # ----------------------------------------------- distributed term match
+    def _const_docs_matching(self, term_cond, boost: float) -> DataFrame:
+        """(segment_ord, doc_id, const score) of docs containing ANY
+        dictionary term satisfying ``term_cond`` — the multi-term const-
+        score path for range/regex queries.
+
+        Stays fully distributed: the predicate filters the postings scan
+        itself (never a driver collect), so a range matching millions of
+        dictionary terms costs one scan + one distinct, independent of the
+        dictionary size.  The fieldnorm sentinel row is excluded explicitly
+        (its term "\\x00fieldnorms" sorts below every real term and would
+        otherwise fall into open-lower ranges)."""
+        from tantivy_spark.index.build import FIELDNORM_SENTINEL
+
+        rows = (self.reader.postings
+                .filter((F.col("term") != FIELDNORM_SENTINEL) & term_cond)
+                .drop("pos"))
+        flat = rows.mapInPandas(_decode_kernel(False), schema=FLAT_SCHEMA)
+        return (flat.select("segment_ord", "doc_id").distinct()
+                .select("segment_ord", "doc_id",
+                        F.lit(1.0 * boost).alias("score")))
+
     # ------------------------------------------------------- dict expansion
     def _expand_regex(self, pattern: str, cap: int = 1024) -> list[str]:
+        """First ``cap`` dictionary terms matching ``pattern``, in
+        term-dictionary (lexicographic) order — deterministic at any
+        parallelism.  Used where per-term statistics are needed driver-side
+        (RegexPhraseQuery slots); RegexQuery itself stays distributed."""
         rows = (self.reader.term_stats
                 .filter(F.col("term").rlike(f"^(?:{pattern})$"))
-                .select("term").limit(cap).collect())
-        return sorted(r["term"] for r in rows)
+                .select("term").orderBy("term").limit(cap).collect())
+        return [r["term"] for r in rows]
 
     def _expand_fuzzy(self, term: str, distance: int, prefix: bool,
-                      cap: int = 1024) -> list[str]:
+                      cap: int = 1024, transposition_cost_one: bool = False
+                      ) -> list[str]:
+        """Dictionary terms within edit distance ``distance`` of ``term``
+        (ref: fuzzy_query.rs; Levenshtein_distance/transpositions per
+        :85-93).  Driver materialization is intrinsic here (each expansion
+        scores with its own idf), so instead of silently truncating we
+        fail loudly past ``cap`` — like wand.py's delete-bitset guard.
+
+        ``transposition_cost_one`` = Damerau-Levenshtein (adjacent swap
+        costs 1).  DL <= L always and L <= 2*DL, so the distributed coarse
+        filter ``levenshtein <= 2*distance`` is a superset; the exact DL
+        check runs on the (small) collected candidate set."""
         base = self.reader.term_stats
         if prefix:
             base = base.filter(F.col("term").startswith(term[: max(len(term) - distance, 1)]))
-        rows = (base.filter(F.levenshtein(F.col("term"), F.lit(term)) <= distance)
-                .select("term").limit(cap).collect())
-        return sorted(r["term"] for r in rows)
+        coarse = 2 * distance if transposition_cost_one else distance
+        rows = (base.filter((F.length("term") >= len(term) - distance)
+                            & (F.length("term") <= len(term) + distance)
+                            & (F.levenshtein(F.col("term"), F.lit(term)) <= coarse))
+                .select("term").orderBy("term").limit(cap + 1).collect())
+        out = [r["term"] for r in rows]
+        if transposition_cost_one:
+            out = [t for t in out if _damerau_levenshtein(t, term) <= distance]
+        if len(out) > cap:
+            raise ValueError(
+                f"fuzzy expansion of {term!r} (d<={distance}) exceeds {cap} "
+                f"dictionary terms; raise the cap or narrow the query")
+        return out
 
     # ------------------------------------------------------------ collectors
     def search(self, q: ast.Query, k: int = 10, offset: int = 0) -> DataFrame:
