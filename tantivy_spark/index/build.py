@@ -82,6 +82,9 @@ class IndexConfig:
     #: assigned in (sort_col, key) order instead of key order.  Must be a
     #: column of the input DataFrame; "desc:<col>" for descending.
     sort_col: str | None = None
+    #: max postings (and sentinel docs) per chunk row; overridable mainly
+    #: for tests — readers pick it up from the manifest
+    chunk_docs: int = CHUNK_DOCS
 
     def segment_sql(self) -> str:
         if self.segment_expr:
@@ -144,6 +147,7 @@ def _segment_kernel(cfg: IndexConfig):
     """
     with_positions = cfg.with_positions
     sort_spec = _sort_spec(cfg)
+    chunk_docs = int(cfg.chunk_docs)  # captured by value into the kernel
 
     def build_segment(tbl: "pa.Table") -> "pa.Table":
         import pyarrow as pa
@@ -199,12 +203,20 @@ def _segment_kernel(cfg: IndexConfig):
         avg_fn = (total_tokens / n_docs) if n_docs else 1.0
         cache = tf_cache_f32(max(avg_fn, 1e-9))
 
-        rows = [(
-            seg, FIELDNORM_SENTINEL, 0, n_docs, total_tokens,
-            codec.vint_encode(counts.astype(np.uint32)), b"",
-            fn_ids_per_doc.tobytes(), None,
-            [], [], [], [], [], [],
-        )]
+        # sentinel rows are CHUNKED like posting lists: chunk c covers docs
+        # [c*CHUNK_DOCS, (c+1)*CHUNK_DOCS).  A single whole-segment row
+        # would be a multi-GB cell at 10^9 docs; chunking keeps every row
+        # bounded and lets fieldnorm decoding parallelize.
+        rows = []
+        for c0 in range(0, n_docs, chunk_docs) if n_docs else [0]:
+            c1 = min(c0 + chunk_docs, n_docs)
+            rows.append((
+                seg, FIELDNORM_SENTINEL, c0 // chunk_docs, c1 - c0,
+                int(counts[c0:c1].sum()),
+                codec.vint_encode(counts[c0:c1].astype(np.uint32)), b"",
+                fn_ids_per_doc[c0:c1].tobytes(), None,
+                [], [], [], [], [], [],
+            ))
         if total_tokens:
             sort_ix = np.lexsort((pos_kept, doc_rep, codes))
             t_codes = codes[sort_ix]
@@ -235,8 +247,8 @@ def _segment_kernel(cfg: IndexConfig):
                 tf = tfs_all[lo:hi]
                 fn = fn_ids_per_doc[d]
                 term_pos = pos_all[pos_starts[ti]:pos_ends[ti]] if with_positions else None
-                for c0 in range(0, len(d), CHUNK_DOCS):
-                    c1 = min(c0 + CHUNK_DOCS, len(d))
+                for c0 in range(0, len(d), chunk_docs):
+                    c1 = min(c0 + chunk_docs, len(d))
                     db, tb, fb, meta = codec.encode_postings(d[c0:c1], tf[c0:c1],
                                                              fn[c0:c1], cache)
                     if with_positions:
@@ -247,7 +259,7 @@ def _segment_kernel(cfg: IndexConfig):
                         pb = None
                     m = list(zip(*meta))
                     rows.append((
-                        seg, term, c0 // CHUNK_DOCS, c1 - c0, int(tf[c0:c1].sum()),
+                        seg, term, c0 // chunk_docs, c1 - c0, int(tf[c0:c1].sum()),
                         db, tb, fb, pb,
                         list(m[0]), list(m[1]), list(m[2]), list(m[3]),
                         list(m[4]), list(m[5]),

@@ -1,4 +1,4 @@
-"""Segment merge: k segments -> 1, tantivy stacking semantics.
+"""Segment merge: k segments -> n, tantivy stacking semantics.
 
 Reference semantics (/root/reference/src/indexer/merger.rs:648-847):
 doc ids are remapped by *stacking* — segment k's docs get offset
@@ -6,12 +6,20 @@ sum(max_doc of segments < k); per-term postings from different segments
 concatenate in segment order (doc ranges are disjoint, so the merged list
 stays sorted); doc_freqs sum; total_num_tokens is recomputed.
 
+Unlike a naive compact-to-one, the merger targets ``n_target_segments``
+output segments (the LogMergePolicy idea, src/indexer/segment_updater.rs:
+keep a tiered set of segments so per-segment query kernels stay parallel).
+Input segments are grouped contiguously in segment order, balanced by
+alive doc count; each group stacks into one output segment.  With
+``n_target_segments=1`` this degenerates to the classic full compaction.
+
 Spark-first shape: because our posting lists are stored as bounded chunks
 (<= CHUNK_DOCS postings per row), merging needs NO pairwise list merge at
 all — each chunk is independently rebased (decode -> +offset -> re-encode,
-vectorized numpy) and renumbered into the merged term's chunk sequence.
-The only coordination is the per-term chunk renumbering, computed as a
-prefix-sum over the tiny (term, segment) chunk-count table.
+vectorized numpy) and renumbered into the merged term's chunk sequence
+within its output segment.  The only coordination is the per-(term,
+out-segment) chunk renumbering, computed as a prefix-sum over the tiny
+(term, segment) chunk-count table.
 
 Skew: the rebase shuffle is keyed by (term, salt) — ``salt = xxhash(chunk)
 % n_salts`` — so a hot term's thousands of chunks spread across
@@ -34,15 +42,29 @@ from pyspark.sql import functions as F
 from tantivy_spark.bm25 import tf_cache_f32
 from tantivy_spark.index import codec
 from tantivy_spark.index.build import (
+    CHUNK_DOCS,
     FIELDNORM_SENTINEL,
     POSTINGS_SCHEMA,
     _write_manifest,
 )
 
 
-def _rebase_kernel(offsets: dict[int, int], avg_fieldnorm: float,
+def _dead_in_chunk(dd: np.ndarray | None, base: int, n: int) -> np.ndarray | None:
+    """Chunk-local (0-based) indices of dead docs within [base, base+n)."""
+    if dd is None or not len(dd):
+        return None
+    lo = np.searchsorted(dd, base, side="left")
+    hi = np.searchsorted(dd, base + n, side="left")
+    if lo == hi:
+        return None
+    return (dd[lo:hi] - base).astype(np.int64)
+
+
+def _rebase_kernel(offsets: dict[int, int], out_seg: dict[int, int],
+                   avg_fieldnorm: float,
                    dead: dict[int, np.ndarray] | None = None):
-    """mapInPandas kernel: rebase each posting chunk by its segment offset.
+    """mapInPandas kernel: rebase each posting chunk by its segment offset
+    into its output segment.
 
     With ``dead`` (per-segment sorted dead doc ids), deleted docs are
     physically dropped and the survivors renumbered densely — the
@@ -81,7 +103,7 @@ def _rebase_kernel(offsets: dict[int, int], avg_fieldnorm: float,
                       if pos_flat is not None else None)
                 m = list(zip(*new_meta))
                 out_rows.append((
-                    0, row.term, int(row.new_chunk_id), len(d),
+                    out_seg[seg], row.term, int(row.new_chunk_id), len(d),
                     int(t.sum()), db, tb, fb, pb,
                     list(m[0]), list(m[1]), list(m[2]), list(m[3]),
                     list(m[4]), list(m[5]),
@@ -96,28 +118,60 @@ def _rebase_kernel(offsets: dict[int, int], avg_fieldnorm: float,
     return rebase
 
 
+def _plan_groups(alive_docs: dict[int, int], n_target: int
+                 ) -> tuple[dict[int, int], dict[int, int]]:
+    """Contiguous, doc-count-balanced grouping of input segments.
+
+    Returns (out_seg: input seg -> output segment ord,
+             offsets: input seg -> doc offset within its output segment).
+    Stacking within a group follows ascending input-segment order, so the
+    result is deterministic and independent of parallelism."""
+    segs = sorted(alive_docs)
+    total = sum(alive_docs.values())
+    n_target = max(1, min(n_target, max(len(segs), 1)))
+    out_seg: dict[int, int] = {}
+    offsets: dict[int, int] = {}
+    g, acc_g = 0, 0
+    for i, seg in enumerate(segs):
+        segs_left = len(segs) - i
+        groups_left = n_target - g
+        if g < n_target - 1 and acc_g > 0 and (
+                acc_g * n_target >= total or segs_left <= groups_left):
+            g += 1
+            acc_g = 0
+        out_seg[seg] = g
+        offsets[seg] = acc_g
+        acc_g += alive_docs[seg]
+    return out_seg, offsets
+
+
 def maybe_compact(spark: SparkSession, index_dir: str, out_dir: str,
-                  max_segments: int = 16, n_salts: int = 8) -> dict | None:
+                  max_segments: int = 16, n_salts: int = 8,
+                  n_target_segments: int = 8) -> dict | None:
     """Merge-policy analogue (ref: LogMergePolicy / segment_updater.rs):
     compact the index when it has accumulated more than ``max_segments``
-    segments (e.g. after streaming ingest).  Returns the new manifest or
-    None when no compaction was needed."""
+    segments (e.g. after streaming ingest), down to ``n_target_segments``
+    (NOT to one — per-segment query kernels parallelize by segment, so a
+    single merged segment would serialize WAND).  Returns the new manifest
+    or None when no compaction was needed."""
     with open(os.path.join(index_dir, "meta.json")) as f:
         manifest = json.load(f)
     if int(manifest["totals"].get("num_segments", 0)) <= max_segments:
         return None
-    return merge_segments(spark, index_dir, out_dir, n_salts=n_salts)
+    return merge_segments(spark, index_dir, out_dir, n_salts=n_salts,
+                          n_target_segments=n_target_segments)
 
 
 def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
-                   n_salts: int = 8) -> dict:
-    """Merge every segment of ``index_dir`` into a single segment at
-    ``out_dir``.  Returns the new manifest."""
+                   n_salts: int = 8, n_target_segments: int = 1) -> dict:
+    """Merge the segments of ``index_dir`` into ``n_target_segments``
+    segments at ``out_dir``.  Returns the new manifest."""
     t_start = time.time()
     with open(os.path.join(index_dir, "meta.json")) as f:
         manifest = json.load(f)
     os.makedirs(out_dir, exist_ok=True)
 
+    chunk_docs = int(manifest.get("config", {}).get("chunk_docs", CHUNK_DOCS))
     lineage = spark.read.parquet(os.path.join(index_dir, "lineage")).collect()
     seg_docs = {int(r["segment_ord"]): int(r["n_docs"] or 0) for r in lineage}
 
@@ -132,33 +186,47 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         dead = {s: np.sort(np.array(v, dtype=np.int64)) for s, v in dead.items()}
 
     alive_docs = {seg: n - len(dead.get(seg, ())) for seg, n in seg_docs.items()}
-    offsets: dict[int, int] = {}
-    acc = 0
-    for seg in sorted(alive_docs):
-        offsets[seg] = acc
-        acc += alive_docs[seg]
+    out_seg, offsets = _plan_groups(alive_docs, n_target_segments)
+    n_out = len(set(out_seg.values())) if out_seg else 1
+    total_alive = sum(alive_docs.values())
 
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     real = postings.filter(F.col("term") != FIELDNORM_SENTINEL)
     sent = postings.filter(F.col("term") == FIELDNORM_SENTINEL)
 
-    # alive-only global stats (drives both the block-max cache and the
-    # merged manifest)
-    alive_tokens = 0
-    for row in sent.select("segment_ord", "doc_freq", "docs").collect():
-        counts = codec.vint_decode(bytes(row["docs"]), int(row["doc_freq"]))
-        dd = dead.get(int(row["segment_ord"]))
-        if dd is not None and len(dd):
-            mask = np.ones(len(counts), dtype=bool)
-            mask[dd] = False
-            counts = counts[mask]
-        alive_tokens += int(counts.sum())
-    total_alive = acc
+    # alive-only global token count (drives both the block-max cache and
+    # the merged manifest) — distributed over the chunked sentinel rows,
+    # never a whole-index driver collect
+    def _sent_stats(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                n = int(row.doc_freq)
+                base = int(row.chunk_id) * chunk_docs
+                counts = codec.vint_decode(bytes(row.docs), n)
+                loc = _dead_in_chunk(dead.get(int(row.segment_ord)), base, n)
+                if loc is not None:
+                    mask = np.ones(n, dtype=bool)
+                    mask[loc] = False
+                    counts = counts[mask]
+                recs.append((int(counts.sum()),))
+            if recs:
+                yield pd.DataFrame(recs, columns=["tok_alive"])
+
+    tok_rows = (sent.select("segment_ord", "chunk_id", "doc_freq", "docs")
+                .mapInPandas(_sent_stats, "tok_alive LONG")
+                .agg(F.coalesce(F.sum("tok_alive"), F.lit(0)).alias("t"))
+                .collect())
+    alive_tokens = int(tok_rows[0]["t"])
     avg_fn = (alive_tokens / total_alive) if total_alive else 1.0
 
-    # ---- per-term chunk renumbering via prefix sums (no giant window) ----
-    counts = real.groupBy("term", "segment_ord").agg(F.count("*").alias("n_chunks"))
-    w = (Window.partitionBy("term").orderBy("segment_ord")
+    # ---- per-(term, out-segment) chunk renumbering via prefix sums -------
+    oseg_expr = F.create_map(
+        *[x for seg, g in out_seg.items() for x in (F.lit(seg), F.lit(g))])
+    counts = (real.groupBy("term", "segment_ord")
+              .agg(F.count("*").alias("n_chunks"))
+              .withColumn("out_seg", oseg_expr[F.col("segment_ord")]))
+    w = (Window.partitionBy("term", "out_seg").orderBy("segment_ord")
          .rowsBetween(Window.unboundedPreceding, -1))
     base = counts.withColumn(
         "chunk_base", F.coalesce(F.sum("n_chunks").over(w), F.lit(0)))
@@ -173,35 +241,48 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         .repartition("term", "salt")
         .drop("salt")
     )
-    merged = rebased_input.mapInPandas(_rebase_kernel(offsets, avg_fn, dead),
-                                       schema=POSTINGS_SCHEMA)
+    merged = rebased_input.mapInPandas(
+        _rebase_kernel(offsets, out_seg, avg_fn, dead), schema=POSTINGS_SCHEMA)
 
-    # ---- merged fieldnorm sentinel: concat per-doc stats in segment order
+    # ---- merged fieldnorm sentinels: concat per-doc stats in segment
+    # order within each output segment, re-chunked per CHUNK_DOCS (one
+    # bounded row per chunk — never a whole-segment cell)
     def merge_sentinels(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("segment_ord", ignore_index=True)
+        pdf = pdf.sort_values(["segment_ord", "chunk_id"], ignore_index=True)
+        g = out_seg[int(pdf["segment_ord"].iloc[0])]
         counts_parts, fns_parts = [], []
         for row in pdf.itertuples(index=False):
             n = int(row.doc_freq)
+            cbase = int(row.chunk_id) * chunk_docs
             counts = codec.vint_decode(bytes(row.docs), n)
             fns = np.frombuffer(bytes(row.fns), dtype=np.uint8)
-            dd = dead.get(int(row.segment_ord))
-            if dd is not None and len(dd):
+            loc = _dead_in_chunk(dead.get(int(row.segment_ord)), cbase, n)
+            if loc is not None:
                 mask = np.ones(n, dtype=bool)
-                mask[dd] = False
+                mask[loc] = False
                 counts, fns = counts[mask], fns[mask]
             counts_parts.append(counts)
             fns_parts.append(fns)
         all_counts = np.concatenate(counts_parts) if counts_parts else np.zeros(0, np.uint32)
         all_fns = np.concatenate(fns_parts) if fns_parts else np.zeros(0, np.uint8)
-        return pd.DataFrame([(
-            0, FIELDNORM_SENTINEL, 0, len(all_counts), int(all_counts.sum()),
-            codec.vint_encode(all_counts), b"", all_fns.tobytes(), None,
-            [], [], [], [], [], [],
-        )], columns=["segment_ord", "term", "chunk_id", "doc_freq", "total_tf",
-                     "docs", "tfs", "fns", "pos", "last_docs", "n_docs",
-                     "bits_doc", "bits_tf", "wand_fn", "wand_tf"])
+        n_all = len(all_counts)
+        rows = []
+        for c0 in range(0, n_all, chunk_docs) if n_all else [0]:
+            c1 = min(c0 + chunk_docs, n_all)
+            rows.append((
+                g, FIELDNORM_SENTINEL, c0 // chunk_docs, c1 - c0,
+                int(all_counts[c0:c1].sum()),
+                codec.vint_encode(all_counts[c0:c1].astype(np.uint32)), b"",
+                all_fns[c0:c1].tobytes(), None,
+                [], [], [], [], [], [],
+            ))
+        return pd.DataFrame(rows, columns=[
+            "segment_ord", "term", "chunk_id", "doc_freq", "total_tf",
+            "docs", "tfs", "fns", "pos", "last_docs", "n_docs",
+            "bits_doc", "bits_tf", "wand_fn", "wand_tf"])
 
-    sent_merged = (sent.withColumn("g", F.lit(0)).groupBy("g")
+    sent_merged = (sent.withColumn("g", oseg_expr[F.col("segment_ord")])
+                   .groupBy("g")
                    .applyInPandas(lambda pdf: merge_sentinels(pdf.drop(columns=["g"])),
                                   schema=POSTINGS_SCHEMA))
 
@@ -210,7 +291,7 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
     # FST-ordered-dictionary equivalent at file-layout level
     merged.unionByName(sent_merged) \
         .repartitionByRange(max(spark.sparkContext.defaultParallelism, 8), "term") \
-        .sortWithinPartitions("term", "chunk_id") \
+        .sortWithinPartitions("term", "segment_ord", "chunk_id") \
         .write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
 
     # ---- docmap rebase (alive docs only, densely renumbered) --------------
@@ -225,7 +306,7 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
     (docmap
      .withColumn("alive_rank", F.row_number().over(w_alive) - 1)
      .select(
-         F.lit(0).cast("int").alias("segment_ord"),
+         oseg_expr[F.col("segment_ord")].cast("int").alias("segment_ord"),
          (F.col("alive_rank") + off_expr[F.col("segment_ord")]).cast("int")
          .alias("doc_id"),
          "key")
@@ -253,7 +334,7 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
     new_manifest["totals"] = {
         "num_docs": total_alive,
         "total_num_tokens": alive_tokens,
-        "num_segments": 1,
+        "num_segments": n_out,
         "avg_fieldnorm": avg_fn,
     }
     new_manifest["stages"] = dict(manifest.get("stages", {}),
@@ -261,6 +342,8 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                                          "status": "done"})
     new_manifest["merged_from"] = {"index_dir": index_dir,
                                    "offsets": {str(k): v for k, v in offsets.items()},
-                                   "n_salts": n_salts}
+                                   "out_seg": {str(k): v for k, v in out_seg.items()},
+                                   "n_salts": n_salts,
+                                   "n_target_segments": n_target_segments}
     _write_manifest(os.path.join(out_dir, "meta.json"), new_manifest)
     return new_manifest

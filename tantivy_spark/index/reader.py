@@ -28,6 +28,8 @@ class IndexReader:
         self.total_num_tokens: int = int(t["total_num_tokens"])
         self.avg_fieldnorm: float = float(t["avg_fieldnorm"]) or 1.0
         self.with_positions: bool = bool(self.manifest["config"].get("with_positions", True))
+        from tantivy_spark.index.build import CHUNK_DOCS
+        self.chunk_docs: int = int(self.manifest["config"].get("chunk_docs", CHUNK_DOCS))
 
     @cached_property
     def postings(self) -> DataFrame:
@@ -88,18 +90,20 @@ class IndexReader:
         from tantivy_spark.index import codec
         from tantivy_spark.index.build import FIELDNORM_SENTINEL
 
+        chunk_docs = self.chunk_docs  # captured by value into the kernel
         rows = self.postings.filter(F.col("term") == FIELDNORM_SENTINEL) \
-            .select("segment_ord", "doc_freq", "docs", "fns")
+            .select("segment_ord", "chunk_id", "doc_freq", "docs", "fns")
 
         def decode(batches):
             for pdf in batches:
                 for row in pdf.itertuples(index=False):
                     n = int(row.doc_freq)
+                    base = int(row.chunk_id) * chunk_docs
                     counts = codec.vint_decode(bytes(row.docs), n).astype(np.int64)
                     fns = np.frombuffer(bytes(row.fns), dtype=np.uint8)
                     yield pd.DataFrame({
                         "segment_ord": np.full(n, row.segment_ord, dtype=np.int32),
-                        "doc_id": np.arange(n, dtype=np.int32),
+                        "doc_id": (base + np.arange(n)).astype(np.int32),
                         "num_tokens": counts,
                         "fieldnorm_id": fns.astype(np.int32),
                     })

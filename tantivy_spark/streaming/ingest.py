@@ -78,6 +78,7 @@ class IncrementalIndexer:
                 if self.cfg.segment_expr is None
                 else f"{base} + ({self.cfg.segment_expr})"),
             with_positions=self.cfg.with_positions,
+            chunk_docs=self.cfg.chunk_docs,
         )
         postings = (
             _tokenized_docs(batch_df, cfg)

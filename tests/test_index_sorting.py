@@ -48,7 +48,8 @@ def test_maybe_compact_policy(spark, tmp_path_factory):
     dest = str(tmp_path_factory.mktemp("cidx2") / "m")
     # threshold above current count: no-op
     assert maybe_compact(spark, out, dest, max_segments=10) is None
-    # threshold below: compacts to one segment
-    m = maybe_compact(spark, out, dest, max_segments=3)
+    # threshold below: compacts down to the target tier (NOT to one —
+    # per-segment query kernels parallelize by segment)
+    m = maybe_compact(spark, out, dest, max_segments=3, n_target_segments=2)
     assert m is not None
-    assert IndexReader(spark, dest).manifest["totals"]["num_segments"] == 1
+    assert IndexReader(spark, dest).manifest["totals"]["num_segments"] == 2

@@ -105,6 +105,136 @@ def test_merge_drops_deleted_docs(spark, tmp_path_factory):
             assert ra["score"] == pytest.approx(rb["score"], rel=1e-12)
 
 
+@pytest.fixture(scope="module")
+def merged3_index(spark, tiny_index, tmp_path_factory):
+    from tantivy_spark.index.merge import merge_segments
+
+    out = str(tmp_path_factory.mktemp("m3") / "merged3")
+    merge_segments(spark, tiny_index.index_dir, out, n_salts=4,
+                   n_target_segments=3)
+    return IndexReader(spark, out)
+
+
+def test_merge_to_n_targets_keeps_n_segments(merged3_index, tiny_index):
+    """Tiered compaction (LogMergePolicy semantics): n output segments so
+    per-segment query kernels stay parallel after compaction."""
+    segs = sorted(r[0] for r in merged3_index.postings
+                  .select("segment_ord").distinct().collect())
+    assert segs == [0, 1, 2]
+    assert merged3_index.num_docs == tiny_index.num_docs
+    assert merged3_index.total_num_tokens == tiny_index.total_num_tokens
+    assert merged3_index.manifest["totals"]["num_segments"] == 3
+    # segment sizes balanced within one input-segment granule
+    sizes = merged3_index.docmap.groupBy("segment_ord").count().collect()
+    assert max(r["count"] for r in sizes) <= 2 * min(r["count"] for r in sizes) + 200
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: "-".join(q.terms())[:30])
+def test_query_results_identical_after_merge3(spark, tiny_index, merged3_index, q):
+    a = ExactSearcher(tiny_index).search(q, k=15).collect()
+    b = ExactSearcher(merged3_index).search(q, k=15).collect()
+    assert [(r["rank"], r["key"]) for r in a] == [(r["rank"], r["key"]) for r in b]
+    for ra, rb in zip(a, b):
+        assert ra["score"] == pytest.approx(rb["score"], rel=1e-12)
+
+
+def test_wand_identical_after_merge3(spark, tiny_index, merged3_index):
+    from tantivy_spark.query.wand import wand_topk
+
+    for mode, terms in (("or", ["fast", "slow"]), ("and", ["fast", "scan"])):
+        a = wand_topk(tiny_index, terms, k=12, mode=mode).collect()
+        b = wand_topk(merged3_index, terms, k=12, mode=mode).collect()
+        assert [(r["rank"], r["key"], r["score"]) for r in a] == \
+               [(r["rank"], r["key"], r["score"]) for r in b]
+
+
+def test_merge3_stacking_preserves_address_order(tiny_index, merged3_index):
+    old = tiny_index.docmap.orderBy("segment_ord", "doc_id").select("key").collect()
+    new = merged3_index.docmap.orderBy("segment_ord", "doc_id").select("key").collect()
+    assert [r["key"] for r in old] == [r["key"] for r in new]
+    # dense, gap-free doc ids within each output segment
+    for seg in (0, 1, 2):
+        ids = [r[0] for r in merged3_index.docmap
+               .filter(F.col("segment_ord") == seg)
+               .select("doc_id").orderBy("doc_id").collect()]
+        assert ids == list(range(len(ids)))
+
+
+def test_merge3_with_deletes(spark, tmp_path_factory):
+    """n-target merge + deletes: identical to a fresh alive-only build."""
+    from tantivy_spark.corpus import synthetic_pages
+    from tantivy_spark.index.build import IndexConfig, build_index
+    from tantivy_spark.index.deletes import delete_by_keys
+    from tantivy_spark.index.merge import merge_segments
+
+    pages = synthetic_pages(spark, 160, seed=23).select("url", "text")
+    full = str(tmp_path_factory.mktemp("m3d") / "full")
+    build_index(spark, pages, full,
+                IndexConfig(key_col="url", text_col="text", n_segments=5))
+    reader = IndexReader(spark, full)
+    victims = [r["key"] for r in
+               ExactSearcher(reader).search(TermQuery("of"), k=6).collect()]
+    delete_by_keys(spark, reader, victims)
+
+    merged = str(tmp_path_factory.mktemp("m3d") / "merged")
+    merge_segments(spark, full, merged, n_target_segments=2)
+    mr = IndexReader(spark, merged)
+    assert mr.num_docs == 160 - len(victims)
+    assert mr.manifest["totals"]["num_segments"] == 2
+
+    alive_pages = pages.filter(~F.col("url").isin(victims))
+    ref = str(tmp_path_factory.mktemp("m3d") / "ref")
+    build_index(spark, alive_pages, ref,
+                IndexConfig(key_col="url", text_col="text", n_segments=1,
+                            segment_expr="0"))
+    rr = IndexReader(spark, ref)
+    assert mr.total_num_tokens == rr.total_num_tokens
+    q = BooleanQuery([(Occur.SHOULD, TermQuery("the")),
+                      (Occur.SHOULD, TermQuery("of"))])
+    a = ExactSearcher(mr).search(q, k=10).collect()
+    b = ExactSearcher(rr).search(q, k=10).collect()
+    assert [r["key"] for r in a] == [r["key"] for r in b]
+    for ra, rb in zip(a, b):
+        assert ra["score"] == pytest.approx(rb["score"], rel=1e-12)
+
+
+def test_chunked_sentinel_fieldnorms_roundtrip(spark, tmp_path_factory):
+    """Fieldnorm sentinels are chunked (chunk_docs docs per row); the
+    reader must reassemble per-doc stats across chunks — and a merge of a
+    chunked index must re-chunk and still answer queries identically."""
+    import numpy as np
+
+    from tantivy_spark.corpus import synthetic_pages
+    from tantivy_spark.index.build import FIELDNORM_SENTINEL, IndexConfig, build_index
+    from tantivy_spark.index.merge import merge_segments
+
+    pages = synthetic_pages(spark, 300, seed=5).select("url", "text")
+    out = str(tmp_path_factory.mktemp("chunked") / "idx")
+    build_index(spark, pages, out,
+                IndexConfig(key_col="url", text_col="text", n_segments=2,
+                            chunk_docs=64))  # forces many sentinel chunks
+    r = IndexReader(spark, out)
+    assert r.chunk_docs == 64
+    sent_rows = r.postings.filter(F.col("term") == FIELDNORM_SENTINEL).count()
+    assert sent_rows > 2  # chunked: more than one row per segment
+    fns = r.fieldnorms.orderBy("segment_ord", "doc_id").collect()
+    assert len(fns) == 300
+    by_seg: dict[int, list[int]] = {}
+    for row in fns:
+        by_seg.setdefault(row["segment_ord"], []).append(row["doc_id"])
+    for _seg, ids in by_seg.items():
+        assert ids == list(range(len(ids)))
+    assert int(np.sum([row["num_tokens"] for row in fns])) == r.total_num_tokens
+
+    merged = str(tmp_path_factory.mktemp("chunked") / "merged")
+    merge_segments(spark, out, merged)
+    mr = IndexReader(spark, merged)
+    assert mr.total_num_tokens == r.total_num_tokens
+    a = ExactSearcher(r).search(TermQuery("the"), k=10).collect()
+    b = ExactSearcher(mr).search(TermQuery("the"), k=10).collect()
+    assert [rr["key"] for rr in a] == [rr["key"] for rr in b]
+
+
 def test_salting_does_not_change_output(spark, tiny_index, tmp_path_factory):
     from tantivy_spark.index.merge import merge_segments
 
