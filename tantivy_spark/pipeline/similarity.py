@@ -10,6 +10,8 @@ those.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,24 +31,52 @@ def hyperplane_lsh_buckets(df: DataFrame, dim: int, n_bits: int = 16,
                            vec_col: str = "embedding") -> DataFrame:
     """(id, bucket) — random-hyperplane LSH signature as a bucket id.
 
-    Hyperplanes are a deterministic seeded numpy draw baked into the plan
-    as literal arrays, so buckets are reproducible at any parallelism.
+    Hyperplanes are a deterministic seeded numpy draw shipped (tiny:
+    n_bits x dim f64) into ONE Arrow-batched pandas UDF that computes all
+    bits as a single matmul per batch.  (Baking dim x n_bits literal
+    arrays into the plan bloats it by thousands of nodes and evaluates an
+    interpreted fold per bit per row; the matmul form is both the fast
+    and the scalable shape.)  Buckets are reproducible at any parallelism.
     Scale path for repeated ANN queries: bucket once (one narrow table),
     then each query touches only its own bucket (+ optional multiprobe
     neighbors) — candidate sets of ~n/2^bits instead of full scans.
     """
-    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bits, dim))
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bucket = None
-    for j in range(n_bits):
-        p = F.array(*[F.lit(float(v)) for v in planes[j]])
-        bit = F.when(_dot(vec, p) > 0,
-                     F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
-        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    planes_t = rng.standard_normal((n_bits, dim)).T.copy()  # (dim, n_bits)
+    weights = (1 << np.arange(n_bits, dtype=np.uint64))
+
+    @pandas_udf("long")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (m @ planes_t) > 0                      # (batch, n_bits)
+        out = (bits.astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(out.astype(np.int64))
+
+    return df.select(F.col(id_col).alias("id"),
+                     _bucket(F.col(vec_col)).alias("bucket"))
+
+
+def cosine_pairs_udf():
+    """Arrow-batched exact cosine between two vector columns — the
+    verification kernel for LSH-bucketed candidate pairs (numpy batch
+    math instead of per-row interpreted array folds)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        num = (ma * mb).sum(axis=1)
+        den = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1))
+        return pd.Series(np.where(den > 0, num / den, 0.0))
+
+    return _cos
 
 
 def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
