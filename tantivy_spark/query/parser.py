@@ -6,15 +6,22 @@ and query-grammar/):
   query    := or_expr
   or_expr  := and_expr ("OR" and_expr)*
   and_expr := clause ("AND" clause)*
-  clause   := ("+" | "-")? atom ("^" number)?
-  atom     := "(" query ")" | quoted ("~" int)? | "*" | "IN" "[" terms "]"
-            | "[" t "TO" t "]" | "{" t "TO" t "}" | (field ":")? word
+  clause   := ("+" | "-" | "NOT")? atom ("^" number)?
+  atom     := "(" query ")" | quoted ("~" int | "*")? | "*"
+            | "IN" "[" terms "]"
+            | "[" t "TO" t "]" | "{" t "TO" t "}"
+            | (field ":")? word ("~" int)?
 
 Like the reference, bare clauses combine as SHOULD, "+x" is MUST, "-x"
-MUST_NOT; explicit AND/OR build boolean trees (AND binds tighter); term
-literals are run through the field analyzer — multi-token literals become
-phrases, like the reference's behaviour for text fields.  This engine has
-a single text field, so `field:` prefixes are accepted and ignored.
+and "NOT x" MUST_NOT (query_grammar.rs:790, :1838); explicit AND/OR build
+boolean trees (AND binds tighter); a top-level all-negative query gets a
+match-all SHOULD (make_non_negative, query_parser.rs:232-237); '"a b"~N'
+is phrase slop, '"a b"*' a phrase prefix (:1808), 'term~N' a fuzzy term
+(:1799).  Term literals are run through the field analyzer — multi-token
+literals become phrases, like the reference's behaviour for text fields.
+`field:` prefixes are validated against the field registry when one is
+configured; this engine indexes a single text field, so every known field
+resolves to the same postings.
 """
 
 from __future__ import annotations
@@ -34,12 +41,12 @@ _TOKEN_RE = re.compile(
       | (?P<rbrack>\])
       | (?P<lbrace>\{)
       | (?P<rbrace>\})
-      | (?P<quoted>"(?P<qbody>[^"]*)"(?:~(?P<slop>\d+))?)
+      | (?P<quoted>"(?P<qbody>[^"]*)"(?:~(?P<slop>\d+)|(?P<pprefix>\*))?)
       | (?P<plus>\+)
       | (?P<minus>-)
       | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
       | (?P<star>\*)
-      | (?P<word>[^\s()\[\]{}^"]+)
+      | (?P<word>~*[^\s()\[\]{}^"~]+)(?:~(?P<fdist>\d+))?
     )""",
     re.VERBOSE,
 )
@@ -72,10 +79,14 @@ def _lex(q: str) -> list[tuple[str, str]]:
                 out.append(("quoted", m.group("qbody")))
                 if m.group("slop"):
                     out.append(("slop", m.group("slop")))
+                elif m.group("pprefix"):
+                    out.append(("pprefix", "*"))
             elif m.group("boost"):
                 out.append(("boost", m.group("bval")))
             elif m.group("word"):
                 out.append(("word", m.group("word")))
+                if m.group("fdist"):
+                    out.append(("fuzzy", m.group("fdist")))
     return out
 
 
@@ -84,9 +95,28 @@ def analyze_literal(text: str) -> list[str]:
     return list(tokenize_series(pd.Series([text]))[0])
 
 
+def _all_negative(q: ast.Query) -> bool:
+    """True when every path of the tree is under a MUST_NOT — the
+    reference's all_negative check (query_parser.rs:221-229)."""
+    if isinstance(q, ast.BoostQuery):
+        return _all_negative(q.child)
+    if isinstance(q, ast.BooleanQuery):
+        return all(occ == ast.Occur.MUST_NOT or _all_negative(c)
+                   for occ, c in q.clauses) and bool(q.clauses)
+    return False
+
+
 class QueryParser:
-    def __init__(self, default_occur: ast.Occur = ast.Occur.SHOULD):
+    def __init__(self, default_occur: ast.Occur = ast.Occur.SHOULD,
+                 fields: list[str] | None = None,
+                 default_field: str = "text"):
+        """``fields``: the known field names; ``field:term`` prefixes are
+        validated against it (unknown field -> error, the reference's
+        FieldDoesNotExist).  This engine has a single indexed text field,
+        so every known field resolves to the same postings."""
         self.default_occur = default_occur
+        self.fields = set(fields) if fields is not None else None
+        self.default_field = default_field
 
     def parse(self, q: str) -> ast.Query:
         toks = _lex(q)
@@ -97,6 +127,13 @@ class QueryParser:
         node = self._or_expr()
         if self._i != len(self._toks):
             raise QueryParserError(f"trailing tokens: {self._toks[self._i:]}")
+        if _all_negative(node):
+            # the reference's make_non_negative (query_parser.rs:232-237,
+            # 422-424): a top-level all-negative query gets a match-all
+            # SHOULD so "NOT a" means "every doc without a"
+            if isinstance(node, ast.BooleanQuery):
+                node = ast.BooleanQuery(
+                    node.clauses + [(ast.Occur.SHOULD, ast.AllQuery())])
         return node
 
     # --------------------------------------------------------------- lexer
@@ -125,7 +162,18 @@ class QueryParser:
             parts.append(self._clause_group())
         if len(parts) == 1:
             return parts[0]
-        return ast.BooleanQuery([(ast.Occur.MUST, p) for p in parts])
+        # "a AND NOT b" -> (+a -b): a pure-negative operand flattens into
+        # MUST_NOT clauses of the conjunction (the reference prints
+        # (+a +(-b)), query_grammar.rs:1329; the flattened form is the
+        # equivalent executable query)
+        clauses: list[tuple[ast.Occur, ast.Query]] = []
+        for p in parts:
+            if isinstance(p, ast.BooleanQuery) and p.clauses and \
+                    all(o == ast.Occur.MUST_NOT for o, _ in p.clauses):
+                clauses.extend(p.clauses)
+            else:
+                clauses.append((ast.Occur.MUST, p))
+        return ast.BooleanQuery(clauses)
 
     def _clause_group(self) -> ast.Query:
         """A run of +/-/bare clauses combined with default occurs."""
@@ -141,6 +189,13 @@ class QueryParser:
                 occur = ast.Occur.MUST
             elif kind == "minus":
                 self._next()
+                occur = ast.Occur.MUST_NOT
+            elif self._peek() == ("word", "NOT"):
+                # "NOT x" == "-x" in a clause run (query_grammar.rs:790,
+                # test vector "tata NOT toto" == "tata -toto" :1838)
+                self._next()
+                if self._peek()[0] is None:
+                    raise QueryParserError("NOT must be followed by a clause")
                 occur = ast.Occur.MUST_NOT
             node = self._atom()
             bk, bv = self._peek()
@@ -169,9 +224,19 @@ class QueryParser:
             return ast.AllQuery()
         if kind == "quoted":
             slop = 0
+            prefix = False
             if self._peek()[0] == "slop":
                 slop = int(self._next()[1])
+            elif self._peek()[0] == "pprefix":
+                self._next()
+                prefix = True
             terms = analyze_literal(val)
+            if prefix:
+                # '"a b"* ' — phrase whose LAST term is a prefix
+                # (query_grammar.rs test_phrase_prefix :1808-1815)
+                if not terms:
+                    return ast.EmptyQuery()
+                return ast.PhrasePrefixQuery(terms[:-1], prefix=terms[-1])
             if not terms:
                 return None
             if len(terms) == 1:
@@ -201,16 +266,29 @@ class QueryParser:
                 if self._next()[0] != "rbrack":
                     raise QueryParserError("expected ] after IN set")
                 return ast.TermSetQuery(terms)
-            # field prefix: single-text-field engine, accept and strip
+            # field prefix: validated against the field registry when one
+            # is configured (ref: FieldDoesNotExist, query_parser.rs:87-92);
+            # this engine indexes a single text field, so every known
+            # field resolves to the same postings
             if ":" in val and not val.startswith(":"):
-                _field, rest = val.split(":", 1)
+                field, rest = val.split(":", 1)
+                if self.fields is not None and field not in self.fields:
+                    raise QueryParserError(f"field does not exist: {field!r}")
                 if rest == "*":
                     return ast.ExistsQuery()
                 val = rest
+            fdist = 0
+            if self._peek()[0] == "fuzzy":
+                fdist = int(self._next()[1])
             terms = analyze_literal(val)
             if not terms:
                 return None
             if len(terms) == 1:
+                if fdist > 0:
+                    # "term~N" (query_grammar.rs vector "a~2" :1799);
+                    # transposition cost 1, the ES-compatible default
+                    return ast.FuzzyTermQuery(terms[0], distance=fdist,
+                                              transposition_cost_one=True)
                 return ast.TermQuery(terms[0])
             return ast.PhraseQuery(terms, slop=0)
         raise QueryParserError(f"unexpected token {kind} {val!r}")

@@ -92,6 +92,91 @@ def test_uppercase_lowered(p):
     assert p.parse("DATA") == ast.TermQuery("data")
 
 
+def _should(*qs):
+    return ast.BooleanQuery([(ast.Occur.SHOULD, q) for q in qs])
+
+
+def test_not_keyword(p):
+    # ported vectors: query_grammar.rs:1294-1296, 1838
+    with pytest.raises(QueryParserError):
+        p.parse("NOT")
+    assert p.parse("NOTa") == ast.TermQuery("nota")
+    # "NOT a" -> (-a) + top-level make_non_negative -> (-a ?*)
+    assert p.parse("NOT a") == ast.BooleanQuery(
+        [(ast.Occur.MUST_NOT, ast.TermQuery("a")),
+         (ast.Occur.SHOULD, ast.AllQuery())])
+    # "tata NOT toto" == "tata -toto" (:1838)
+    assert p.parse("tata NOT toto") == p.parse("tata -toto")
+    assert p.parse("tata NOT toto") == ast.BooleanQuery(
+        [(ast.Occur.SHOULD, ast.TermQuery("tata")),
+         (ast.Occur.MUST_NOT, ast.TermQuery("toto"))])
+
+
+def test_not_inside_and(p):
+    # "a AND NOT b" (:1329) — executable form (+a -b)
+    assert p.parse("a AND NOT b") == ast.BooleanQuery(
+        [(ast.Occur.MUST, ast.TermQuery("a")),
+         (ast.Occur.MUST_NOT, ast.TermQuery("b"))])
+    # "a AND NOT b AND c" (:1332)
+    assert p.parse("a AND NOT b AND c") == ast.BooleanQuery(
+        [(ast.Occur.MUST, ast.TermQuery("a")),
+         (ast.Occur.MUST_NOT, ast.TermQuery("b")),
+         (ast.Occur.MUST, ast.TermQuery("c"))])
+    assert p.parse("a AND -b AND c") == p.parse("a AND NOT b AND c")
+
+
+def test_top_level_all_negative(p):
+    # "-a" alone must not match nothing: make_non_negative adds match-all
+    q = p.parse("-a")
+    assert (ast.Occur.SHOULD, ast.AllQuery()) in q.clauses
+    assert (ast.Occur.MUST_NOT, ast.TermQuery("a")) in q.clauses
+
+
+def test_fuzzy_term_syntax(p):
+    # "a~2" vector (:1799); transposition-cost-one default
+    assert p.parse("dtaa~1") == ast.FuzzyTermQuery(
+        "dtaa", distance=1, transposition_cost_one=True)
+    assert p.parse("a~2") == ast.FuzzyTermQuery(
+        "a", distance=2, transposition_cost_one=True)
+    # leading tilde is part of the term (vector "~Document" :1798)
+    assert p.parse("~Document") == ast.TermQuery("document")
+
+
+def test_phrase_prefix_syntax(p):
+    # '"a b"*' vectors (:1808-1815)
+    assert p.parse('"order so"*') == ast.PhrasePrefixQuery(["order"], prefix="so")
+    assert p.parse('"a"*') == ast.PhrasePrefixQuery([], prefix="a")
+    assert p.parse('""*') == ast.EmptyQuery()
+
+
+def test_mixed_bool_occur_vectors(p):
+    # "a OR NOT b" (:1337): NOT operand stays a nested pure-negative group
+    q = p.parse("a OR NOT b")
+    assert q.clauses[0] == (ast.Occur.SHOULD, ast.TermQuery("a"))
+    assert q.clauses[1] == (ast.Occur.SHOULD, ast.BooleanQuery(
+        [(ast.Occur.MUST_NOT, ast.TermQuery("b"))]))
+    # "a OR b AND c" (:1313): AND binds tighter
+    q = p.parse("a OR b AND c")
+    assert q == _should(ast.TermQuery("a"),
+                        ast.BooleanQuery([(ast.Occur.MUST, ast.TermQuery("b")),
+                                          (ast.Occur.MUST, ast.TermQuery("c"))]))
+
+
+def test_field_registry_validation():
+    p2 = QueryParser(fields=["text", "title"])
+    assert p2.parse("title:data") == ast.TermQuery("data")
+    with pytest.raises(QueryParserError):
+        p2.parse("nope:data")
+
+
+def test_boost_vectors(p):
+    # "a^3 b^2" (:1303-1305)
+    q = p.parse("a^3 b^2")
+    assert q == _should(ast.BoostQuery(ast.TermQuery("a"), 3.0),
+                        ast.BoostQuery(ast.TermQuery("b"), 2.0))
+    assert p.parse("a^1") == ast.BoostQuery(ast.TermQuery("a"), 1.0)
+
+
 # ---------------------------------------------------------------- e2e
 
 
