@@ -2,36 +2,46 @@
 
 Reference: /root/reference/src/aggregation/ (26.9k LoC) — a JSON request
 of named aggregations; bucket aggs (terms, histogram, date_histogram,
-range, filter, missing) may nest sub-aggregations; metric aggs (avg, min,
-max, sum, count, stats, extended_stats, percentiles, cardinality) are
-leaves.  Execution there is per-segment partial results merged upward —
-exactly Spark's partial/final aggregation, so the whole tree lowers to a
-single ``groupBy(bucket keys...).agg(metric exprs...)`` per bucket level:
-Catalyst gets one shuffle per nesting level and map-side combines
-everything (the idiomatic translation of IntermediateAggregationResults).
+range, filter, missing, composite) may nest sub-aggregations to ARBITRARY
+depth (aggregation/mod.rs:38-54); metric aggs (avg, min, max, sum, count,
+stats, extended_stats, percentiles, cardinality, top_hits) are leaves.
+Execution there is per-segment partial results merged upward — exactly
+Spark's partial/final aggregation, so a whole bucket CHAIN lowers to a
+single ``groupBy(level-1 key, ..., level-n key).agg(...)``: Catalyst gets
+ONE shuffle for the deepest grouping plus one tiny shuffle per terms level
+that needs per-parent top-size selection (the ES shard_size analogue).
 
-Supported request subset (extensible):
+Flat result convention: one row per deepest bucket, ancestor keys as
+columns (``key`` for the top level, ``{name}.key`` below), ``doc_count``
+of the deepest bucket, metric columns ``{name}.{stat}``.  Metric sub-aggs
+attached to intermediate levels join on as ``{name}.{stat}`` columns
+(repeated per leaf row).  ``to_es_json`` refolds into the nested ES
+response shape.
 
-    {"name": {"terms": {"field": f, "size": n}, "aggs": {...}},
-     "name2": {"histogram": {"field": f, "interval": i}},
-     "name3": {"date_histogram": {"field": ts, "calendar_interval": "day"}},
-     "name4": {"range": {"field": f, "ranges": [{"to": x}, {"from": x}]}},
-     "name5": {"filter": {"term": {field: v}}, "aggs": {...}},
-     "name6": {"missing": {"field": f}},
-     "m": {"avg"|"min"|"max"|"sum"|"value_count"|"stats"|"extended_stats"
-           |"cardinality"|"percentiles": {"field": f}}}
-
-The result is returned as a flat DataFrame per top-level bucket agg
-(bucket key columns + metric columns), the Spark-native shape; a
-``to_es_json`` helper folds it into the nested ES response dict.
+Bucket features vs the reference:
+- terms: ``size`` (top-N per parent bucket), ``min_doc_count``.
+- histogram: ``interval``/``offset``, ``min_doc_count: 0`` gap filling
+  with ``extended_bounds`` / ``hard_bounds`` (histogram.rs:63-129) — the
+  empty-bucket domain is generated distributedly per parent bucket
+  (sequence + explode, no driver loop).
+- date_histogram: calendar_interval hour/day/month/year AND
+  fixed_interval (e.g. "30m", "12h", "7d") via epoch arithmetic.
+- composite: multi-source paginated buckets with ``size`` and ``after``
+  keyset cursor (bucket/composite/mod.rs) — as a real tree node.
+- top_hits: per-bucket top documents by a sort spec with docvalue_fields
+  (metric/top_hits.rs) — as a real tree node (must be the only sub-agg
+  at its level; it changes the output granularity to one row per hit).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import re as _re
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filter", "missing")
+BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filter",
+                "missing", "composite")
 METRIC_KINDS = ("avg", "min", "max", "sum", "value_count", "stats",
                 "extended_stats", "cardinality", "percentiles")
 
@@ -72,7 +82,18 @@ def _metric_cols(name: str, kind: str, body: dict) -> list[Column]:
     raise ValueError(f"unsupported metric {kind}")
 
 
+_FIXED_UNITS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _fixed_interval_seconds(spec: str) -> float:
+    m = _re.fullmatch(r"(\d+)(ms|s|m|h|d)", spec)
+    if not m:
+        raise ValueError(f"bad fixed_interval {spec!r}")
+    return int(m.group(1)) * _FIXED_UNITS[m.group(2)]
+
+
 def _bucket_key(kind: str, body: dict) -> tuple[Column, str]:
+    """(key column, ES key-name) for a bucket level."""
     field = body.get("field")
     if kind == "terms":
         return F.col(field), "key"
@@ -81,12 +102,16 @@ def _bucket_key(kind: str, body: dict) -> tuple[Column, str]:
         off = float(body.get("offset", 0.0))
         return (F.floor((F.col(field) - off) / interval) * interval + off), "key"
     if kind == "date_histogram":
-        unit = body.get("calendar_interval", body.get("fixed_interval", "day"))
+        if "fixed_interval" in body:
+            secs = _fixed_interval_seconds(body["fixed_interval"])
+            epoch = F.unix_timestamp(F.col(field)).cast("double")
+            bucket_start = F.floor(epoch / secs) * F.lit(secs)
+            return (F.from_unixtime(bucket_start.cast("long"),
+                                    "yyyy-MM-dd HH:mm:ss"), "key_as_string")
+        unit = body.get("calendar_interval", "day")
         unit_map = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "year": "yyyy",
                     "hour": "yyyy-MM-dd HH"}
         return F.date_format(F.col(field), unit_map[unit]), "key_as_string"
-    if kind == "missing":
-        return F.lit(None), "key"
     raise ValueError(kind)
 
 
@@ -109,11 +134,49 @@ def _filter_pred(body: dict) -> Column:
     raise ValueError(f"unsupported filter {body}")
 
 
+def _range_key(body: dict) -> Column:
+    field = body["field"]
+    whens = None
+    for r in body["ranges"]:
+        lo, hi = r.get("from"), r.get("to")
+        label = r.get("key",
+                      f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(field) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(field) < hi)
+        whens = F.when(cond, label) if whens is None else whens.when(cond, label)
+    return whens
+
+
+class _Level:
+    """One bucket level of a chain: its kind, request body, sub-metric
+    aggs, and the alias its key column carries in the flat output."""
+
+    __slots__ = ("name", "kind", "body", "alias", "metrics", "top_hits")
+
+    def __init__(self, name, kind, body, alias, metrics, top_hits):
+        self.name = name
+        self.kind = kind
+        self.body = body
+        self.alias = alias
+        self.metrics = metrics          # {metric_name: metric_body}
+        self.top_hits = top_hits        # (name, body) | None
+
+
 def _split_sub_aggs(sub_aggs: dict | None):
-    """-> (metric sub-aggs, single nested bucket sub-agg or None)."""
+    """-> (metric sub-aggs, top_hits sub-agg or None,
+           single nested bucket sub-agg or None)."""
     metrics: dict = {}
     nested: tuple | None = None
+    top_hits: tuple | None = None
     for sname, sbody in (sub_aggs or {}).items():
+        if "top_hits" in sbody:
+            if top_hits is not None:
+                raise ValueError("at most one top_hits per level")
+            top_hits = (sname, sbody["top_hits"])
+            continue
         m = [k for k in sbody if k in METRIC_KINDS]
         b = [k for k in sbody if k in BUCKET_KINDS]
         if m:
@@ -124,100 +187,256 @@ def _split_sub_aggs(sub_aggs: dict | None):
             nested = (sname, b[0], sbody)
         else:
             raise ValueError(f"unrecognized sub-agg {sname}")
-    return metrics, nested
+    return metrics, top_hits, nested
 
 
-def _sub_metric_cols(sub_aggs: dict | None) -> list[Column]:
-    metrics, nested = _split_sub_aggs(sub_aggs)
-    if nested is not None:
-        raise ValueError("nested bucket agg not supported under this agg kind")
+def _chain_levels(name: str, kind: str, body: dict, depth: int) -> list[_Level]:
+    """Flatten a nested bucket request into its chain of levels."""
+    metrics, top_hits, nested = _split_sub_aggs(body.get("aggs"))
+    if kind in ("terms", "histogram", "date_histogram"):
+        _key, key_name = _bucket_key(kind, body[kind])
+        alias = key_name if depth == 0 else f"{name}.{key_name}"
+    elif kind == "range":
+        alias = "key" if depth == 0 else f"{name}.key"
+    else:  # filter / missing add no key column
+        alias = None
+    lvl = _Level(name, kind, body[kind], alias, metrics, top_hits)
+    if nested is None:
+        return [lvl]
+    n_name, n_kind, n_body = nested
+    return [lvl] + _chain_levels(n_name, n_kind, n_body, depth + 1)
+
+
+def _level_metric_cols(levels: list[_Level], upto: int) -> list[Column]:
     cols: list[Column] = []
-    for sname, sbody in metrics.items():
-        kind = [k for k in sbody if k in METRIC_KINDS][0]
-        cols.extend(_metric_cols(sname, kind, sbody[kind]))
+    for sname, sbody in levels[upto].metrics.items():
+        mk = [k for k in sbody if k in METRIC_KINDS][0]
+        cols.extend(_metric_cols(sname, mk, sbody[mk]))
     return cols
+
+
+def _run_chain(df: DataFrame, name: str, kind: str, body: dict) -> DataFrame:
+    """Lower a bucket chain.  Key columns carry internal dot-free aliases
+    (__k0, __k1, ...) while computing — joins by name are then unambiguous
+    — and are renamed to their public ``{name}.key`` aliases at the end."""
+    levels = _chain_levels(name, kind, body, 0)
+
+    # ---- pass A: one working frame carrying every level's key column ----
+    work = df
+    ikeys: list[str] = []          # internal aliases, parallel to pub_keys
+    pub_keys: list[str] = []       # public aliases
+    key_of_level: dict[int, str] = {}
+    for i, lvl in enumerate(levels):
+        if lvl.kind == "filter":
+            work = work.filter(_filter_pred(lvl.body))
+        elif lvl.kind == "missing":
+            work = work.filter(F.col(lvl.body["field"]).isNull())
+        elif lvl.kind == "range":
+            ik = f"__k{len(ikeys)}"
+            work = work.withColumn(ik, _range_key(lvl.body)) \
+                       .filter(F.col(ik).isNotNull())
+            ikeys.append(ik)
+            pub_keys.append(lvl.alias)
+            key_of_level[i] = ik
+        else:
+            ik = f"__k{len(ikeys)}"
+            key_col, _ = _bucket_key(lvl.kind, lvl.body)
+            work = work.withColumn(ik, key_col)
+            ikeys.append(ik)
+            pub_keys.append(lvl.alias)
+            key_of_level[i] = ik
+
+    leaf = levels[-1]
+
+    def _publish(frame: DataFrame) -> DataFrame:
+        for ik, pub in zip(ikeys, pub_keys):
+            frame = frame.withColumnRenamed(ik, pub)
+        return frame
+
+    # ---- top_hits leaf: output granularity is one row per hit ----------
+    if leaf.top_hits is not None:
+        th_name, th = leaf.top_hits
+        size = int(th.get("size", 3))
+        order = []
+        for spec in th.get("sort", []):
+            ((fld, opts),) = spec.items()
+            direction = opts.get("order", "asc") if isinstance(opts, dict) else opts
+            order.append(F.col(fld).desc() if direction == "desc"
+                         else F.col(fld).asc())
+        fields = th.get("docvalue_fields", [])
+        order += [F.col(f).asc() for f in fields]  # deterministic tie-break
+        w = (Window.partitionBy(*ikeys).orderBy(*order) if ikeys
+             else Window.orderBy(*order))
+        hits = (work.withColumn("__rank", F.row_number().over(w))
+                .filter(F.col("__rank") <= size))
+        out = hits.select(*ikeys, F.col("__rank").alias(f"{th_name}.rank"),
+                          *fields).orderBy(*ikeys, "__rank")
+        return _publish(out)
+
+    # ---- pass B: the deepest grouping (the ONE big shuffle) -------------
+    grouped = (work.groupBy(*ikeys) if ikeys else work.groupBy()) \
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             *_level_metric_cols(levels, len(levels) - 1))
+    if not ikeys:  # pure filter/missing chain: single-row result
+        return grouped
+
+    # ---- pass C: per-level terms size / min_doc_count, outer -> inner ---
+    # A terms level with a size keeps its top-N keys PER PARENT bucket
+    # (the ES semantics); selection is computed on the working frame's
+    # level-granular counts, then semi-joined into the leaf frame.
+    for i, lvl in enumerate(levels):
+        if i not in key_of_level or lvl.kind != "terms":
+            continue
+        upto = ikeys.index(key_of_level[i]) + 1
+        keys = ikeys[:upto]
+        size = lvl.body.get("size")
+        min_dc = int(lvl.body.get("min_doc_count", 1))
+        if size is None and min_dc <= 1:
+            continue
+        counts = work.groupBy(*keys).agg(F.count(F.lit(1)).alias("_dc"))
+        if min_dc > 1:
+            counts = counts.filter(F.col("_dc") >= min_dc)
+        if size is not None:
+            parents = keys[:-1]
+            w = (Window.partitionBy(*parents) if parents else Window) \
+                .orderBy(F.desc("_dc"), F.asc(keys[-1]))
+            counts = (counts.withColumn("_rk", F.row_number().over(w))
+                      .filter(F.col("_rk") <= int(size)))
+        grouped = grouped.join(F.broadcast(counts.select(*keys)),
+                               keys, "left_semi")
+
+    # ---- pass D: histogram gap filling at the leaf level ---------------
+    if leaf.kind == "histogram" and int(leaf.body.get("min_doc_count", 1)) == 0:
+        grouped = _fill_histogram_gaps(grouped, leaf, ikeys)
+    if leaf.kind == "histogram" and "hard_bounds" in leaf.body:
+        hb = leaf.body["hard_bounds"]
+        k = F.col(ikeys[-1])
+        grouped = grouped.filter((k >= float(hb["min"])) & (k <= float(hb["max"])))
+
+    # ---- pass E: intermediate-level metrics join on ancestor keys ------
+    for i, lvl in enumerate(levels[:-1]):
+        if not lvl.metrics or i not in key_of_level:
+            continue
+        upto = ikeys.index(key_of_level[i]) + 1
+        keys = ikeys[:upto]
+        side = work.groupBy(*keys).agg(*_level_metric_cols(levels, i))
+        grouped = grouped.join(F.broadcast(side), keys, "left")
+
+    # single-level terms keeps the ES bucket ordering in the flat frame
+    if len(levels) == 1 and leaf.kind == "terms":
+        size = int(leaf.body.get("size", 10))
+        return _publish(grouped.orderBy(F.desc("doc_count"),
+                                        F.asc(ikeys[0])).limit(size))
+    return _publish(grouped.orderBy(*ikeys))
+
+
+def _fill_histogram_gaps(grouped: DataFrame, leaf: _Level,
+                         ikeys: list[str]) -> DataFrame:
+    """min_doc_count=0: emit empty buckets across the bucket domain —
+    [data min, data max] widened by extended_bounds (histogram.rs:63-129).
+    The domain is generated per parent bucket with sequence/explode; no
+    driver-side loop, so it scales to any number of parents."""
+    interval = float(leaf.body["interval"])
+    off = float(leaf.body.get("offset", 0.0))
+    eb = leaf.body.get("extended_bounds")
+    leaf_key = ikeys[-1]
+    parent_keys = ikeys[:-1]
+
+    # work in integer bucket-index space: float key equality across a join
+    # is fragile, index equality is exact.  key == index * interval + off
+    # (bit-identical to the bucket construction, which produces
+    # integral-double-multiples of the interval).
+    import math
+
+    g2 = grouped.withColumn(
+        "_bi", F.round((F.col(leaf_key) - off) / interval).cast("long"))
+    lo_col = F.min(F.col("_bi"))
+    hi_col = F.max(F.col("_bi"))
+    if eb is not None:
+        lo_col = F.least(lo_col, F.lit(int(math.floor((float(eb["min"]) - off) / interval))))
+        hi_col = F.greatest(hi_col, F.lit(int(math.floor((float(eb["max"]) - off) / interval))))
+    bounds = (g2.groupBy(*parent_keys) if parent_keys else g2.groupBy()) \
+        .agg(lo_col.alias("_lo"), hi_col.alias("_hi"))
+    domain = bounds.select(
+        *parent_keys,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_bi"))
+    filled = domain.join(g2.drop(leaf_key), parent_keys + ["_bi"], "left")
+    metric_cols = [c for c in grouped.columns if c not in ikeys]
+    return filled.select(
+        *parent_keys,
+        (F.col("_bi").cast("double") * interval + off).alias(leaf_key),
+        *[F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c) if c == "doc_count"
+          else F.col(f"`{c}`") for c in metric_cols])
+
+
+def _run_composite(df: DataFrame, name: str, body: dict) -> DataFrame:
+    """Composite agg as a tree node (bucket/composite/mod.rs): multi-source
+    ordered buckets, keyset pagination via the after cursor — the predicate
+    pushes into the aggregation input, never an OFFSET scan."""
+    comp = body["composite"]
+    sources = comp["sources"]
+    size = int(comp.get("size", 10))
+    after = comp.get("after")
+    key_aliases: list[str] = []
+    work = df
+    for src in sources:
+        ((sname, sbody),) = src.items()
+        ((skind, sdef),) = sbody.items()
+        if skind not in ("terms", "histogram", "date_histogram"):
+            raise ValueError(f"unsupported composite source {skind}")
+        key_col, _ = _bucket_key(skind, {**sdef})
+        work = work.withColumn(sname, key_col)
+        key_aliases.append(sname)
+    if after is not None:
+        # keyset cursor: strictly after the tuple, lexicographically
+        pred = None
+        eq_chain = F.lit(True)
+        for a in key_aliases:
+            gt = eq_chain & (F.col(a) > F.lit(after[a]))
+            pred = gt if pred is None else pred | gt
+            eq_chain = eq_chain & (F.col(a) == F.lit(after[a]))
+        work = work.filter(pred)
+    metrics, top_hits, nested = _split_sub_aggs(body.get("aggs"))
+    if nested is not None or top_hits is not None:
+        raise ValueError("composite supports metric sub-aggs only")
+    mcols: list[Column] = []
+    for sname, sbody in metrics.items():
+        mk = [k for k in sbody if k in METRIC_KINDS][0]
+        mcols.extend(_metric_cols(sname, mk, sbody[mk]))
+    return (work.groupBy(*key_aliases)
+            .agg(F.count(F.lit(1)).alias("doc_count"), *mcols)
+            .orderBy(*key_aliases).limit(size))
 
 
 def run_agg_tree(df: DataFrame, request: dict) -> dict[str, DataFrame]:
     """Execute an ES-style aggregation request; returns one DataFrame per
-    top-level aggregation name."""
+    top-level aggregation name (flat leaf-bucket convention, see module
+    docstring)."""
     out: dict[str, DataFrame] = {}
     for name, body in request.items():
-        kinds = [k for k in body if k in BUCKET_KINDS + METRIC_KINDS]
+        kinds = [k for k in body if k in BUCKET_KINDS + METRIC_KINDS + ("top_hits",)]
         if not kinds:
             raise ValueError(f"no recognized agg in {name}")
         kind = kinds[0]
-        sub = body.get("aggs")
+        if kind == "top_hits":
+            # top-level top_hits: a single implicit all-docs bucket
+            out[name] = _run_chain(
+                df, name, "filter",
+                {"filter": {"range": {df.columns[0]: {}}},
+                 "aggs": {name: {"top_hits": body["top_hits"]}}})
+            continue
         if kind in METRIC_KINDS:
             out[name] = df.agg(*_metric_cols(name, kind, body[kind]))
             continue
-        if kind == "filter":
-            fdf = df.filter(_filter_pred(body["filter"]))
-            out[name] = fdf.agg(F.count(F.lit(1)).alias("doc_count"),
-                                *_sub_metric_cols(sub))
+        if kind == "composite":
+            out[name] = _run_composite(df, name, body)
             continue
-        if kind == "range":
-            field = body["range"]["field"]
-            whens = None
-            for i, r in enumerate(body["range"]["ranges"]):
-                lo, hi = r.get("from"), r.get("to")
-                label = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
-                cond = F.lit(True)
-                if lo is not None:
-                    cond = cond & (F.col(field) >= lo)
-                if hi is not None:
-                    cond = cond & (F.col(field) < hi)
-                whens = F.when(cond, label) if whens is None else whens.when(cond, label)
-            grouped = df.withColumn("key", whens).filter(F.col("key").isNotNull()) \
-                .groupBy("key")
-            out[name] = grouped.agg(F.count(F.lit(1)).alias("doc_count"),
-                                    *_sub_metric_cols(sub))
+        if kind in ("filter", "missing") and not body.get("aggs"):
+            base = (df.filter(_filter_pred(body["filter"])) if kind == "filter"
+                    else df.filter(F.col(body[kind]["field"]).isNull()))
+            out[name] = base.agg(F.count(F.lit(1)).alias("doc_count"))
             continue
-        key_col, key_name = _bucket_key(kind, body[kind])
-        if kind == "missing":
-            base = df.filter(F.col(body[kind]["field"]).isNull())
-            out[name] = base.agg(F.count(F.lit(1)).alias("doc_count"),
-                                 *_sub_metric_cols(sub))
-            continue
-        metrics, nested = _split_sub_aggs(sub)
-        metric_cols: list[Column] = []
-        for sname, sbody in metrics.items():
-            mk = [k for k in sbody if k in METRIC_KINDS][0]
-            metric_cols.extend(_metric_cols(sname, mk, sbody[mk]))
-        if nested is not None:
-            # depth-2 bucket nesting: one groupBy over both keys computes
-            # every (outer, inner) bucket; a terms outer with a size limit
-            # first selects its top keys (broadcast semi-join), mirroring
-            # ES shard_size semantics exactly at this scale.  to_es_json
-            # refolds the flat rows into nested ES buckets.
-            n_name, n_kind, n_body = nested
-            inner_key, inner_key_name = _bucket_key(n_kind, n_body[n_kind])
-            inner_metrics = _sub_metric_cols(n_body.get("aggs"))
-            base = df
-            if kind == "terms" and "size" in body[kind]:
-                top_keys = (df.groupBy(key_col.alias(key_name))
-                            .agg(F.count(F.lit(1)).alias("doc_count"))
-                            .orderBy(F.desc("doc_count"), F.asc(key_name))
-                            .limit(int(body[kind]["size"]))
-                            .select(key_name))
-                base = df.join(F.broadcast(top_keys),
-                               key_col == top_keys[key_name], "left_semi")
-            grouped = base.groupBy(key_col.alias(key_name),
-                                   inner_key.alias(f"{n_name}.{inner_key_name}"))
-            agg_df = grouped.agg(F.count(F.lit(1)).alias("doc_count"),
-                                 *inner_metrics)
-            out[name] = agg_df.orderBy(key_name, f"`{n_name}.{inner_key_name}`")
-            continue
-        grouped = df.groupBy(key_col.alias(key_name))
-        agg_df = grouped.agg(F.count(F.lit(1)).alias("doc_count"), *metric_cols)
-        if kind == "terms":
-            size = int(body[kind].get("size", 10))
-            min_dc = int(body[kind].get("min_doc_count", 1))
-            agg_df = (agg_df.filter(F.col("doc_count") >= min_dc)
-                      .orderBy(F.desc("doc_count"), F.asc(key_name)).limit(size))
-        else:
-            agg_df = agg_df.orderBy(key_name)
-        out[name] = agg_df
+        out[name] = _run_chain(df, name, kind, body)
     return out
 
 

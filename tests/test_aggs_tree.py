@@ -92,6 +92,152 @@ def test_nested_bucket_depth2(spark, events):
         assert r["m.value"] == pytest.approx(a)
 
 
+def test_nested_bucket_depth3(spark, events):
+    """terms -> date_histogram(day) -> histogram(value) with a leaf avg —
+    arbitrary-depth nesting (ref: aggregation/mod.rs:38-54, agg_tests.rs
+    exercises 3+ levels), still ONE deepest groupBy shuffle."""
+    req = {"by_type": {"terms": {"field": "event_type"},
+                       "aggs": {"daily": {
+                           "date_histogram": {"field": "ts",
+                                              "calendar_interval": "day"},
+                           "aggs": {"vh": {
+                               "histogram": {"field": "value", "interval": 100},
+                               "aggs": {"m": {"avg": {"field": "value"}}}}}}}}}
+    out = run_agg_tree(events, req)["by_type"]
+    rows = out.collect()
+    assert {"key", "daily.key_as_string", "vh.key", "doc_count",
+            "m.value"} <= set(out.columns)
+    assert sum(r["doc_count"] for r in rows) == events.count()
+    want = spark.sql(
+        "SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS d, "
+        "floor(value/100)*100 AS b, count(*) c, avg(value) a "
+        "FROM {e} GROUP BY 1, 2, 3", e=events).collect()
+    wmap = {(r["event_type"], r["d"], r["b"]): (r["c"], r["a"]) for r in want}
+    assert len(rows) == len(wmap)
+    for r in rows:
+        c, a = wmap[(r["key"], r["daily.key_as_string"], r["vh.key"])]
+        assert r["doc_count"] == c
+        assert r["m.value"] == pytest.approx(a)
+
+
+def test_terms_size_is_per_parent(spark, events):
+    """A nested terms level with size keeps top-N keys PER PARENT bucket."""
+    req = {"by_type": {"terms": {"field": "event_type"},
+                       "aggs": {"top_users": {
+                           "terms": {"field": "user_id", "size": 2}}}}}
+    rows = run_agg_tree(events, req)["by_type"].collect()
+    per_parent: dict = {}
+    for r in rows:
+        per_parent.setdefault(r["key"], []).append(r)
+    for ptype, bucket_rows in per_parent.items():
+        assert len(bucket_rows) <= 2
+        # the kept users are that parent's top-2 by count
+        want = spark.sql(
+            "SELECT user_id, count(*) c FROM {e} WHERE event_type = '%s' "
+            "GROUP BY 1 ORDER BY c DESC, user_id ASC LIMIT 2" % ptype,
+            e=events).collect()
+        assert sorted(r["top_users.key"] for r in bucket_rows) == \
+            sorted(w["user_id"] for w in want)
+
+
+def test_histogram_gap_filling(spark, events):
+    """min_doc_count=0 + extended_bounds: every interval in the domain is
+    present, empty ones with doc_count 0 (histogram.rs:63-129)."""
+    req = {"hist": {"histogram": {"field": "value", "interval": 50,
+                                  "min_doc_count": 0,
+                                  "extended_bounds": {"min": -200, "max": 700}}}}
+    rows = run_agg_tree(events, req)["hist"].collect()
+    keys = [r["key"] for r in rows]
+    assert keys == sorted(keys)
+    # gap-free arithmetic progression over the full extended domain
+    assert keys[0] <= -200 and keys[-1] >= 650
+    assert keys == [keys[0] + 50 * i for i in range(len(keys))]
+    filled = [r for r in rows if r["doc_count"] == 0]
+    assert filled  # extended bounds forced empty buckets
+    nonzero = {r["key"]: r["doc_count"] for r in rows if r["doc_count"] > 0}
+    want = {r["k"]: r["c"] for r in spark.sql(
+        "SELECT floor(value/50)*50 AS k, count(*) AS c FROM {e} GROUP BY 1",
+        e=events).collect()}
+    assert nonzero == want
+
+
+def test_histogram_hard_bounds(spark, events):
+    req = {"hist": {"histogram": {"field": "value", "interval": 50,
+                                  "hard_bounds": {"min": 0, "max": 200}}}}
+    rows = run_agg_tree(events, req)["hist"].collect()
+    assert all(0 <= r["key"] <= 200 for r in rows)
+
+
+def test_composite_tree_node(spark, events):
+    """composite as a request-tree node: multi-source buckets, size and
+    after-key pagination (bucket/composite/mod.rs)."""
+    req = {"comp": {"composite": {
+        "size": 5,
+        "sources": [{"t": {"terms": {"field": "event_type"}}},
+                    {"u": {"terms": {"field": "user_id"}}}],
+    }, "aggs": {"v": {"sum": {"field": "value"}}}}}
+    page1 = run_agg_tree(events, req)["comp"].collect()
+    assert len(page1) == 5
+    assert [(r["t"], r["u"]) for r in page1] == \
+        sorted((r["t"], r["u"]) for r in page1)
+    last = page1[-1]
+    req2 = {"comp": {"composite": {
+        "size": 5, "after": {"t": last["t"], "u": last["u"]},
+        "sources": [{"t": {"terms": {"field": "event_type"}}},
+                    {"u": {"terms": {"field": "user_id"}}}],
+    }}}
+    page2 = run_agg_tree(events, req2)["comp"].collect()
+    assert all((r["t"], r["u"]) > (last["t"], last["u"]) for r in page2)
+    assert all(r["v.value"] is not None for r in page1)
+
+
+def test_top_hits_tree_node(spark, events):
+    """top_hits under a terms bucket: top-2 events per type by value desc
+    (metric/top_hits.rs)."""
+    req = {"by_type": {"terms": {"field": "event_type"},
+                       "aggs": {"best": {"top_hits": {
+                           "size": 2,
+                           "sort": [{"value": {"order": "desc"}}],
+                           "docvalue_fields": ["event_id", "value"]}}}}}
+    rows = run_agg_tree(events, req)["by_type"].collect()
+    per_parent: dict = {}
+    for r in rows:
+        per_parent.setdefault(r["key"], []).append(r)
+    for ptype, hits in per_parent.items():
+        assert [h["best.rank"] for h in hits] == list(range(1, len(hits) + 1))
+        want = spark.sql(
+            "SELECT event_id, value FROM {e} WHERE event_type = '%s' "
+            "ORDER BY value DESC, event_id ASC LIMIT 2" % ptype,
+            e=events).collect()
+        assert [h["event_id"] for h in hits] == [w["event_id"] for w in want]
+
+
+def test_date_histogram_fixed_interval(spark, events):
+    req = {"h12": {"date_histogram": {"field": "ts", "fixed_interval": "12h"}}}
+    rows = run_agg_tree(events, req)["h12"].collect()
+    assert sum(r["doc_count"] for r in rows) == events.count()
+    want = spark.sql(
+        "SELECT from_unixtime(floor(unix_timestamp(ts)/43200)*43200, "
+        "'yyyy-MM-dd HH:mm:ss') AS k, count(*) c FROM {e} GROUP BY 1",
+        e=events).collect()
+    assert {r["key_as_string"]: r["doc_count"] for r in rows} == \
+        {w["k"]: w["c"] for w in want}
+
+
+def test_intermediate_level_metrics(spark, events):
+    """A metric attached to a non-leaf level joins on as a repeated column."""
+    req = {"by_type": {"terms": {"field": "event_type"},
+                       "aggs": {"tavg": {"avg": {"field": "value"}},
+                                "daily": {"date_histogram": {
+                                    "field": "ts", "calendar_interval": "day"}}}}}
+    rows = run_agg_tree(events, req)["by_type"].collect()
+    assert "tavg.value" in rows[0].asDict()
+    want = {r["event_type"]: r["a"] for r in spark.sql(
+        "SELECT event_type, avg(value) a FROM {e} GROUP BY 1", e=events).collect()}
+    for r in rows:
+        assert r["tavg.value"] == pytest.approx(want[r["key"]])
+
+
 def test_date_histogram_and_es_shape(spark, events):
     req = {"daily": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}}
     out = run_agg_tree(events, req)
