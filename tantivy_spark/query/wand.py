@@ -119,10 +119,18 @@ class _TermBlocks:
 
 
 def _segment_wand(terms_blocks: list[_TermBlocks], params: list[Bm25Params],
-                  k: int, mode: str, deleted: np.ndarray | None = None):
+                  k: int, mode: str, deleted: np.ndarray | None = None,
+                  seed: float = -np.inf, stats: dict | None = None):
     """Run the strip-pruned scorer for one segment.
     Returns (doc_ids int64, scores float32) of the segment's top-k
-    (plus ties at the kth score)."""
+    (plus ties at the kth score).
+
+    ``seed``: an externally-proven lower bound on the GLOBAL kth score
+    (bm25.rs:184-186 semantics — threshold seeding across segments).  Any
+    strip whose upper bound is strictly below it can never contribute to
+    the global top-k, so pruning starts before k local candidates exist.
+    ``stats``: optional dict collecting ``decoded_blocks`` /
+    ``processed_strips`` for instrumentation."""
     T = len(terms_blocks)
     # ---- strip decomposition ------------------------------------------------
     edges = np.unique(np.concatenate(
@@ -153,7 +161,8 @@ def _segment_wand(terms_blocks: list[_TermBlocks], params: list[Bm25Params],
     cand_docs: list[np.ndarray] = []
     cand_scores: list[np.ndarray] = []
     n_cand = 0
-    threshold = -np.inf
+    threshold = float(seed)
+    n_strips = 0
     decoded: dict[tuple[int, int], tuple] = {}
 
     def get_block(ti: int, b: int):
@@ -165,8 +174,12 @@ def _segment_wand(terms_blocks: list[_TermBlocks], params: list[Bm25Params],
     for si in order:
         if ub[si] < 0:
             break
-        if n_cand >= k and ub[si] < threshold:
+        # the seed is already a proven global-kth lower bound, so pruning
+        # applies even before k local candidates accumulate; a locally
+        # computed threshold only applies once k candidates exist
+        if ub[si] < threshold and (n_cand >= k or ub[si] < seed):
             break
+        n_strips += 1
         lo, hi = s_lo[si], s_hi[si]
         docs_parts, score_parts, ord_parts = [], [], []
         for ti in range(T):
@@ -224,7 +237,11 @@ def _segment_wand(terms_blocks: list[_TermBlocks], params: list[Bm25Params],
         if n_cand >= k:
             alls = np.concatenate(cand_scores)
             if len(alls) >= k:
-                threshold = float(np.partition(alls, -k)[-k])
+                threshold = max(threshold,
+                                float(np.partition(alls, -k)[-k]))
+    if stats is not None:
+        stats["decoded_blocks"] = stats.get("decoded_blocks", 0) + len(decoded)
+        stats["processed_strips"] = stats.get("processed_strips", 0) + n_strips
     if not cand_docs:
         return np.zeros(0, np.int64), np.zeros(0, np.float32)
     docs_all = np.concatenate(cand_docs)
@@ -244,8 +261,58 @@ def _segment_wand(terms_blocks: list[_TermBlocks], params: list[Bm25Params],
 MAX_BROADCAST_DELETES = 2_000_000
 
 
+def global_seed_threshold(reader: IndexReader, live_terms: list[str],
+                          params_by_term: dict, k: int) -> float:
+    """A PROVEN lower bound on the global kth score, computed before the
+    per-segment kernels run (the reference seeds per-term thresholds from
+    max_scores, bm25.rs:184-186; here we go one step further and realize
+    k actual single-term scores).
+
+    Method: among all (term, chunk, block) with >= k docs, pick the block
+    with the highest block-max score; decode ONLY that block (a few KB)
+    and take its kth-highest single-term score.  Those are k real docs
+    whose total scores are >= their single-term scores (all BM25
+    contributions are positive in a union), so the global kth total score
+    is >= this value.  Only valid for mode="or" — in an intersection a
+    high-scoring doc for one term may not match the others.
+    """
+    meta = (reader.postings_for_terms(live_terms)
+            .select("term", "segment_ord", "chunk_id",
+                    "n_docs", "wand_fn", "wand_tf").collect())
+    best = None  # (bms, term, segment_ord, chunk_id, block_idx)
+    for row in meta:
+        if not row["n_docs"]:
+            continue
+        params = params_by_term[row["term"]]
+        nd = np.array(row["n_docs"], dtype=np.int64)
+        bms = params.score(np.array(row["wand_fn"], dtype=np.int64),
+                           np.array(row["wand_tf"], dtype=np.int64))
+        eligible = np.nonzero(nd >= k)[0]
+        if len(eligible) == 0:
+            continue
+        b = int(eligible[np.argmax(bms[eligible])])
+        cand = (float(bms[b]), row["term"], int(row["segment_ord"]),
+                int(row["chunk_id"]), b)
+        if best is None or cand[0] > best[0]:
+            best = cand
+    if best is None:
+        return float("-inf")
+    _, term, seg, chunk, b = best
+    rows = (reader.postings_for_terms([term])
+            .filter((F.col("segment_ord") == seg) & (F.col("chunk_id") == chunk))
+            .drop("pos").collect())
+    if not rows:
+        return float("-inf")
+    tb = _TermBlocks(rows, params_by_term[term])
+    _docs, tfs, fns = tb.decode_block(b)
+    scores = params_by_term[term].score(fns, tfs)
+    if len(scores) < k:
+        return float("-inf")
+    return float(np.partition(scores, -k)[-k])
+
+
 def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
-              mode: str = "or") -> DataFrame:
+              mode: str = "or", seed_threshold: bool = False) -> DataFrame:
     """Distributed BMW top-k for a pure term union ("or") or pure term
     intersection ("and").  Returns (rank, segment_ord, doc_id, score, key)
     with the reference tie-break; score is float32.
@@ -255,6 +322,14 @@ def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
     than MAX_BROADCAST_DELETES deleted docs should be compacted first
     (merge drops them) — callers get a ValueError rather than a silent
     driver-memory blowup.
+
+    ``seed_threshold``: pre-compute a global kth lower bound from the
+    best single block (global_seed_threshold) and ship it to every
+    segment kernel, so pruning starts immediately instead of after k
+    local candidates.  Two extra tiny jobs of latency; a large decoded-
+    block saving on big posting lists.  Results are identical either way
+    (tests assert it).  "or" only; ignored for intersections (and when
+    deletes exist — dead docs could occupy the seeding block's top-k).
     """
     terms = list(terms)
     deleted_by_seg: dict[int, np.ndarray] | None = None
@@ -283,6 +358,9 @@ def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
         empty = spark.createDataFrame([], schema=OUT_SCHEMA)
         rows = empty
     else:
+        seed = float("-inf")
+        if seed_threshold and mode == "or" and deleted_by_seg is None:
+            seed = global_seed_threshold(reader, live_terms, params_by_term, k)
         rows = (reader.postings_for_terms(live_terms)
                 .drop("pos")
                 .repartition("segment_ord"))
@@ -314,7 +392,8 @@ def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
                     if not tbs:
                         continue
                     dead = (deleted_by_seg or {}).get(seg)
-                    d, s = _segment_wand(tbs, prms, kk, md, deleted=dead)
+                    d, s = _segment_wand(tbs, prms, kk, md, deleted=dead,
+                                         seed=seed)
                     if len(d):
                         yield pd.DataFrame({
                             "segment_ord": np.full(len(d), seg, dtype=np.int32),

@@ -64,6 +64,69 @@ def test_wand_intersection_matches_golden(tiny_index, tiny_golden, terms, k):
         assert np.float32(r["score"]) == np.float32(ws)
 
 
+@pytest.mark.parametrize("terms,k", UNION_CASES[:5], ids=lambda x: str(x))
+def test_seeded_wand_identical(tiny_index, tiny_golden, terms, k):
+    """Threshold seeding (global kth lower bound shipped to kernels) must
+    never change results — byte-identical ranks, addresses, f32 scores."""
+    base = wand_topk(tiny_index, terms, k=k, mode="or").collect()
+    seeded = wand_topk(tiny_index, terms, k=k, mode="or",
+                       seed_threshold=True).collect()
+    assert [(r["rank"], r["segment_ord"], r["doc_id"], r["score"])
+            for r in base] == \
+        [(r["rank"], r["segment_ord"], r["doc_id"], r["score"])
+         for r in seeded]
+
+
+def test_seed_threshold_is_valid_lower_bound(tiny_index, tiny_golden):
+    from tantivy_spark.bm25 import Bm25Params
+    from tantivy_spark.query.wand import global_seed_threshold
+
+    terms = ["the", "data"]
+    dfs = tiny_index.doc_freqs(terms)
+    params = {t: Bm25Params.for_one_term(dfs[t], tiny_index.num_docs,
+                                         tiny_index.avg_fieldnorm)
+              for t in terms}
+    for k in (1, 5, 10):
+        seed = global_seed_threshold(tiny_index, terms, params, k)
+        want = _golden_topk(tiny_golden, terms, k, "or")
+        kth = want[-1][3]  # golden kth total score
+        assert seed <= kth + 1e-6, (k, seed, kth)
+        assert seed > float("-inf")
+
+
+def test_seeding_prunes_decode_work(tiny_index):
+    """Direct kernel instrumentation: with a strong seed the kernel
+    decodes no more (and typically fewer) blocks than unseeded."""
+    import numpy as np
+
+    from tantivy_spark.bm25 import Bm25Params
+    from tantivy_spark.query.wand import (
+        _TermBlocks, _segment_wand, global_seed_threshold)
+
+    terms = ["the", "of"]
+    dfs = tiny_index.doc_freqs(terms)
+    params = {t: Bm25Params.for_one_term(dfs[t], tiny_index.num_docs,
+                                         tiny_index.avg_fieldnorm)
+              for t in terms}
+    rows = (tiny_index.postings_for_terms(terms).drop("pos")
+            .filter("segment_ord = 0").collect())
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    tbs = [_TermBlocks(by_term[t], params[t]) for t in terms if t in by_term]
+    prms = [params[t] for t in terms if t in by_term]
+    seed = global_seed_threshold(tiny_index, terms, params, 3)
+
+    s0: dict = {}
+    d0, sc0 = _segment_wand(tbs, prms, 3, "or", stats=s0)
+    s1: dict = {}
+    d1, sc1 = _segment_wand(tbs, prms, 3, "or", seed=seed, stats=s1)
+    assert list(d0) == list(d1)
+    assert list(sc0) == list(sc1)
+    assert s1["decoded_blocks"] <= s0["decoded_blocks"]
+    assert s1["processed_strips"] <= s0["processed_strips"]
+
+
 def test_wand_randomized_merged(spark, tmp_path_factory):
     """Random Zipf corpus, single + merged-index variants: WAND == golden."""
     from tantivy_spark.corpus import synthetic_pages
