@@ -8,16 +8,21 @@ playing meta.json's role (atomic swap, opstamp == batch_id).  Periodic
 compaction = ``tantivy_spark.index.merge.merge_segments`` on a schedule,
 the analogue of the background merge policy.
 
-Usage::
+Atomicity: every batch writes into its OWN partition subdirectories
+(``postings/batch=N``, ``docmap/batch=N``, ...) with overwrite mode, and
+the manifest records the batch only after every write landed.  A crash at
+ANY point before the manifest write leaves orphan files that the retry
+overwrites exactly — re-delivery is idempotent whether the previous
+attempt failed before, between, or after the parquet writes (the
+reference's equivalent guarantee is the meta.json atomic swap +
+failpoint-tested serializer, tests/failpoints/mod.rs).  Readers see the
+``batch`` partition column via partition discovery; every consumer
+addresses columns by name, so it is inert.
 
-    indexer = IncrementalIndexer(spark, index_dir, cfg)
-    (stream.writeStream.foreachBatch(indexer.process_batch)
-        .trigger(availableNow=True).start())
-
-Batch idempotency: processed batch_ids are recorded in the manifest and
-re-deliveries are skipped.  (A crash after the parquet append but before
-the manifest write could leave orphan rows on retry; a production
-deployment would write per-batch subdirectories — kept simple here.)
+Failpoints: ``indexer.failpoints.add("after_postings")`` makes the next
+``process_batch`` raise right after the postings write — the unit tests
+inject crashes at each window and assert the retry converges to the
+clean-run result.
 """
 
 from __future__ import annotations
@@ -38,6 +43,13 @@ from tantivy_spark.index.build import (
     _write_manifest,
 )
 
+FAILPOINTS = ("after_postings", "after_docmap", "after_lineage",
+              "after_term_stats")
+
+
+class InjectedFailure(IOError):
+    """Raised by an armed failpoint (test instrumentation)."""
+
 
 class IncrementalIndexer:
     def __init__(self, spark: SparkSession, index_dir: str,
@@ -47,11 +59,18 @@ class IncrementalIndexer:
         self.index_dir = index_dir
         self.cfg = cfg or IndexConfig()
         self.segments_per_batch = segments_per_batch
+        #: armed failure-injection points (see module docstring)
+        self.failpoints: set[str] = set()
         os.makedirs(index_dir, exist_ok=True)
         self.manifest_path = os.path.join(index_dir, "meta.json")
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
                 self.manifest = json.load(f)
+            if self.manifest.get("stages"):
+                raise ValueError(
+                    "IncrementalIndexer requires a fresh or streaming-built "
+                    "index dir; extend a batch-built/merged index by "
+                    "re-ingesting into a new dir or merging afterwards")
         else:
             self.manifest = {
                 "version": 1, "config": self.cfg.__dict__, "stages": {},
@@ -62,6 +81,13 @@ class IncrementalIndexer:
         self.manifest.setdefault("batches", {})
         self.manifest.setdefault("next_segment_ord",
                                  self.manifest["totals"].get("num_segments", 0))
+
+    def _fail(self, point: str) -> None:
+        if point in self.failpoints:
+            raise InjectedFailure(point)
+
+    def _bdir(self, table: str, bid: str) -> str:
+        return os.path.join(self.index_dir, table, f"batch={bid}")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         bid = str(int(batch_id))
@@ -85,7 +111,10 @@ class IncrementalIndexer:
             .groupBy("segment_ord")
             .applyInArrow(_segment_kernel(cfg), schema=POSTINGS_SCHEMA)
         )
-        postings.write.mode("append").parquet(os.path.join(self.index_dir, "postings"))
+        # every write is an OVERWRITE of this batch's own subdirectory —
+        # a retried batch rewrites the same paths byte-for-byte
+        postings.write.mode("overwrite").parquet(self._bdir("postings", bid))
+        self._fail("after_postings")
 
         from tantivy_spark.index.build import _segmented_docs
         w = Window.partitionBy("segment_ord").orderBy("key")
@@ -93,24 +122,20 @@ class IncrementalIndexer:
                   .select("segment_ord", "key")
                   .withColumn("doc_id", (F.row_number().over(w) - 1).cast("int"))
                   .select("segment_ord", "doc_id", "key"))
-        docmap.write.mode("append").parquet(os.path.join(self.index_dir, "docmap"))
+        docmap.write.mode("overwrite").parquet(self._bdir("docmap", bid))
+        self._fail("after_docmap")
 
         # per-batch stats from the freshly written sentinel rows
-        new_postings = self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        batch_postings = self.spark.read.parquet(self._bdir("postings", bid))
         is_sent = F.col("term") == FIELDNORM_SENTINEL
-        batch_segs = new_postings.filter(
-            is_sent & (F.col("segment_ord") >= base)
-            & (F.col("segment_ord") < base + n_seg))
-        stats = batch_segs.agg(
+        stats = batch_postings.filter(is_sent).agg(
             F.coalesce(F.sum("doc_freq"), F.lit(0)).alias("docs"),
             F.coalesce(F.sum("total_tf"), F.lit(0)).alias("tokens"),
             F.countDistinct("segment_ord").alias("segs"),
         ).collect()[0]
 
-        # append lineage rows for the new segments
-        lin = new_postings.filter(
-            (F.col("segment_ord") >= base) & (F.col("segment_ord") < base + n_seg)
-        ).groupBy("segment_ord").agg(
+        # lineage rows for the new segments
+        (batch_postings.groupBy("segment_ord").agg(
             F.sum(F.when(is_sent, F.col("doc_freq"))).alias("n_docs"),
             F.sum(F.when(is_sent, F.col("total_tf"))).alias("n_tokens"),
             F.sum(F.when(~is_sent, 1).otherwise(0)).alias("posting_rows"),
@@ -118,16 +143,15 @@ class IncrementalIndexer:
             (F.sum(F.octet_length("docs")) + F.sum(F.octet_length("tfs"))
              + F.sum(F.octet_length("fns"))
              + F.sum(F.coalesce(F.octet_length("pos"), F.lit(0)))).alias("bytes"),
-        )
-        lin.write.mode("append").parquet(os.path.join(self.index_dir, "lineage"))
+        ).write.mode("overwrite").parquet(self._bdir("lineage", bid)))
+        self._fail("after_lineage")
 
         # incremental term_stats delta (reader sums per term)
-        (new_postings.filter(
-            (~is_sent) & (F.col("segment_ord") >= base)
-            & (F.col("segment_ord") < base + n_seg))
+        (batch_postings.filter(~is_sent)
          .groupBy("term")
          .agg(F.sum("doc_freq").alias("doc_freq"), F.sum("total_tf").alias("total_tf"))
-         .write.mode("append").parquet(os.path.join(self.index_dir, "term_stats")))
+         .write.mode("overwrite").parquet(self._bdir("term_stats", bid)))
+        self._fail("after_term_stats")
 
         t = self.manifest["totals"]
         t["num_docs"] += int(stats["docs"])
@@ -139,4 +163,6 @@ class IncrementalIndexer:
             "segments": [base, base + n_seg], "docs": int(stats["docs"]),
             "wall_sec": time.time() - t0,
         }
+        # the atomic publish point: everything above is invisible to
+        # readers-of-the-manifest until this rename lands
         _write_manifest(self.manifest_path, self.manifest)
