@@ -199,21 +199,51 @@ def json_path_tokens_col(json_str: Column) -> Column:
     )
 
 
-def en_stem_tokens_col(text: Column) -> Column:
-    """The "en_stem" chain: default analyzer + Porter stemmer
-    (ref: tokenizer_manager.rs en_stem registration).  The stemmer is an
-    Arrow-batched pandas UDF (no stemming library ships here; the Porter
-    algorithm is implemented in tantivy_spark.functions.porter)."""
+def _stem_chain(stem_import: str):
+    """Build a "{lang}_stem" analyzer: default chain + an Arrow-batched
+    pandas-UDF stemmer (ref: tokenizer_manager.rs registers en_stem etc;
+    stemmer.rs:35-75 lists the Snowball languages).  ``stem_import`` is a
+    "module:function" path resolved inside the worker, so the UDF closure
+    stays tiny."""
     from pyspark.sql.functions import pandas_udf
+
+    mod_name, fn_name = stem_import.split(":")
 
     @pandas_udf("array<string>")
     def _stem(tok_arrays: pd.Series) -> pd.Series:
-        from tantivy_spark.functions.porter import porter_stem
+        import importlib
 
+        fn = getattr(importlib.import_module(mod_name), fn_name)
         return tok_arrays.map(
-            lambda toks: [porter_stem(t) for t in toks] if toks is not None else [])
+            lambda toks: [fn(t) for t in toks] if toks is not None else [])
 
-    return _stem(tokens_col(text))
+    def chain(text: Column) -> Column:
+        return _stem(tokens_col(text))
+
+    return chain
+
+
+def en_stem_tokens_col(text: Column) -> Column:
+    """The "en_stem" chain: default analyzer + Porter stemmer (no stemming
+    library ships here; implemented in tantivy_spark.functions.porter)."""
+    return _stem_chain("tantivy_spark.functions.porter:porter_stem")(text)
+
+
+# Snowball chains beyond English (ref: stemmer.rs:35-75) — the
+# algorithms are implemented from the published Snowball descriptions in
+# tantivy_spark.functions.snowball.  (Lazy: pandas_udf creation needs an
+# active session, so the chain is built per call, not at import.)
+
+def de_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball:german_stem")(text)
+
+
+def es_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball:spanish_stem")(text)
+
+
+def fr_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball:french_stem")(text)
 
 
 ANALYZERS = {
@@ -221,6 +251,9 @@ ANALYZERS = {
     "raw": raw_analyzer,
     "whitespace": whitespace_analyzer,
     "en_stem": en_stem_tokens_col,
+    "de_stem": de_stem_tokens_col,
+    "es_stem": es_stem_tokens_col,
+    "fr_stem": fr_stem_tokens_col,
 }
 
 

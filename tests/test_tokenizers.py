@@ -67,3 +67,58 @@ def test_porter_vectors():
     }
     for w, want in vectors.items():
         assert porter_stem(w) == want, w
+
+
+SNOWBALL_VECTORS = {
+    # hand-derived by tracing the published Snowball algorithm
+    # descriptions (snowballstem.org); several are the algorithms' own
+    # worked examples (e.g. majestueusement, continuellement, animaux)
+    "de": {
+        "kinder": "kind", "kindern": "kind", "häuser": "haus",
+        "aufgaben": "aufgab", "schönes": "schon", "bücher": "buch",
+        "laufen": "lauf", "verhältnisse": "verhaltnis",
+        "freundlichkeit": "freundlich", "bedeutungen": "bedeut",
+        "schnellste": "schnell", "straße": "strass", "mädchen": "madch",
+    },
+    "es": {
+        "niños": "niñ", "cantando": "cant", "cantaremos": "cant",
+        "rápidamente": "rapid", "felicidad": "felic",
+        "organización": "organiz", "comunicativa": "comunic",
+        "lógica": "logic", "corriendo": "corr", "hablaron": "habl",
+        "grandes": "grand", "diciéndoselo": "dic",
+    },
+    "fr": {
+        "chanter": "chant", "chantaient": "chant", "nationaux": "national",
+        "grandement": "grand", "continuellement": "continuel",
+        "majestueusement": "majestu", "communication": "commun",
+        "animaux": "animal", "finissons": "fin", "maisons": "maison",
+        "belles": "bel", "mangeait": "mang",
+    },
+}
+
+
+def test_snowball_vectors():
+    from tantivy_spark.functions.snowball import (
+        french_stem, german_stem, spanish_stem)
+
+    fns = {"de": german_stem, "es": spanish_stem, "fr": french_stem}
+    for lang, vecs in SNOWBALL_VECTORS.items():
+        for w, want in vecs.items():
+            assert fns[lang](w) == want, (lang, w, fns[lang](w))
+
+
+def test_snowball_chains_distributed(spark):
+    """The {de,es,fr}_stem analyzers run the same stems through the
+    Arrow-batched UDF path."""
+    from tantivy_spark.analyzer import (
+        de_stem_tokens_col, es_stem_tokens_col, fr_stem_tokens_col)
+
+    got = list(_one(spark, de_stem_tokens_col(F.col("t")),
+                    "Kinder häuser Bedeutungen"))
+    assert got == ["kind", "haus", "bedeut"]
+    got = list(_one(spark, es_stem_tokens_col(F.col("t")),
+                    "niños cantando rápidamente"))
+    assert got == ["niñ", "cant", "rapid"]
+    got = list(_one(spark, fr_stem_tokens_col(F.col("t")),
+                    "chantaient nationaux continuellement"))
+    assert got == ["chant", "national", "continuel"]
