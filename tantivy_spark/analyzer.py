@@ -173,6 +173,72 @@ def alphanum_only_filter(tokens: Column) -> Column:
     return F.filter(tokens, lambda t: t.rlike(r"^[\p{L}\p{N}]+$"))
 
 
+def regex_tokenizer(pattern: str):
+    """Tokenizer from a regex: each match is a token, in order
+    (ref: regex_tokenizer.rs — the pattern defines the tokens, the rest
+    is discarded)."""
+    def chain(text: Column) -> Column:
+        return F.regexp_extract_all(F.coalesce(text, F.lit("")),
+                                    F.lit(pattern), 0)
+    return chain
+
+
+def facet_tokens(text: Column) -> Column:
+    """FacetTokenizer: a facet path emits one token per ancestor prefix —
+    "/a/b/c" -> ["/a", "/a/b", "/a/b/c"] (ref: facet_tokenizer.rs)."""
+    t = F.coalesce(text, F.lit(""))
+    parts = F.filter(F.split(t, "/"), lambda p: F.length(p) > 0)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(parts), F.lit(0)))
+    return F.when(F.size(parts) > 0, F.transform(
+        idx, lambda i: F.concat(F.lit("/"), F.array_join(F.slice(parts, 1, i), "/"))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def split_compound_words(dictionary: list[str]):
+    """SplitCompoundWords filter (ref: split_compound_words.rs): a token
+    that decomposes ENTIRELY into a concatenation of dictionary words is
+    replaced by those subwords; otherwise it passes through unchanged.
+    Arrow-batched pandas UDF; the decomposition is a linear DP over the
+    token (dictionary word set in the closure — it is small by nature)."""
+    from pyspark.sql.functions import pandas_udf
+
+    words = sorted(set(dictionary), key=len, reverse=True)
+
+    @pandas_udf("array<string>")
+    def _split(tok_arrays: pd.Series) -> pd.Series:
+        wordset = words  # closure
+
+        def decompose(tok: str) -> list[str] | None:
+            n = len(tok)
+            # best[i] = split of tok[:i] into dict words, greedy-longest
+            best: list[list[str] | None] = [None] * (n + 1)
+            best[0] = []
+            for i in range(1, n + 1):
+                for w in wordset:
+                    lw = len(w)
+                    if lw <= i and best[i - lw] is not None \
+                            and tok[i - lw:i] == w:
+                        best[i] = best[i - lw] + [w]
+                        break
+            return best[n] if best[n] else None
+
+        def apply(toks):
+            if toks is None:
+                return []
+            out = []
+            for t in toks:
+                parts = decompose(t)
+                out.extend(parts if parts else [t])
+            return out
+
+        return tok_arrays.map(apply)
+
+    def chain(tokens: Column) -> Column:
+        return _split(tokens)
+
+    return chain
+
+
 def ascii_folding_chain(text: Column) -> Column:
     """Default analyzer + diacritic folding to ASCII via NFD decomposition
     and combining-mark removal (ref: ascii_folding_filter.rs; covers the
@@ -184,6 +250,66 @@ def ascii_folding_chain(text: Column) -> Column:
     dst_pairs = [(c, unicodedata.normalize("NFD", c)[0]) for c in src]
     dst = "".join(d if ord(d) < 128 else "?" for _c, d in dst_pairs)
     return F.transform(tokens_col(text), lambda t: F.translate(t, src, dst))
+
+
+_ASCII_SPECIALS = {
+    "ß": "ss", "æ": "ae", "œ": "oe", "ø": "o", "ð": "d", "đ": "d",
+    "þ": "th", "ł": "l", "ħ": "h", "ŋ": "n", "ĸ": "k", "ſ": "s",
+    "ƒ": "f", "ı": "i", "Æ": "AE", "Œ": "OE", "Ø": "O",
+    "Ð": "D", "Þ": "TH", "Ł": "L", "Ħ": "H", "Ŋ": "N",
+}
+
+
+def _build_ascii_fold_table() -> dict[int, str]:
+    """Full folding table generated from Unicode NFKD decomposition over
+    the BMP: any char whose decomposition strips (combining marks removed)
+    to printable ASCII folds to it — the same class of mappings the
+    reference's ~4k-entry hand-written table encodes
+    (ascii_folding_filter.rs), plus the non-decomposable specials."""
+    import unicodedata
+
+    import itertools
+
+    table: dict[int, str] = {}
+    for cp in itertools.chain(range(0x80, 0x3000),      # Latin/Greek/etc
+                              range(0xFB00, 0xFB07),    # Latin ligatures
+                              range(0xFF00, 0xFFF0)):   # full/half-width
+        ch = chr(cp)
+        dec = unicodedata.normalize("NFKD", ch)
+        stripped = "".join(c for c in dec if not unicodedata.combining(c))
+        if stripped and stripped != ch and all(ord(c) < 0x80 for c in stripped) \
+                and stripped.isprintable():
+            table[cp] = stripped
+    for ch, out in _ASCII_SPECIALS.items():
+        table[ord(ch)] = out
+    return table
+
+
+_ASCII_FOLD_TABLE: dict[int, str] | None = None
+
+
+def ascii_fold_word(word: str) -> str:
+    """Python-side full ASCII folding (used inside Arrow kernels)."""
+    global _ASCII_FOLD_TABLE
+    if _ASCII_FOLD_TABLE is None:
+        _ASCII_FOLD_TABLE = _build_ascii_fold_table()
+    return word.translate(_ASCII_FOLD_TABLE)
+
+
+def ascii_folding_full_chain(text: Column) -> Column:
+    """Default analyzer + FULL ASCII folding (NFKD-generated table + the
+    non-decomposable specials, e.g. ø/ß/æ — the reference's 4k-entry
+    table's coverage class) as an Arrow-batched pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _fold(tok_arrays: pd.Series) -> pd.Series:
+        from tantivy_spark.analyzer import ascii_fold_word
+        return tok_arrays.map(
+            lambda toks: [ascii_fold_word(t) for t in toks]
+            if toks is not None else [])
+
+    return _fold(tokens_col(text))
 
 
 def json_path_tokens_col(json_str: Column) -> Column:

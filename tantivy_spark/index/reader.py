@@ -23,6 +23,14 @@ class IndexReader:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.manifest = json.load(f)
+        # format-version discipline (the reference's INDEX_FORMAT_VERSION
+        # check, src/core/index_meta.rs / compat_tests.rs): refuse to read
+        # a layout this build does not understand
+        version = int(self.manifest.get("version", 0))
+        if version != 1:
+            raise ValueError(
+                f"unsupported index format version {version} at {index_dir}; "
+                f"this build reads version 1")
         t = self.manifest["totals"]
         self.num_docs: int = int(t["num_docs"])
         self.total_num_tokens: int = int(t["total_num_tokens"])

@@ -99,10 +99,17 @@ class RegexPhraseQuery(Query):
 @dataclass
 class MoreLikeThisQuery(Query):
     """OR-query over the top tf-idf terms of a reference document's text
-    (ref: src/query/more_like_this/)."""
+    (ref: src/query/more_like_this/more_like_this.rs:50-77 — same option
+    set; our defaults keep terms unless told otherwise)."""
     doc_text: str
     max_query_terms: int = 10
     min_term_freq: int = 1
+    min_doc_freq: int = 1
+    max_doc_freq: int | None = None
+    min_word_length: int = 0
+    max_word_length: int | None = None
+    stop_words: list[str] = field(default_factory=list)
+    boost_factor: float = 1.0
 
     def terms(self) -> list[str]:  # resolved at plan time
         return []

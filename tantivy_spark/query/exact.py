@@ -194,13 +194,17 @@ class ExactSearcher:
         if isinstance(q, ast.RegexPhraseQuery):
             return self._regex_phrase(q, boost)
         if isinstance(q, ast.MoreLikeThisQuery):
-            sel = self.select_mlt_terms(q.doc_text, q.max_query_terms,
-                                        q.min_term_freq)
+            sel = self.select_mlt_terms(
+                q.doc_text, q.max_query_terms, q.min_term_freq,
+                min_doc_freq=q.min_doc_freq, max_doc_freq=q.max_doc_freq,
+                min_word_length=q.min_word_length,
+                max_word_length=q.max_word_length, stop_words=q.stop_words)
             if not sel:
                 return self._lower(ast.EmptyQuery(), boost, dfs)
             sub = ast.BooleanQuery([(ast.Occur.SHOULD, ast.TermQuery(t))
                                     for t in sel])
-            return self._lower(sub, boost, self.reader.doc_freqs(sel))
+            return self._lower(sub, boost * float(q.boost_factor),
+                               self.reader.doc_freqs(sel))
         if isinstance(q, ast.DisjunctionMaxQuery):
             frames = [self._lower(c, 1.0, dfs) for c in q.disjuncts]
             tagged = [f.select("segment_ord", "doc_id", F.col("score").alias(f"s_{i}"))
@@ -338,22 +342,34 @@ class ExactSearcher:
         return hits.select("segment_ord", "doc_id", self._score_col(w).alias("score"))
 
     def select_mlt_terms(self, doc_text: str, max_terms: int = 10,
-                         min_tf: int = 1) -> list[str]:
+                         min_tf: int = 1, min_doc_freq: int = 1,
+                         max_doc_freq: int | None = None,
+                         min_word_length: int = 0,
+                         max_word_length: int | None = None,
+                         stop_words: list[str] | None = None) -> list[str]:
         """MoreLikeThis term selection: top terms of the reference text by
-        tf*idf, tie-break term asc (ref: src/query/more_like_this/ builds a
-        term-boost query from the doc's top TF-IDF terms)."""
+        tf*idf, tie-break term asc, with the reference's filtering options
+        (more_like_this.rs:50-77, 282-314: min/max doc frequency, min term
+        frequency, word length bounds, stop words)."""
         from collections import Counter
 
         from tantivy_spark.analyzer import tokenize_series
 
+        stop = set(stop_words or ())
         toks = list(pd.Series([doc_text]).pipe(tokenize_series)[0])
+        toks = [t for t in toks
+                if len(t) >= min_word_length
+                and (max_word_length is None or len(t) <= max_word_length)
+                and t not in stop]
         tfs = {t: c for t, c in Counter(toks).items() if c >= min_tf}
         if not tfs:
             return []
         dfs = self.reader.doc_freqs(list(tfs))
         scored = [
             (t, tfs[t] * idf64(dfs[t], self.N))
-            for t in tfs if dfs[t] > 0
+            for t in tfs
+            if dfs[t] >= max(min_doc_freq, 1)
+            and (max_doc_freq is None or dfs[t] <= max_doc_freq)
         ]
         scored.sort(key=lambda x: (-x[1], x[0]))
         return [t for t, _ in scored[:max_terms]]

@@ -70,3 +70,29 @@ def test_blockmax_pair_is_upper_bound():
         bound = params.score(np.array([wfn]), np.array([wtf]))[0]
         assert (blk_scores <= bound + 1e-6).all()
         off += n
+
+
+def test_codec_bytes_are_format_pinned():
+    """On-disk format compatibility (the reference pins index formats via
+    compat_tests.rs + tests/compat_tests_data): the exact bytes produced
+    for a fixed posting list must never change without a version bump."""
+    import hashlib
+
+    import numpy as np
+
+    from tantivy_spark.bm25 import tf_cache_f32
+    from tantivy_spark.index import codec
+
+    rng = np.random.default_rng(7)
+    docs = np.sort(rng.choice(500_000, size=4096, replace=False))
+    tfs = rng.integers(1, 50, size=4096)
+    fns = rng.integers(0, 255, size=4096)
+    cache = tf_cache_f32(10.0)
+    db, tb, fb, meta = codec.encode_postings(docs, tfs, fns, cache)
+    digest = hashlib.md5(
+        db + tb + fb + repr(meta).encode()).hexdigest()
+    # pinned for index format version 1 — a change here is a format break
+    assert digest == PINNED_FORMAT_V1_DIGEST, digest
+
+
+PINNED_FORMAT_V1_DIGEST = "271fd2d3cd9f60400e75b1c24fdd39e6"

@@ -82,3 +82,46 @@ def test_offset_semantics(searcher, tiny_golden):
     want = base[5:10]
     assert [(r["segment_ord"], r["doc_id"]) for r in got] == [(s, d) for _r, s, d, _ in want]
     assert [r["rank"] for r in got] == [6, 7, 8, 9, 10]
+
+
+def test_mlt_options(tiny_index):
+    """MoreLikeThis filtering options (more_like_this.rs:50-77):
+    stop_words, word-length bounds, min/max doc frequency."""
+    from tantivy_spark.query.exact import ExactSearcher
+
+    s = ExactSearcher(tiny_index)
+    text = "the fast fast scan table merge of data"
+    base = s.select_mlt_terms(text, max_terms=8)
+    assert "fast" in base
+    no_fast = s.select_mlt_terms(text, max_terms=8, stop_words=["fast"])
+    assert "fast" not in no_fast
+    long_only = s.select_mlt_terms(text, max_terms=8, min_word_length=5)
+    assert all(len(t) >= 5 for t in long_only)
+    # max_doc_freq excludes the ubiquitous 'the'
+    dfs = tiny_index.doc_freqs(["the"])
+    rare = s.select_mlt_terms(text, max_terms=8, max_doc_freq=dfs["the"] - 1)
+    assert "the" not in rare
+    # min_doc_freq above every term's df -> nothing survives
+    assert s.select_mlt_terms(text, min_doc_freq=10**9) == []
+
+
+def test_reader_rejects_unknown_format_version(spark, tiny_index, tmp_path):
+    """Format-version discipline (compat_tests.rs analogue)."""
+    import json
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from tantivy_spark.index.reader import IndexReader
+
+    src = tiny_index.index_dir
+    dst = str(tmp_path / "vfuture")
+    shutil.copytree(src, dst)
+    with open(os.path.join(dst, "meta.json")) as f:
+        m = json.load(f)
+    m["version"] = 99
+    with open(os.path.join(dst, "meta.json"), "w") as f:
+        json.dump(m, f)
+    with _pytest.raises(ValueError, match="format version"):
+        IndexReader(spark, dst)

@@ -122,3 +122,42 @@ def test_snowball_chains_distributed(spark):
     got = list(_one(spark, fr_stem_tokens_col(F.col("t")),
                     "chantaient nationaux continuellement"))
     assert got == ["chant", "national", "continuel"]
+
+
+def test_regex_tokenizer(spark):
+    from tantivy_spark.analyzer import regex_tokenizer
+    got = list(_one(spark, regex_tokenizer(r"[0-9]+")(F.col("t")),
+                    "a1 bb22 c333d"))
+    assert got == ["1", "22", "333"]
+
+
+def test_facet_tokenizer(spark):
+    from tantivy_spark.analyzer import facet_tokens
+    got = list(_one(spark, facet_tokens(F.col("t")),
+                    "/america/north_america/canada"))
+    assert got == ["/america", "/america/north_america",
+                   "/america/north_america/canada"]
+    assert list(_one(spark, facet_tokens(F.col("t")), "")) == []
+
+
+def test_split_compound_words(spark):
+    from tantivy_spark.analyzer import split_compound_words, whitespace_analyzer
+    chain = split_compound_words(["dampf", "schiff", "fahrt"])
+    got = list(_one(spark, chain(whitespace_analyzer(F.col("t"))),
+                    "dampfschiff fahrt unrelated dampfschifffahrt"))
+    assert got == ["dampf", "schiff", "fahrt", "unrelated",
+                   "dampf", "schiff", "fahrt"]
+
+
+def test_ascii_folding_full(spark):
+    from tantivy_spark.analyzer import ascii_fold_word, ascii_folding_full_chain
+    # specials the NFD-subset chain cannot fold (no decomposition)
+    assert ascii_fold_word("øre") == "ore"
+    assert ascii_fold_word("straße") == "strasse"
+    assert ascii_fold_word("æther") == "aether"
+    assert ascii_fold_word("œuvre") == "oeuvre"
+    assert ascii_fold_word("łódź") == "lodz"
+    assert ascii_fold_word("ﬁ") == "fi"  # ligature via NFKD
+    got = list(_one(spark, ascii_folding_full_chain(F.col("t")),
+                    "Łódź cœur naïve"))
+    assert got == ["lodz", "coeur", "naive"]
