@@ -161,3 +161,45 @@ def test_ascii_folding_full(spark):
     got = list(_one(spark, ascii_folding_full_chain(F.col("t")),
                     "Łódź cœur naïve"))
     assert got == ["lodz", "coeur", "naive"]
+
+
+def test_ip_keys_order_preserving(spark):
+    """IpAddr keys: lexicographic over keys == numeric over addresses;
+    IPv4 JVM path == python ipaddress path; v4-mapped v6 == v4."""
+    import ipaddress
+    import random
+
+    from tantivy_spark.functions.ip import ip_key, ip_key_col
+
+    rng = random.Random(3)
+    v4s = [f"{rng.randrange(256)}.{rng.randrange(256)}."
+           f"{rng.randrange(256)}.{rng.randrange(256)}" for _ in range(50)]
+    v6s = ["2001:db8::1", "::1", "fe80::aa", "2001:db8::ffff:1"]
+    ips = v4s + v6s
+    keys = [ip_key(ip) for ip in ips]
+    nums = [int(ipaddress.IPv6Address(f"::ffff:{ip}"))
+            if ":" not in ip else int(ipaddress.ip_address(ip)) for ip in ips]
+    assert sorted(range(len(ips)), key=lambda i: keys[i]) == \
+        sorted(range(len(ips)), key=lambda i: nums[i])
+    assert ip_key("1.2.3.4") == ip_key("::ffff:1.2.3.4")
+
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip STRING")
+    got = {r["ip"]: r["k"] for r in
+           df.select("ip", ip_key_col(F.col("ip")).alias("k")).collect()}
+    for ip, k in zip(ips, keys):
+        assert got[ip] == k, ip
+
+
+def test_ip_range_filter(spark):
+    from tantivy_spark.functions.ip import ip_range_filter
+
+    df = spark.createDataFrame(
+        [("10.0.0.1",), ("10.0.5.9",), ("10.1.0.0",), ("9.255.255.255",),
+         ("2001:db8::1",), ("10.0.255.255",)], "ip STRING")
+    got = sorted(r["ip"] for r in
+                 ip_range_filter(df, "ip", "10.0.0.0", "10.0.255.255").collect())
+    assert got == ["10.0.0.1", "10.0.255.255", "10.0.5.9"]
+    # v6 range
+    got6 = sorted(r["ip"] for r in
+                  ip_range_filter(df, "ip", "2001:db8::", "2001:db8::ff").collect())
+    assert got6 == ["2001:db8::1"]
