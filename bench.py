@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # shuffle/spill on shm, like scripts/scaling.py — must precede the JVM
+    os.makedirs("/dev/shm/spark_local", exist_ok=True)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark_local")
 
     from pyspark.sql import functions as F
 
@@ -99,6 +102,63 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # ---- throughput regime: 800k-doc synthetic corpus -------------------
+    # The sf0.1 numbers above are fixed-overhead-dominated (5k docs); this
+    # regime measures the engine itself: build docs/sec and query latency
+    # where posting lists are long enough for pruning to matter.
+    big_n = int(os.environ.get("SPARK_GRAFT_BIG_DOCS", "800000"))
+    if big_n > 0:
+        from tantivy_spark.corpus import synthetic_pages
+        from tantivy_spark.query.wand import wand_topk
+
+        corpus_path = f"/dev/shm/tantivy_bench_corpus_{big_n}"
+        if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+            synthetic_pages(spark, big_n).repartition(64) \
+                .write.mode("overwrite").parquet(corpus_path)
+        docs_big = spark.read.parquet(corpus_path).select("url", "text")
+        docs_big.count()  # warm the input read before timing the build
+        out_big = "/dev/shm/tantivy_bench_idx"
+        shutil.rmtree(out_big, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, docs_big, out_big, IndexConfig(
+            key_col="url", text_col="text",
+            n_segments=int(cpus) if cpus.isdigit() else 32), resume=False)
+        big_build = time.time() - t0
+        timings["big_build_sec"] = round(big_build, 3)
+        timings["big_build_docs_per_sec"] = round(big_n / big_build, 1)
+
+        big_reader = IndexReader(spark, out_big)
+        big_suite = {
+            "big_wand_or": lambda: wand_topk(
+                big_reader, ["the", "of"], k=10, mode="or").collect(),
+            "big_wand_or_seeded": lambda: wand_topk(
+                big_reader, ["the", "of"], k=10, mode="or",
+                seed_threshold=True).collect(),
+            "big_wand_and": lambda: wand_topk(
+                big_reader, ["the", "of"], k=10, mode="and").collect(),
+            "big_exact_term": lambda: ExactSearcher(big_reader).search(
+                TermQuery("the"), k=10).collect(),
+        }
+        for name, fn in big_suite.items():
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 3)
+
+        # pipeline throughput over the big corpus (docs/sec)
+        from tantivy_spark.pipeline.dedup import simhash64
+        from tantivy_spark.pipeline.textstats import token_counts
+        keyed = docs_big.select(F.xxhash64("url").alias("doc_id"), "text")
+        t0 = time.time()
+        simhash64(keyed).count()
+        dt = time.time() - t0
+        timings["big_simhash_sec"] = round(dt, 3)
+        timings["big_simhash_docs_per_sec"] = round(big_n / dt, 1)
+        t0 = time.time()
+        token_counts(keyed).count()
+        dt = time.time() - t0
+        timings["big_token_counts_sec"] = round(dt, 3)
+        timings["big_token_counts_docs_per_sec"] = round(big_n / dt, 1)
+
     print(json.dumps({
         "metric": "index_build_plus_query_suite_wall",
         "value": round(total, 3),
@@ -107,6 +167,7 @@ def main() -> None:
         "sf": sf_dir,
         "cpus": cpus,
         "n_docs": n_docs,
+        "big_n_docs": big_n,
     }))
 
 
