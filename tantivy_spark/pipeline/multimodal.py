@@ -79,3 +79,70 @@ def decode_media_meta(df: DataFrame, payload_col: str = "html",
 
     src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
     return src.mapInPandas(kernel, schema=MEDIA_META_SCHEMA)
+
+
+#: magic-byte signatures -> container format (format sniffing needs no
+#: codec library: it reads the payload header only)
+MAGIC_SIGNATURES: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"RIFF", "riff"),          # wav/avi/webp container
+    (b"OggS", "ogg"),
+    (b"fLaC", "flac"),
+    (b"ID3", "mp3"),
+    (b"\x1a\x45\xdf\xa3", "matroska"),  # mkv/webm
+    (b"%PDF", "pdf"),
+    (b"PK\x03\x04", "zip"),
+    (b"\x1f\x8b", "gzip"),
+]
+
+
+def media_binary_features(df: DataFrame, payload_col: str = "payload",
+                          id_col: str = "doc_id") -> DataFrame:
+    """REAL (codec-free) features over an opaque binary column:
+    container-format sniff by magic bytes, payload size, header hex, a
+    64-bit content fingerprint, and byte-level entropy in bits/byte —
+    the standard cheap filters a multimodal training pipeline applies
+    before any decode (dedup by fingerprint, drop truncated/low-entropy
+    payloads, route by container format).
+
+    Arrow-batched; the entropy histogram is one numpy bincount per
+    payload — no per-byte Python.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["_id"], pdf["_payload"]):
+                b = bytes(payload) if payload is not None else b""
+                fmt = "unknown"
+                for sig, name in MAGIC_SIGNATURES:
+                    if b.startswith(sig):
+                        fmt = name
+                        break
+                if b:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    counts = np.bincount(arr, minlength=256)
+                    p = counts[counts > 0] / len(arr)
+                    entropy = float(-(p * np.log2(p)).sum())
+                else:
+                    entropy = 0.0
+                import hashlib
+                fp = int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(),
+                                    "big", signed=False) - (1 << 63)
+                rows.append({
+                    "id": int(rid), "format": fmt, "n_bytes": len(b),
+                    "header_hex": b[:4].hex(),
+                    "fingerprint": fp,
+                    "entropy_r": round(entropy, 4),
+                })
+            yield pd.DataFrame(rows)
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
+    return src.mapInPandas(
+        kernel,
+        schema="id BIGINT, format STRING, n_bytes BIGINT, header_hex STRING, "
+               "fingerprint BIGINT, entropy_r DOUBLE")

@@ -135,3 +135,37 @@ def test_token_counts_and_quality(spark, docs):
     assert tc["n_tokens"] > 0 and tc["avg_token_len_r"] > 0
     qs = quality_scores(docs).collect()
     assert all(0.0 <= r["quality_r"] <= 1.0 for r in qs)
+
+
+def test_media_binary_features(spark):
+    """Codec-free multimodal features: format sniff, entropy, fingerprint."""
+    from tantivy_spark.pipeline.multimodal import media_binary_features
+
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\x0a" + b"abc"),
+        (2, b"\xff\xd8\xff\xe0" + b"jfif"),
+        (3, b"GIF89a" + b"x" * 10),
+        (4, b"OggS" + b"\x00" * 4),
+        (5, b"plain text payload"),
+        (6, b""),
+        (7, b"\x00" * 1024),              # zero entropy
+        (8, bytes(range(256)) * 4),       # max entropy (8 bits/byte)
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    got = {r["id"]: r for r in
+           media_binary_features(df).collect()}
+    assert got[1]["format"] == "png"
+    assert got[2]["format"] == "jpeg"
+    assert got[3]["format"] == "gif"
+    assert got[4]["format"] == "ogg"
+    assert got[5]["format"] == "unknown"
+    assert got[6]["n_bytes"] == 0 and got[6]["entropy_r"] == 0.0
+    assert got[7]["entropy_r"] == 0.0
+    assert got[8]["entropy_r"] == 8.0
+    assert got[1]["header_hex"] == "89504e47"
+    # fingerprints: equal payloads equal, different payloads differ
+    df2 = spark.createDataFrame([(10, b"abc"), (11, b"abc"), (12, b"abd")],
+                                "doc_id BIGINT, payload BINARY")
+    fps = {r["id"]: r["fingerprint"]
+           for r in media_binary_features(df2).collect()}
+    assert fps[10] == fps[11] != fps[12]
