@@ -20,19 +20,33 @@ from tantivy_spark.query.parser import QueryParser
 from tantivy_spark.query.wand import wand_topk
 
 
-def _pure_term_shape(q: ast.Query) -> tuple[str, list[str]] | None:
-    """Detect TermUnion / TermIntersection shapes eligible for WAND."""
+def _pure_term_shape(q: ast.Query) -> tuple[str, list[str], list[float]] | None:
+    """Detect (possibly boosted) TermUnion / TermIntersection shapes
+    eligible for the block-max WAND kernel.  Boosts bake into the per-term
+    BM25 weight, exactly like the reference's Bm25Weight::boost_by."""
     if isinstance(q, ast.TermQuery):
-        return ("or", [q.term])
+        return ("or", [q.term], [1.0])
+    if isinstance(q, ast.BoostQuery) and isinstance(q.child, ast.TermQuery):
+        return ("or", [q.child.term], [float(q.boost)])
     if isinstance(q, ast.BooleanQuery):
         occs = {o for o, _ in q.clauses}
-        kids = [c for _, c in q.clauses]
-        if not all(isinstance(c, ast.TermQuery) for c in kids):
-            return None
+        terms: list[str] = []
+        boosts: list[float] = []
+        for _occ, c in q.clauses:
+            b = 1.0
+            while isinstance(c, ast.BoostQuery):
+                b *= float(c.boost)
+                c = c.child
+            if not isinstance(c, ast.TermQuery):
+                return None
+            terms.append(c.term)
+            boosts.append(b)
+        if len(set(terms)) != len(terms):
+            return None  # duplicate term with distinct boosts: exact path
         if occs == {ast.Occur.SHOULD} and q.minimum_should_match <= 1:
-            return ("or", [c.term for c in kids])
+            return ("or", terms, boosts)
         if occs == {ast.Occur.MUST}:
-            return ("and", [c.term for c in kids])
+            return ("and", terms, boosts)
     return None
 
 
@@ -52,8 +66,9 @@ class Searcher:
         if method in ("auto", "wand"):
             shape = _pure_term_shape(query)
             if shape is not None:
-                mode, terms = shape
-                df = wand_topk(self.reader, terms, k=k + offset, mode=mode)
+                mode, terms, boosts = shape
+                df = wand_topk(self.reader, terms, k=k + offset, mode=mode,
+                               boosts=boosts)
                 if offset:
                     from pyspark.sql import functions as F
                     df = df.filter(F.col("rank") > offset)

@@ -312,7 +312,8 @@ def global_seed_threshold(reader: IndexReader, live_terms: list[str],
 
 
 def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
-              mode: str = "or", seed_threshold: bool = False) -> DataFrame:
+              mode: str = "or", seed_threshold: bool = False,
+              boosts: list[float] | None = None) -> DataFrame:
     """Distributed BMW top-k for a pure term union ("or") or pure term
     intersection ("and").  Returns (rank, segment_ord, doc_id, score, key)
     with the reference tie-break; score is float32.
@@ -332,6 +333,7 @@ def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
     deletes exist — dead docs could occupy the seeding block's top-k).
     """
     terms = list(terms)
+    boost_of = dict(zip(terms, boosts)) if boosts is not None else {}
     deleted_by_seg: dict[int, np.ndarray] | None = None
     dels = reader.deletes
     if dels is not None:
@@ -350,7 +352,9 @@ def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
     if mode == "and" and len(live_terms) < len(terms):
         live_terms = []
     params_by_term = {
-        t: Bm25Params.for_one_term(dfs[t], reader.num_docs, reader.avg_fieldnorm)
+        t: Bm25Params.for_one_term(dfs[t], reader.num_docs,
+                                   reader.avg_fieldnorm,
+                                   boost=float(boost_of.get(t, 1.0)))
         for t in live_terms
     }
     spark = reader.spark

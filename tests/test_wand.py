@@ -151,3 +151,26 @@ def test_wand_randomized_merged(spark, tmp_path_factory):
             [(s, d) for _r, s, d, _ in want], (terms, mode)
         for r, (_rank, _s, _d, ws) in zip(got, want):
             assert np.float32(r["score"]) == np.float32(ws)
+
+
+def test_boosted_terms_dispatch_to_wand(tiny_index, tiny_golden):
+    """Boosted term unions take the WAND path with per-term baked boosts;
+    results equal both the exact scorer and the f32 golden engine."""
+    from tantivy_spark.query.ast import BoostQuery
+    from tantivy_spark.query.searcher import Searcher, _pure_term_shape
+
+    q = BooleanQuery([
+        (Occur.SHOULD, BoostQuery(TermQuery("data"), 2.5)),
+        (Occur.SHOULD, TermQuery("join")),
+    ])
+    shape = _pure_term_shape(q)
+    assert shape == ("or", ["data", "join"], [2.5, 1.0])
+    s = Searcher(tiny_index)
+    w = s.search(q, k=10, method="wand").collect()
+    e = s.search(q, k=10, method="exact").collect()
+    assert [(r["rank"], r["key"]) for r in w] == [(r["rank"], r["key"]) for r in e]
+    want = tiny_golden.top_k(q, k=10)
+    assert [(r["segment_ord"], r["doc_id"]) for r in w] == \
+        [(sg, d) for _r, sg, d, _ in want]
+    for r, (_rank, _s, _d, ws) in zip(w, want):
+        assert np.float32(r["score"]) == np.float32(ws)
