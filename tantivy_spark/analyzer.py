@@ -349,6 +349,54 @@ def _stem_chain(stem_import: str):
     return chain
 
 
+def json_path_tokens_deep(json_str: Column) -> Column:
+    """Arbitrary-depth JsonObject indexing (ref: src/schema/term.rs:72-80
+    — JSON terms carry the full path prefix): nested objects flatten to
+    dotted-path ``a.b.c=value`` terms; arrays index each element under the
+    same path.  Arrow-batched pandas UDF (JSON recursion is not
+    expressible as a static Catalyst schema)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _flat(s: pd.Series) -> pd.Series:
+        import json
+
+        def flatten(obj, prefix=""):
+            out = []
+            if isinstance(obj, dict):
+                for k, v in obj.items():
+                    p = f"{prefix}.{k}" if prefix else k
+                    out.extend(flatten(v, p))
+            elif isinstance(obj, list):
+                for v in obj:
+                    out.extend(flatten(v, prefix))
+            else:
+                if isinstance(obj, str):
+                    val = obj
+                elif obj is True:
+                    val = "true"
+                elif obj is False:
+                    val = "false"
+                elif obj is None:
+                    val = "null"
+                else:
+                    val = json.dumps(obj)
+                out.append(f"{prefix}={val}")
+            return out
+
+        def run(x):
+            if x is None:
+                return []
+            try:
+                return flatten(json.loads(x))
+            except Exception:
+                return []
+
+        return s.map(run)
+
+    return _flat(json_str)
+
+
 def en_stem_tokens_col(text: Column) -> Column:
     """The "en_stem" chain: default analyzer + Porter stemmer (no stemming
     library ships here; implemented in tantivy_spark.functions.porter)."""

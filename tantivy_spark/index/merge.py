@@ -145,6 +145,52 @@ def _plan_groups(alive_docs: dict[int, int], n_target: int
     return out_seg, offsets
 
 
+def _plan_from_groups(alive_docs: dict[int, int], groups: dict[int, int]
+                      ) -> tuple[dict[int, int], dict[int, int]]:
+    """Normalize an explicit segment->group assignment into dense output
+    ordinals (ordered by each group's smallest input segment) and
+    per-segment stacking offsets (ascending input-segment order within a
+    group)."""
+    by_group: dict[int, list[int]] = {}
+    for seg in sorted(alive_docs):
+        by_group.setdefault(groups[seg], []).append(seg)
+    ordered = sorted(by_group.values(), key=lambda segs: segs[0])
+    out_seg: dict[int, int] = {}
+    offsets: dict[int, int] = {}
+    for g, segs in enumerate(ordered):
+        acc = 0
+        for seg in segs:
+            out_seg[seg] = g
+            offsets[seg] = acc
+            acc += alive_docs[seg]
+    return out_seg, offsets
+
+
+def log_merge_plan(alive_docs: dict[int, int], min_layer_docs: int = 10_000,
+                   layer_factor: float = 3.0) -> dict[int, int]:
+    """LogMergePolicy-style merge selection (ref: LogMergePolicy,
+    src/indexer/segment_updater.rs / merge_policy): segments bucket into
+    logarithmic size layers (everything below ``min_layer_docs`` shares
+    layer 0); each layer with >= 2 segments merges into one output
+    segment, singleton layers pass through untouched.  Returns a
+    segment -> group assignment for ``merge_segments(groups=...)``.
+
+    This keeps the tiered shape the reference maintains: small fresh
+    segments coalesce aggressively, big settled segments are left alone
+    (so a merge never rewrites the whole index just to absorb a trickle
+    of new batches)."""
+    import math
+
+    layer_of = {}
+    for seg, n in alive_docs.items():
+        if n <= min_layer_docs:
+            layer_of[seg] = 0
+        else:
+            layer_of[seg] = 1 + int(
+                math.floor(math.log(n / min_layer_docs) / math.log(layer_factor)))
+    return {seg: layer for seg, layer in layer_of.items()}
+
+
 def maybe_compact(spark: SparkSession, index_dir: str, out_dir: str,
                   max_segments: int = 16, n_salts: int = 8,
                   n_target_segments: int = 8) -> dict | None:
@@ -163,9 +209,11 @@ def maybe_compact(spark: SparkSession, index_dir: str, out_dir: str,
 
 
 def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
-                   n_salts: int = 8, n_target_segments: int = 1) -> dict:
+                   n_salts: int = 8, n_target_segments: int = 1,
+                   groups: dict[int, int] | None = None) -> dict:
     """Merge the segments of ``index_dir`` into ``n_target_segments``
-    segments at ``out_dir``.  Returns the new manifest."""
+    segments at ``out_dir`` (or into an explicit ``groups`` assignment,
+    e.g. from :func:`log_merge_plan`).  Returns the new manifest."""
     t_start = time.time()
     with open(os.path.join(index_dir, "meta.json")) as f:
         manifest = json.load(f)
@@ -186,7 +234,10 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         dead = {s: np.sort(np.array(v, dtype=np.int64)) for s, v in dead.items()}
 
     alive_docs = {seg: n - len(dead.get(seg, ())) for seg, n in seg_docs.items()}
-    out_seg, offsets = _plan_groups(alive_docs, n_target_segments)
+    if groups is not None:
+        out_seg, offsets = _plan_from_groups(alive_docs, groups)
+    else:
+        out_seg, offsets = _plan_groups(alive_docs, n_target_segments)
     n_out = len(set(out_seg.values())) if out_seg else 1
     total_alive = sum(alive_docs.values())
 

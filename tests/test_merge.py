@@ -247,3 +247,46 @@ def test_salting_does_not_change_output(spark, tiny_index, tmp_path_factory):
     b = spark.read.parquet(f"{out8}/postings").orderBy("term", "chunk_id") \
         .select("term", "chunk_id", "doc_freq", F.md5(F.col("docs")).alias("h")).collect()
     assert a == b
+
+
+def test_log_merge_plan_layers():
+    from tantivy_spark.index.merge import log_merge_plan
+
+    sizes = {0: 500, 1: 800, 2: 900, 3: 50_000, 4: 45_000, 5: 2_000_000}
+    plan = log_merge_plan(sizes, min_layer_docs=1000, layer_factor=3.0)
+    # the three small segments share layer 0; the two mid ones share a
+    # layer; the huge one is alone
+    assert plan[0] == plan[1] == plan[2] == 0
+    assert plan[3] == plan[4] != 0
+    assert plan[5] not in (plan[0], plan[3])
+
+
+def test_merge_with_explicit_groups(spark, tiny_index, tmp_path_factory):
+    """LogMergePolicy-style selective merge: an explicit groups map merges
+    chosen segments together and leaves others as their own output
+    segment; results stay query-identical as a SET (addresses renumber)."""
+    from tantivy_spark.index.merge import log_merge_plan, merge_segments
+
+    segs = sorted(r[0] for r in tiny_index.docmap
+                  .select("segment_ord").distinct().collect())
+    # group the first two segments together, keep the rest singleton
+    groups = {s: (0 if s in segs[:2] else s + 100) for s in segs}
+    out = str(tmp_path_factory.mktemp("lgm") / "m")
+    merge_segments(spark, tiny_index.index_dir, out, groups=groups)
+    mr = IndexReader(spark, out)
+    n_out = mr.docmap.select("segment_ord").distinct().count()
+    assert n_out == len(segs) - 1
+    assert mr.num_docs == tiny_index.num_docs
+    terms = ["the", "data", "fast"]
+    assert mr.doc_freqs(terms) == tiny_index.doc_freqs(terms)
+    q = BooleanQuery([(Occur.SHOULD, TermQuery("fast")),
+                      (Occur.SHOULD, TermQuery("slow"))])
+    a = ExactSearcher(tiny_index).search(q, k=15).collect()
+    b = ExactSearcher(mr).search(q, k=15).collect()
+    # same keys at same scores (addresses renumber, ties may reorder)
+    assert sorted((r["key"], round(r["score"], 9)) for r in a) == \
+        sorted((r["key"], round(r["score"], 9)) for r in b)
+    # sanity: log_merge_plan output is a valid groups argument
+    sizes = {s: 100 for s in segs}
+    plan = log_merge_plan(sizes, min_layer_docs=1000)
+    assert set(plan) == set(segs)
