@@ -58,3 +58,30 @@ def test_wand_topk_plan(tiny_index):
 def test_count_single_term_is_stats_lookup(searcher, tiny_golden):
     # no postings decode at all: answered from term_stats
     assert searcher.count(TermQuery("data")) == tiny_golden.doc_freq("data")
+
+
+def test_term_range_predicate_pushed_to_parquet(searcher):
+    """The distributed TermRangeQuery path: range bounds reach the
+    postings parquet scan as pushed filters (min/max row-group pruning on
+    the term-sorted layout) — no driver-side dictionary expansion."""
+    from tantivy_spark.query.ast import TermRangeQuery
+
+    df = searcher.matching(TermRangeQuery("da", "dz", True, True))
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters: ")[1][:300]
+    assert "GreaterThanOrEqual(term,da)" in pushed
+    assert "LessThanOrEqual(term,dz)" in pushed
+    # no collect happened to build this plan: it is a pure DataFrame op
+    assert df.count() > 0
+
+
+def test_regex_query_stays_distributed(searcher):
+    """RegexQuery lowers to a filter over the postings scan (RLIKE is
+    evaluated distributed; no .collect() materialization of the
+    dictionary)."""
+    from tantivy_spark.query.ast import RegexQuery
+
+    df = searcher.matching(RegexQuery("sc.n.*"))
+    plan = _plan(df)
+    assert "RLIKE" in plan or "rlike" in plan
+    assert df.count() > 0
