@@ -72,7 +72,15 @@ class IndexReader:
     def warm(self) -> "IndexReader":
         """Pin the hot index tables in executor memory — the analogue of
         the reference's Warmer API (src/reader/warming.rs): repeated
-        queries then skip parquet footers/decompression entirely."""
+        queries then skip parquet footers/decompression entirely.
+
+        Trade-off (measured): a cached DataFrame replaces the parquet
+        scan, so per-term In() PREDICATE PUSHDOWN is lost — every query
+        then scans the cached postings instead of pruned row groups.
+        Warm only when the index fits comfortably in cluster memory and
+        the workload is scan-heavy (aggregations); keep term lookups on
+        the cold path, where the term-sorted parquet layout makes the
+        scan itself selective."""
         self.term_stats.cache().count()
         self.postings.cache().count()
         self.docmap.cache().count()

@@ -106,6 +106,34 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
                         pred.alias("lang_pred"))
 
 
+#: BPE-style pretokenizer pattern (the GPT-2 family shape, minus the
+#: trailing-whitespace lookahead so the same pattern runs under Java
+#: regex AND RE2 for the oracle): contractions, space-prefixed letter /
+#: digit / punctuation runs, whitespace runs.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_pretoken_counts(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(id, n_pretokens, n_ws_tokens) — BPE-ish pretokenizer match count
+    (the standard LLM-pipeline proxy for 'how many tokens will this doc
+    cost') plus the plain whitespace token count.  Pure codegen'd
+    regexp_extract_all; no Python in the path."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    pre = F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0)
+    # non-whitespace pretokens only (whitespace runs match to keep the
+    # scan linear, then drop out of the count)
+    n_pre = F.size(F.filter(pre, lambda t: ~t.rlike(r"^\s+$")))
+    ws = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        n_pre.cast("bigint").alias("n_pretokens"),
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fp) — order-sensitive 64-bit content fingerprint: xxhash64 of
     the analyzer token stream joined by unit separator.  Equal fingerprints
