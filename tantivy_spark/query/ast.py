@@ -197,6 +197,20 @@ class TermRangeQuery(Query):
 
 
 @dataclass
+class FastFieldRangeQuery(Query):
+    """Docs whose FAST-FIELD (columnar) value lies in [lower, upper] —
+    the reference's lazy fast-field range variant
+    (src/query/range_query/range_query_fastfield.rs), as opposed to
+    TermRangeQuery's dictionary walk.  Constant score 1.0.  The searcher
+    must have fast fields attached (`ExactSearcher.set_fast_fields`)."""
+    field: str
+    lower: object = None
+    upper: object = None
+    lower_inclusive: bool = True
+    upper_inclusive: bool = True
+
+
+@dataclass
 class ExistsQuery(Query):
     """Docs where the text field has at least one indexed token
     (ref: src/query/exist_query.rs — field-has-value semantics)."""

@@ -106,6 +106,17 @@ class ExactSearcher:
         self.N = reader.num_docs
         self.avg = reader.avg_fieldnorm
         self._norms_arr = F.array(*[F.lit(int(v)) for v in FIELD_NORMS_TABLE.tolist()])
+        self._fast_fields: DataFrame | None = None
+        self._fast_key: str | None = None
+
+    def set_fast_fields(self, df: DataFrame, key_col: str) -> "ExactSearcher":
+        """Attach the columnar (fast-field) table — the source table whose
+        ``key_col`` matches the index's document keys.  Enables
+        FastFieldRangeQuery (the reference's range_query_fastfield.rs
+        reads the same values from its column store)."""
+        self._fast_fields = df
+        self._fast_key = key_col
+        return self
 
     # ------------------------------------------------------------------ io
     def flat_postings(self, terms: list[str], with_positions: bool = False) -> DataFrame:
@@ -232,6 +243,24 @@ class ExactSearcher:
                 cond = cond & (F.col("term") <= q.upper if q.upper_inclusive
                                else F.col("term") < q.upper)
             return self._const_docs_matching(cond, boost)
+        if isinstance(q, ast.FastFieldRangeQuery):
+            if self._fast_fields is None:
+                raise ValueError(
+                    "FastFieldRangeQuery needs set_fast_fields(df, key_col)")
+            ff = self._fast_fields
+            col = F.col(q.field)
+            if q.lower is not None:
+                ff = ff.filter(col >= q.lower if q.lower_inclusive
+                               else col > q.lower)
+            if q.upper is not None:
+                ff = ff.filter(col <= q.upper if q.upper_inclusive
+                               else col < q.upper)
+            # the range filter pushes into the fast-field (source) scan;
+            # matching keys then resolve to DocAddresses through docmap
+            keys = ff.select(F.col(self._fast_key).alias("key"))
+            return (self.reader.docmap.join(keys, "key", "left_semi")
+                    .select("segment_ord", "doc_id",
+                            F.lit(1.0 * boost).alias("score")))
         if isinstance(q, ast.ExistsQuery):
             return (self.reader.fieldnorms.filter(F.col("num_tokens") > 0)
                     .select("segment_ord", "doc_id",

@@ -125,3 +125,30 @@ def test_reader_rejects_unknown_format_version(spark, tiny_index, tmp_path):
         json.dump(m, f)
     with _pytest.raises(ValueError, match="format version"):
         IndexReader(spark, dst)
+
+
+def test_fast_field_range_query(spark, tiny_index, tiny_golden):
+    """FastFieldRangeQuery: columnar range -> DocAddresses through the
+    docmap (range_query_fastfield.rs variant)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tantivy_spark.query.ast import FastFieldRangeQuery
+    from tantivy_spark.query.exact import ExactSearcher
+
+    s = ExactSearcher(tiny_index)
+    with _pytest.raises(ValueError, match="set_fast_fields"):
+        s.matching(FastFieldRangeQuery("n", 1, 2)).count()
+
+    # fast fields: key -> a numeric column derived from the key digits
+    ff = tiny_index.docmap.select(
+        F.col("key").alias("k"),
+        F.substring("key", -2, 2).cast("int").alias("kmod"))
+    s.set_fast_fields(ff, "k")
+    got = s.matching(FastFieldRangeQuery("kmod", 10, 19)).count()
+    want = ff.filter((F.col("kmod") >= 10) & (F.col("kmod") <= 19)).count()
+    assert got == want
+    # exclusive bounds
+    got_ex = s.matching(FastFieldRangeQuery("kmod", 10, 19, False, False)).count()
+    want_ex = ff.filter((F.col("kmod") > 10) & (F.col("kmod") < 19)).count()
+    assert got_ex == want_ex
