@@ -117,6 +117,91 @@ def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                                    vec_col=vec_col, exclude_id=exclude_id)
 
 
+def _kmeans_numpy(sample: np.ndarray, n_lists: int, seed: int = 11,
+                  n_iter: int = 12) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample (the coarse
+    quantizer is fit on a sample; assignment is distributed).  kmeans++
+    seeding, cosine geometry via L2-normalized vectors."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    n = len(x)
+    n_lists = min(n_lists, n)
+    # kmeans++ init
+    centroids = [x[rng.integers(n)]]
+    for _ in range(n_lists - 1):
+        d2 = np.min(
+            [1.0 - x @ c for c in centroids], axis=0)
+        d2 = np.maximum(d2, 0)
+        p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centroids.append(x[rng.choice(n, p=p)])
+    c = np.stack(centroids)
+    for _ in range(n_iter):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_lists):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def ivf_build(df: DataFrame, n_lists: int = 16, seed: int = 11,
+              sample_fraction: float = 1.0, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """IVF coarse quantizer: fit centroids on a sample, assign every
+    vector to its nearest list DISTRIBUTED (one Arrow matmul per batch).
+
+    Returns (centroids ndarray [n_lists, dim], assignments DataFrame
+    (id, list_id)).  At corpus scale the assignments table is written
+    once and partitioned by list_id, so each query touches ~n/n_lists
+    vectors per probed list instead of a full scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    sample = np.array(
+        [list(r[vec_col]) for r in
+         (df.sample(fraction=sample_fraction, seed=seed) if sample_fraction < 1.0
+          else df).select(vec_col).collect()],
+        dtype=np.float64)
+    centroids = _kmeans_numpy(sample, n_lists, seed)
+    c_t = centroids.T.copy()
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ c_t, axis=1).astype(np.int32))
+
+    assignments = df.select(F.col(id_col).alias("id"),
+                            _assign(F.col(vec_col)).alias("list_id"))
+    return centroids, assignments
+
+
+def ivf_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                    n_lists: int = 16, nprobe: int = 4, seed: int = 11,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    exclude_id: int | None = None,
+                    assignments: DataFrame | None = None,
+                    centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate cosine top-k: probe the ``nprobe`` centroid lists
+    nearest the query, exact-rerank only their members — the classic
+    inverted-file ANN scale path (candidates ~ nprobe/n_lists of the
+    corpus).  Pass a prebuilt (centroids, assignments) pair to amortize
+    the quantizer across queries."""
+    if centroids is None or assignments is None:
+        centroids, assignments = ivf_build(df, n_lists, seed,
+                                           id_col=id_col, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids @ qn))
+    probes = [int(j) for j in order[:nprobe]]
+    cand_ids = assignments.filter(F.col("list_id").isin(probes)).select("id")
+    cand = df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
+    return brute_force_cosine_topk(cand, query_vec, k=k, id_col=id_col,
+                                   vec_col=vec_col, exclude_id=exclude_id)
+
+
 def brute_force_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",

@@ -169,3 +169,38 @@ def test_media_binary_features(spark):
     fps = {r["id"]: r["fingerprint"]
            for r in media_binary_features(df2).collect()}
     assert fps[10] == fps[11] != fps[12]
+
+
+def test_ivf_ann_recall(spark):
+    """IVF coarse-quantizer ANN: probing a few lists recovers most of the
+    exact top-k; probing ALL lists recovers it exactly."""
+    from pyspark.sql import functions as F
+
+    from tantivy_spark.pipeline.similarity import (
+        brute_force_cosine_topk, ivf_build, ivf_cosine_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0]]
+    exact = [r["id"] for r in
+             brute_force_cosine_topk(emb, qvec, k=10, exclude_id=3).collect()]
+
+    centroids, assignments = ivf_build(emb, n_lists=16, seed=11)
+    assignments = assignments.cache()
+    # every vector lands in exactly one list
+    assert assignments.count() == emb.count()
+    n_lists_used = assignments.select("list_id").distinct().count()
+    assert 2 <= n_lists_used <= 16
+
+    approx = [r["id"] for r in
+              ivf_cosine_topk(emb, qvec, k=10, nprobe=4, exclude_id=3,
+                              assignments=assignments,
+                              centroids=centroids).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (recall, exact, approx)
+
+    full = [r["id"] for r in
+            ivf_cosine_topk(emb, qvec, k=10, nprobe=16, exclude_id=3,
+                            assignments=assignments,
+                            centroids=centroids).collect()]
+    assert full == exact
