@@ -153,13 +153,20 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame,
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        n_bits: int = 12, seed: int = 29) -> DataFrame:
+                        n_bits: int = 12, seed: int = 29,
+                        max_bucket: int = 1000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_r).
 
     LSH-bucket candidates (same random-hyperplane bucket) then exact
     cosine within buckets — the scale path avoids the all-pairs join; at
     threshold ~0.95 the angular distance is small enough that same-bucket
     probability per true pair is high (multiply tables to raise recall).
+
+    ``max_bucket`` caps pathological buckets, mirroring
+    :func:`minhash_lsh_candidates`: a degenerate bucket (zero vectors,
+    boilerplate embeddings) would otherwise make the within-bucket
+    self-join O(b^2).  Capped buckets are dropped entirely — bounded cost
+    over recall on degenerate content.
     """
     from tantivy_spark.pipeline.similarity import (
         cosine_pairs_udf, hyperplane_lsh_buckets)
@@ -167,6 +174,9 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = int(dim_row[0]["d"]) if dim_row else 0
     buckets = hyperplane_lsh_buckets(df, dim, n_bits, seed, id_col, vec_col)
+    buckets = buckets.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("bucket"))
+    ).filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     tagged = buckets.join(vecs, "id")
     a = tagged.alias("a")

@@ -16,14 +16,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+def _cosine_to_query_udf(query_vec: list[float]):
+    """Arrow-batched cosine-to-a-fixed-query kernel: one numpy matvec per
+    batch.  (The previous formulation — interpreted ``F.aggregate`` /
+    ``zip_with`` higher-order folds per row — re-walks every vector in the
+    interpreter; at 10^9 x 768-d vectors that is the dominant cost of the
+    exact path.  The matvec form is both the fast and the scalable shape.)
+    """
+    from pyspark.sql.functions import pandas_udf
 
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
 
-def _norm(a):
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0), lambda acc, v: acc + v))
+    @pandas_udf("double")
+    def _cos(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.array(vs.tolist(), dtype=np.float64)
+        num = m @ q
+        den = np.sqrt((m * m).sum(axis=1)) * qn
+        return pd.Series(np.where(den > 0, num / den, 0.0))
+
+    return _cos
 
 
 def hyperplane_lsh_buckets(df: DataFrame, dim: int, n_bits: int = 16,
@@ -145,11 +159,28 @@ def _kmeans_numpy(sample: np.ndarray, n_lists: int, seed: int = 11,
     return c
 
 
+#: hard ceiling on the driver-side k-means fitting sample.  The coarse
+#: quantizer needs only a representative sample (classic IVF trains the
+#: quantizer on ~30-256 vectors per list); collecting the full embedding
+#: table (10^9 x 768-d at corpus scale) to the driver is an OOM, full stop.
+MAX_KMEANS_SAMPLE = 262_144
+
+
 def ivf_build(df: DataFrame, n_lists: int = 16, seed: int = 11,
-              sample_fraction: float = 1.0, id_col: str = "vec_id",
-              vec_col: str = "embedding"):
-    """IVF coarse quantizer: fit centroids on a sample, assign every
-    vector to its nearest list DISTRIBUTED (one Arrow matmul per batch).
+              sample_fraction: float | None = None, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              max_sample: int = MAX_KMEANS_SAMPLE):
+    """IVF coarse quantizer: fit centroids on a BOUNDED sample, assign
+    every vector to its nearest list DISTRIBUTED (one Arrow matmul per
+    batch).
+
+    The fitting sample is capped at ``max_sample`` rows regardless of
+    table size: ``sample_fraction=None`` derives the fraction from a
+    count, and an explicit fraction is still ``limit``-bounded — the
+    driver never materializes more than ``max_sample`` vectors.  Recall
+    is insensitive to the cap (k-means needs ~10^2-10^3 vectors per
+    centroid; 256k >> n_lists for any sane list count); assignment of
+    the full table stays distributed either way.
 
     Returns (centroids ndarray [n_lists, dim], assignments DataFrame
     (id, list_id)).  At corpus scale the assignments table is written
@@ -157,11 +188,19 @@ def ivf_build(df: DataFrame, n_lists: int = 16, seed: int = 11,
     vectors per probed list instead of a full scan."""
     from pyspark.sql.functions import pandas_udf
 
+    if sample_fraction is None:
+        n = df.count()
+        # 1.3x oversample so the post-sample limit() usually keeps the
+        # full max_sample even with binomial sampling variance
+        sample_fraction = min(1.0, 1.3 * max_sample / max(n, 1))
+    sdf = df if sample_fraction >= 1.0 else df.sample(
+        fraction=sample_fraction, seed=seed)
     sample = np.array(
         [list(r[vec_col]) for r in
-         (df.sample(fraction=sample_fraction, seed=seed) if sample_fraction < 1.0
-          else df).select(vec_col).collect()],
+         sdf.select(vec_col).limit(int(max_sample)).collect()],
         dtype=np.float64)
+    if len(sample) == 0:
+        raise ValueError("ivf_build: empty sample (empty input table?)")
     centroids = _kmeans_numpy(sample, n_lists, seed)
     c_t = centroids.T.copy()
 
@@ -208,17 +247,15 @@ def brute_force_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                             exclude_id: int | None = None) -> DataFrame:
     """Exact cosine top-k: (rank, id, cos_r).
 
-    The query vector is baked as a literal array (broadcast-free);
-    ordering is (round(cos,4) desc, id asc) so ranks are reproducible
-    across engines despite float summation order.
+    The query vector ships by value inside one Arrow matvec kernel
+    (task-broadcast, tiny); ordering is (round(cos,4) desc, id asc) so
+    ranks are reproducible across engines despite float summation order.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    out = df.select(F.col(id_col).alias("id"), vec.alias("v"))
+    cos_udf = _cosine_to_query_udf([float(x) for x in query_vec])
+    out = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if exclude_id is not None:
         out = out.filter(F.col("id") != exclude_id)
-    cos = _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q))
-    scored = out.select("id", F.round(cos, 4).alias("cos_r"))
+    scored = out.select("id", F.round(cos_udf(F.col("v")), 4).alias("cos_r"))
     ranked = scored.orderBy(F.desc("cos_r"), F.asc("id")).limit(k)
     from pyspark.sql import Window
     w = Window.orderBy(F.desc("cos_r"), F.asc("id"))

@@ -204,3 +204,48 @@ def test_ivf_ann_recall(spark):
                             assignments=assignments,
                             centroids=centroids).collect()]
     assert full == exact
+
+
+def test_ivf_kmeans_sample_is_bounded(spark):
+    """The k-means fitting sample must stay under the cap on an oversized
+    frame — the driver never collects the whole embedding table."""
+    from tantivy_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    cap = max(n // 4, 8)
+    seen = {}
+    orig = sim._kmeans_numpy
+
+    def spy(sample, n_lists, seed=11, n_iter=12):
+        seen["n"] = len(sample)
+        return orig(sample, n_lists, seed, n_iter)
+
+    sim._kmeans_numpy = spy
+    try:
+        centroids, assignments = sim.ivf_build(emb, n_lists=4, max_sample=cap)
+    finally:
+        sim._kmeans_numpy = orig
+    assert 0 < seen["n"] <= cap, (seen, cap, n)
+    # distributed assignment still covers the FULL table
+    assert assignments.count() == n
+    assert centroids.shape[0] <= 4
+
+
+def test_embedding_near_dups_bucket_cap(spark, emb):
+    """A degenerate hot bucket (many identical vectors) is dropped by the
+    max_bucket guard instead of going O(b^2); normal pairs survive."""
+    from tantivy_spark.pipeline.dedup import embedding_near_dups
+
+    base = emb.select("vec_id", "embedding")
+    dup = base.filter(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.lit(99_999).cast("long"))
+    # 50 copies of vector 3 -> one bucket of >= 50 identical vectors
+    hot = base.filter(F.col("vec_id") == 3).crossJoin(
+        spark.range(100_000, 100_050).select(F.col("id").alias("nid"))
+    ).select(F.col("nid").alias("vec_id"), "embedding")
+    corpus = base.unionByName(dup).unionByName(hot)
+    pairs = embedding_near_dups(corpus, threshold=0.99, max_bucket=20).collect()
+    # the seeded normal pair survives; no pair touches the capped hot ids
+    assert any(r["id_a"] == 7 and r["id_b"] == 99_999 for r in pairs)
+    assert not any(r["id_a"] >= 100_000 or r["id_b"] >= 100_000 for r in pairs)
