@@ -261,8 +261,15 @@ def _segment_wand(terms_blocks: list[_TermBlocks], params: list[Bm25Params],
 MAX_BROADCAST_DELETES = 2_000_000
 
 
+#: seeding prelude latency is only worth paying when pruning has real
+#: work to skip; lists shorter than this many blocks decode in one strip
+#: pass anyway, so seeding auto-skips below it.
+MIN_SEED_BLOCKS = 32
+
+
 def global_seed_threshold(reader: IndexReader, live_terms: list[str],
-                          params_by_term: dict, k: int) -> float:
+                          params_by_term: dict, k: int,
+                          min_blocks: int = MIN_SEED_BLOCKS) -> float:
     """A PROVEN lower bound on the global kth score, computed before the
     per-segment kernels run (the reference seeds per-term thresholds from
     max_scores, bm25.rs:184-186; here we go one step further and realize
@@ -275,29 +282,64 @@ def global_seed_threshold(reader: IndexReader, live_terms: list[str],
     contributions are positive in a union), so the global kth total score
     is >= this value.  Only valid for mode="or" — in an intersection a
     high-scoring doc for one term may not match the others.
+
+    The per-chunk argmax runs DISTRIBUTED (an Arrow kernel emits one row
+    per chunk; the driver collects one aggregate row per term).  A hot
+    term at 10^12 docs has millions of (chunk, block) metadata rows —
+    collecting them, as this function once did, is a driver OOM.
+    Seeding auto-skips (returns -inf) when the best term's posting list
+    is under ``min_blocks`` blocks: pruning has nothing to save there,
+    so the prelude job would be pure added latency.
     """
-    meta = (reader.postings_for_terms(live_terms)
-            .select("term", "segment_ord", "chunk_id",
-                    "n_docs", "wand_fn", "wand_tf").collect())
-    best = None  # (bms, term, segment_ord, chunk_id, block_idx)
-    for row in meta:
-        if not row["n_docs"]:
-            continue
-        params = params_by_term[row["term"]]
-        nd = np.array(row["n_docs"], dtype=np.int64)
-        bms = params.score(np.array(row["wand_fn"], dtype=np.int64),
-                           np.array(row["wand_tf"], dtype=np.int64))
-        eligible = np.nonzero(nd >= k)[0]
-        if len(eligible) == 0:
-            continue
-        b = int(eligible[np.argmax(bms[eligible])])
-        cand = (float(bms[b]), row["term"], int(row["segment_ord"]),
-                int(row["chunk_id"]), b)
+    meta = reader.postings_for_terms(live_terms).select(
+        "term", "segment_ord", "chunk_id", "n_docs", "wand_fn", "wand_tf")
+    pbt = params_by_term
+    kk = int(k)
+
+    def best_per_chunk(batches):
+        for pdf in batches:
+            out = {"term": [], "segment_ord": [], "chunk_id": [],
+                   "block_idx": [], "bms": [], "n_blocks": []}
+            for row in pdf.itertuples(index=False):
+                if not len(row.n_docs):
+                    continue
+                nd = np.asarray(row.n_docs, dtype=np.int64)
+                bms = pbt[row.term].score(
+                    np.asarray(row.wand_fn, dtype=np.int64),
+                    np.asarray(row.wand_tf, dtype=np.int64))
+                eligible = np.nonzero(nd >= kk)[0]
+                if len(eligible) == 0:
+                    continue
+                b = int(eligible[np.argmax(bms[eligible])])
+                out["term"].append(row.term)
+                out["segment_ord"].append(int(row.segment_ord))
+                out["chunk_id"].append(int(row.chunk_id))
+                out["block_idx"].append(b)
+                out["bms"].append(float(bms[b]))
+                out["n_blocks"].append(int(len(nd)))
+            if out["term"]:
+                yield pd.DataFrame(out)
+
+    per_chunk = meta.mapInPandas(
+        best_per_chunk,
+        schema="term STRING, segment_ord INT, chunk_id INT, "
+               "block_idx INT, bms DOUBLE, n_blocks BIGINT")
+    # one row per query term reaches the driver: total blocks + the
+    # argmax block location (struct max orders by bms first)
+    per_term = (per_chunk.groupBy("term").agg(
+        F.sum("n_blocks").alias("blocks"),
+        F.max(F.struct("bms", "segment_ord", "chunk_id", "block_idx"))
+        .alias("best")).collect())
+    best = None  # (bms, blocks, term, segment_ord, chunk_id, block_idx)
+    for row in per_term:
+        cand = (float(row["best"]["bms"]), int(row["blocks"]), row["term"],
+                int(row["best"]["segment_ord"]), int(row["best"]["chunk_id"]),
+                int(row["best"]["block_idx"]))
         if best is None or cand[0] > best[0]:
             best = cand
-    if best is None:
+    if best is None or best[1] < min_blocks:
         return float("-inf")
-    _, term, seg, chunk, b = best
+    _, _, term, seg, chunk, b = best
     rows = (reader.postings_for_terms([term])
             .filter((F.col("segment_ord") == seg) & (F.col("chunk_id") == chunk))
             .drop("pos").collect())
@@ -311,27 +353,12 @@ def global_seed_threshold(reader: IndexReader, live_terms: list[str],
     return float(np.partition(scores, -k)[-k])
 
 
-def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
-              mode: str = "or", seed_threshold: bool = False,
-              boosts: list[float] | None = None) -> DataFrame:
-    """Distributed BMW top-k for a pure term union ("or") or pure term
-    intersection ("and").  Returns (rank, segment_ord, doc_id, score, key)
-    with the reference tie-break; score is float32.
-
-    Deletes: per-segment alive bitsets are shipped into the kernels (task
-    broadcast) so dead docs never influence thresholds.  Indexes with more
-    than MAX_BROADCAST_DELETES deleted docs should be compacted first
-    (merge drops them) — callers get a ValueError rather than a silent
-    driver-memory blowup.
-
-    ``seed_threshold``: pre-compute a global kth lower bound from the
-    best single block (global_seed_threshold) and ship it to every
-    segment kernel, so pruning starts immediately instead of after k
-    local candidates.  Two extra tiny jobs of latency; a large decoded-
-    block saving on big posting lists.  Results are identical either way
-    (tests assert it).  "or" only; ignored for intersections (and when
-    deletes exist — dead docs could occupy the seeding block's top-k).
-    """
+def _wand_plan(reader: IndexReader, terms: list[str], k: int, mode: str,
+               seed_threshold: bool, boosts: list[float] | None,
+               min_seed_blocks: int = MIN_SEED_BLOCKS):
+    """Shared prelude of wand_topk / wand_stats: live terms, per-term BM25
+    params, delete bitsets, optional seed, and the segment-partitioned
+    posting rows (None when no term matches)."""
     terms = list(terms)
     boost_of = dict(zip(terms, boosts)) if boosts is not None else {}
     deleted_by_seg: dict[int, np.ndarray] | None = None
@@ -357,54 +384,132 @@ def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
                                    boost=float(boost_of.get(t, 1.0)))
         for t in live_terms
     }
-    spark = reader.spark
-    if not live_terms:
-        empty = spark.createDataFrame([], schema=OUT_SCHEMA)
-        rows = empty
-    else:
-        seed = float("-inf")
+    rows = None
+    seed = float("-inf")
+    if live_terms:
         if seed_threshold and mode == "or" and deleted_by_seg is None:
-            seed = global_seed_threshold(reader, live_terms, params_by_term, k)
+            seed = global_seed_threshold(reader, live_terms, params_by_term,
+                                         k, min_blocks=min_seed_blocks)
         rows = (reader.postings_for_terms(live_terms)
                 .drop("pos")
                 .repartition("segment_ord"))
+    return live_terms, params_by_term, deleted_by_seg, seed, rows
 
-        term_order = {t: i for i, t in enumerate(live_terms)}
-        n_terms = len(live_terms)
-        kk = int(k)
-        md = mode
 
-        def kernel(batches):
-            # group rows per segment (repartition guarantees segment locality)
-            by_seg: dict[int, dict[str, list]] = {}
-            for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    by_seg.setdefault(int(row.segment_ord), {}) \
-                        .setdefault(row.term, []).append(row)
-            for seg, per_term in by_seg.items():
-                tbs, prms = [], []
-                for t in live_terms:
-                    if t not in per_term:
-                        if md == "and":
-                            break
-                        continue
-                    tbs.append(_TermBlocks(per_term[t], params_by_term[t]))
-                    prms.append(params_by_term[t])
-                else:
-                    if md == "and" and len(tbs) != n_terms:
-                        continue
-                    if not tbs:
-                        continue
-                    dead = (deleted_by_seg or {}).get(seg)
-                    d, s = _segment_wand(tbs, prms, kk, md, deleted=dead,
-                                         seed=seed)
-                    if len(d):
-                        yield pd.DataFrame({
-                            "segment_ord": np.full(len(d), seg, dtype=np.int32),
-                            "doc_id": d.astype(np.int32),
-                            "score": s,
-                        })
+def _segment_kernel_fn(live_terms, params_by_term, k: int, mode: str,
+                       deleted_by_seg, seed: float, emit_stats: bool):
+    """mapInPandas kernel over segment-grouped posting rows.  Yields
+    result rows (segment_ord, doc_id, score) or, with ``emit_stats``,
+    one instrumentation row per segment (decoded_blocks,
+    processed_strips) instead."""
+    n_terms = len(live_terms)
+    kk = int(k)
+    md = mode
 
+    def kernel(batches):
+        # group rows per segment (repartition guarantees segment locality)
+        by_seg: dict[int, dict[str, list]] = {}
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                by_seg.setdefault(int(row.segment_ord), {}) \
+                    .setdefault(row.term, []).append(row)
+        for seg, per_term in by_seg.items():
+            tbs, prms = [], []
+            for t in live_terms:
+                if t not in per_term:
+                    if md == "and":
+                        break
+                    continue
+                tbs.append(_TermBlocks(per_term[t], params_by_term[t]))
+                prms.append(params_by_term[t])
+            else:
+                if md == "and" and len(tbs) != n_terms:
+                    continue
+                if not tbs:
+                    continue
+                dead = (deleted_by_seg or {}).get(seg)
+                stats: dict | None = {} if emit_stats else None
+                d, s = _segment_wand(tbs, prms, kk, md, deleted=dead,
+                                     seed=seed, stats=stats)
+                if emit_stats:
+                    total_blocks = sum(len(tb.starts) for tb in tbs)
+                    yield pd.DataFrame({
+                        "segment_ord": [seg],
+                        "decoded_blocks": [stats.get("decoded_blocks", 0)],
+                        "processed_strips": [stats.get("processed_strips", 0)],
+                        "total_blocks": [total_blocks],
+                    })
+                elif len(d):
+                    yield pd.DataFrame({
+                        "segment_ord": np.full(len(d), seg, dtype=np.int32),
+                        "doc_id": d.astype(np.int32),
+                        "score": s,
+                    })
+
+    return kernel
+
+
+STATS_SCHEMA = ("segment_ord INT, decoded_blocks BIGINT, "
+                "processed_strips BIGINT, total_blocks BIGINT")
+
+
+def wand_stats(reader: IndexReader, terms: list[str], k: int = 10,
+               mode: str = "or", seed_threshold: bool = False,
+               boosts: list[float] | None = None,
+               min_seed_blocks: int = MIN_SEED_BLOCKS) -> dict:
+    """Run the WAND kernels in instrumentation mode and return the summed
+    pruning counters: {"decoded_blocks", "processed_strips",
+    "total_blocks", "seeded"} — the evidence behind any seeding claim
+    (decoded blocks are what seeding saves; wall time on a loaded box is
+    not trustworthy)."""
+    live_terms, params_by_term, deleted_by_seg, seed, rows = _wand_plan(
+        reader, terms, k, mode, seed_threshold, boosts, min_seed_blocks)
+    if rows is None:
+        return {"decoded_blocks": 0, "processed_strips": 0,
+                "total_blocks": 0, "seeded": False}
+    kernel = _segment_kernel_fn(live_terms, params_by_term, k, mode,
+                                deleted_by_seg, seed, emit_stats=True)
+    agg = rows.mapInPandas(kernel, schema=STATS_SCHEMA).agg(
+        F.sum("decoded_blocks").alias("db"),
+        F.sum("processed_strips").alias("ps"),
+        F.sum("total_blocks").alias("tb")).collect()[0]
+    return {"decoded_blocks": int(agg["db"] or 0),
+            "processed_strips": int(agg["ps"] or 0),
+            "total_blocks": int(agg["tb"] or 0),
+            "seeded": seed != float("-inf")}
+
+
+def wand_topk(reader: IndexReader, terms: list[str], k: int = 10,
+              mode: str = "or", seed_threshold: bool = False,
+              boosts: list[float] | None = None,
+              min_seed_blocks: int = MIN_SEED_BLOCKS) -> DataFrame:
+    """Distributed BMW top-k for a pure term union ("or") or pure term
+    intersection ("and").  Returns (rank, segment_ord, doc_id, score, key)
+    with the reference tie-break; score is float32.
+
+    Deletes: per-segment alive bitsets are shipped into the kernels (task
+    broadcast) so dead docs never influence thresholds.  Indexes with more
+    than MAX_BROADCAST_DELETES deleted docs should be compacted first
+    (merge drops them) — callers get a ValueError rather than a silent
+    driver-memory blowup.
+
+    ``seed_threshold``: pre-compute a global kth lower bound from the
+    best single block (global_seed_threshold, distributed argmax) and
+    ship it to every segment kernel, so pruning starts immediately
+    instead of after k local candidates.  Auto-skips on short lists
+    (< MIN_SEED_BLOCKS) where the prelude cannot pay for itself.
+    Results are identical either way (tests assert it).  "or" only;
+    ignored for intersections (and when deletes exist — dead docs could
+    occupy the seeding block's top-k).
+    """
+    live_terms, params_by_term, deleted_by_seg, seed, rows = _wand_plan(
+        reader, terms, k, mode, seed_threshold, boosts, min_seed_blocks)
+    spark = reader.spark
+    if rows is None:
+        rows = spark.createDataFrame([], schema=OUT_SCHEMA)
+    else:
+        kernel = _segment_kernel_fn(live_terms, params_by_term, k, mode,
+                                    deleted_by_seg, seed, emit_stats=False)
         rows = rows.mapInPandas(kernel, schema=OUT_SCHEMA)
 
     top = rows.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc_id")).limit(k)

@@ -70,7 +70,7 @@ def test_seeded_wand_identical(tiny_index, tiny_golden, terms, k):
     never change results — byte-identical ranks, addresses, f32 scores."""
     base = wand_topk(tiny_index, terms, k=k, mode="or").collect()
     seeded = wand_topk(tiny_index, terms, k=k, mode="or",
-                       seed_threshold=True).collect()
+                       seed_threshold=True, min_seed_blocks=0).collect()
     assert [(r["rank"], r["segment_ord"], r["doc_id"], r["score"])
             for r in base] == \
         [(r["rank"], r["segment_ord"], r["doc_id"], r["score"])
@@ -87,11 +87,16 @@ def test_seed_threshold_is_valid_lower_bound(tiny_index, tiny_golden):
                                          tiny_index.avg_fieldnorm)
               for t in terms}
     for k in (1, 5, 10):
-        seed = global_seed_threshold(tiny_index, terms, params, k)
+        seed = global_seed_threshold(tiny_index, terms, params, k,
+                                     min_blocks=0)
         want = _golden_topk(tiny_golden, terms, k, "or")
         kth = want[-1][3]  # golden kth total score
         assert seed <= kth + 1e-6, (k, seed, kth)
         assert seed > float("-inf")
+    # the auto-skip: on this tiny corpus every list is far under the
+    # default block floor, so the default call declines to seed
+    assert global_seed_threshold(tiny_index, terms, params, 5) == \
+        float("-inf")
 
 
 def test_seeding_prunes_decode_work(tiny_index):
@@ -115,7 +120,7 @@ def test_seeding_prunes_decode_work(tiny_index):
         by_term.setdefault(r["term"], []).append(r)
     tbs = [_TermBlocks(by_term[t], params[t]) for t in terms if t in by_term]
     prms = [params[t] for t in terms if t in by_term]
-    seed = global_seed_threshold(tiny_index, terms, params, 3)
+    seed = global_seed_threshold(tiny_index, terms, params, 3, min_blocks=0)
 
     s0: dict = {}
     d0, sc0 = _segment_wand(tbs, prms, 3, "or", stats=s0)
@@ -125,6 +130,22 @@ def test_seeding_prunes_decode_work(tiny_index):
     assert list(sc0) == list(sc1)
     assert s1["decoded_blocks"] <= s0["decoded_blocks"]
     assert s1["processed_strips"] <= s0["processed_strips"]
+
+
+def test_wand_stats_distributed(tiny_index):
+    """The instrumentation surface (wand_stats): distributed counters sum
+    across segments; seeding never increases decoded blocks; results stay
+    covered by the seeded-identity test above."""
+    from tantivy_spark.query.wand import wand_stats
+
+    base = wand_stats(tiny_index, ["the", "of"], k=3, mode="or")
+    assert base["total_blocks"] > 0
+    assert 0 < base["decoded_blocks"] <= base["total_blocks"]
+    assert not base["seeded"]
+    seeded = wand_stats(tiny_index, ["the", "of"], k=3, mode="or",
+                        seed_threshold=True, min_seed_blocks=0)
+    assert seeded["seeded"]
+    assert seeded["decoded_blocks"] <= base["decoded_blocks"]
 
 
 def test_wand_randomized_merged(spark, tmp_path_factory):
