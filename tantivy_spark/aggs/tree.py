@@ -247,6 +247,19 @@ def _run_chain(df: DataFrame, name: str, kind: str, body: dict) -> DataFrame:
             key_of_level[i] = ik
 
     leaf = levels[-1]
+    # top_hits is only supported as the terminal node of a chain, and not
+    # next to sibling metrics — fail loudly instead of silently dropping
+    # part of the request (the per-hit output granularity cannot carry
+    # per-bucket metric columns coherently)
+    for lvl in levels[:-1]:
+        if lvl.top_hits is not None:
+            raise ValueError(
+                f"top_hits sub-agg {lvl.top_hits[0]!r} attached to non-leaf "
+                f"level {lvl.name!r}: top_hits must be the deepest node")
+    if leaf.top_hits is not None and leaf.metrics:
+        raise ValueError(
+            f"top_hits {leaf.top_hits[0]!r} cannot share its level with "
+            f"metric sub-aggs {sorted(leaf.metrics)}; split the request")
 
     def _publish(frame: DataFrame) -> DataFrame:
         for ik, pub in zip(ikeys, pub_keys):

@@ -22,7 +22,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_V4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+# octets constrained to 0-255: a sloppy \d{1,3} would let '300.1.2.3'
+# overflow the u32, whose hex lpad then TRUNCATES into a corrupted key
+# colliding with valid address ranges
+_OCT = r"(25[0-5]|2[0-4]\d|1?\d?\d)"
+_V4_RE = rf"^{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}$"
 
 
 def ip_key(ip: str) -> str:
@@ -48,13 +52,24 @@ def ip_key_col(ip: Column) -> Column:
     """Order-preserving sort key for an ip-string column.
 
     IPv4 strings take the whole-stage-codegen JVM path; everything else
-    falls back to the Arrow-batched ``ipaddress`` UDF."""
+    falls back to the Arrow-batched ``ipaddress`` UDF.  Unparseable
+    strings key to NULL (dropped by any range filter) instead of failing
+    the whole query on one dirty log row."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def _key(ips: pd.Series) -> pd.Series:
         from tantivy_spark.functions.ip import ip_key
-        return ips.map(lambda s: ip_key(s) if s is not None else None)
+
+        def safe(s):
+            if s is None:
+                return None
+            try:
+                return ip_key(s)
+            except ValueError:
+                return None
+
+        return ips.map(safe)
 
     return F.when(ip.rlike(_V4_RE), _ipv4_key_col(ip)) \
         .when(ip.isNotNull(), _key(ip)) \

@@ -39,17 +39,35 @@ class IndexReader:
         from tantivy_spark.index.build import CHUNK_DOCS
         self.chunk_docs: int = int(self.manifest["config"].get("chunk_docs", CHUNK_DOCS))
 
+    def _table(self, name: str) -> DataFrame:
+        """Read an index table, restricted — for streaming-built indexes —
+        to the batches the manifest has PUBLISHED.  A crash between a
+        batch's parquet writes and its manifest commit leaves orphan
+        ``batch=N`` subdirectories; plain partition discovery would show
+        those phantom docs to readers while the manifest totals (num_docs,
+        avg_fieldnorm) exclude them, skewing scores.  The manifest is the
+        atomic visibility gate (the reference's meta.json semantics), so
+        the reader only trusts partitions it records.  The filter is a
+        partition-column predicate: unpublished directories are pruned at
+        planning time, never scanned."""
+        df = self.spark.read.parquet(os.path.join(self.index_dir, name))
+        batches = self.manifest.get("batches")
+        if batches and "batch" in df.columns:
+            df = df.filter(
+                F.col("batch").cast("string").isin(list(batches.keys())))
+        return df
+
     @cached_property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        return self._table("postings")
 
     @cached_property
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        return self._table("docmap")
 
     @cached_property
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+        return self._table("term_stats")
 
     def doc_freqs(self, terms: list[str]) -> dict[str, int]:
         """Global doc_freq for a small set of query terms (driver-side).

@@ -486,20 +486,33 @@ class ExactSearcher:
         fail loudly past ``cap`` — like wand.py's delete-bitset guard.
 
         ``transposition_cost_one`` = Damerau-Levenshtein (adjacent swap
-        costs 1).  DL <= L always and L <= 2*DL, so the distributed coarse
+        costs 1).  DL <= L always and L <= 2*DL, so the codegen'd coarse
         filter ``levenshtein <= 2*distance`` is a superset; the exact DL
-        check runs on the (small) collected candidate set."""
+        check then runs DISTRIBUTED (Arrow-batched UDF) *before* the
+        limit, so the cap measures — and fails loudly on — the true DL
+        set, never the inflated coarse set (a coarse set past the cap
+        must not silently drop valid matches beyond it)."""
         base = self.reader.term_stats
         if prefix:
             base = base.filter(F.col("term").startswith(term[: max(len(term) - distance, 1)]))
         coarse = 2 * distance if transposition_cost_one else distance
-        rows = (base.filter((F.length("term") >= len(term) - distance)
-                            & (F.length("term") <= len(term) + distance)
-                            & (F.levenshtein(F.col("term"), F.lit(term)) <= coarse))
-                .select("term").orderBy("term").limit(cap + 1).collect())
-        out = [r["term"] for r in rows]
+        base = base.filter((F.length("term") >= len(term) - distance)
+                           & (F.length("term") <= len(term) + distance)
+                           & (F.levenshtein(F.col("term"), F.lit(term)) <= coarse))
         if transposition_cost_one:
-            out = [t for t in out if _damerau_levenshtein(t, term) <= distance]
+            from pyspark.sql.functions import pandas_udf
+
+            qterm, dmax = term, int(distance)
+
+            @pandas_udf("boolean")
+            def _dl_ok(terms_s: pd.Series) -> pd.Series:
+                from tantivy_spark.query.exact import _damerau_levenshtein
+                return terms_s.map(
+                    lambda t: _damerau_levenshtein(t, qterm) <= dmax)
+
+            base = base.filter(_dl_ok(F.col("term")))
+        rows = base.select("term").orderBy("term").limit(cap + 1).collect()
+        out = [r["term"] for r in rows]
         if len(out) > cap:
             raise ValueError(
                 f"fuzzy expansion of {term!r} (d<={distance}) exceeds {cap} "

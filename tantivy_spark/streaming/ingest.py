@@ -81,6 +81,25 @@ class IncrementalIndexer:
         self.manifest.setdefault("batches", {})
         self.manifest.setdefault("next_segment_ord",
                                  self.manifest["totals"].get("num_segments", 0))
+        self._drop_orphan_batches()
+
+    def _drop_orphan_batches(self) -> None:
+        """Crash recovery at startup: delete ``batch=N`` subdirectories the
+        manifest never published.  Readers already ignore them
+        (IndexReader restricts every table to manifest batches), and a
+        redelivered batch overwrites the same paths — this just reclaims
+        the space and keeps ad-hoc directory listings honest."""
+        import shutil
+
+        published = set(self.manifest["batches"])
+        for table in ("postings", "docmap", "term_stats", "lineage"):
+            tdir = os.path.join(self.index_dir, table)
+            if not os.path.isdir(tdir):
+                continue
+            for sub in os.listdir(tdir):
+                if sub.startswith("batch=") and \
+                        sub.split("=", 1)[1] not in published:
+                    shutil.rmtree(os.path.join(tdir, sub), ignore_errors=True)
 
     def _fail(self, point: str) -> None:
         if point in self.failpoints:

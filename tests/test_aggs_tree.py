@@ -212,6 +212,29 @@ def test_top_hits_tree_node(spark, events):
         assert [h["event_id"] for h in hits] == [w["event_id"] for w in want]
 
 
+def test_top_hits_misplacement_raises(spark, events):
+    """top_hits at a non-leaf level, or sharing its level with metric
+    sub-aggs, is rejected loudly instead of silently dropped."""
+    import pytest
+
+    from tantivy_spark.aggs import run_agg_tree
+
+    non_leaf = {"by_type": {"terms": {"field": "event_type"},
+                            "aggs": {
+                                "best": {"top_hits": {"size": 1}},
+                                "by_user": {"terms": {"field": "user_id"},
+                                            "aggs": {"av": {"avg": {
+                                                "field": "value"}}}}}}}
+    with pytest.raises(ValueError, match="non-leaf"):
+        run_agg_tree(events, non_leaf)
+    with_sibling = {"by_type": {"terms": {"field": "event_type"},
+                                "aggs": {
+                                    "best": {"top_hits": {"size": 1}},
+                                    "av": {"avg": {"field": "value"}}}}}
+    with pytest.raises(ValueError, match="share its level"):
+        run_agg_tree(events, with_sibling)
+
+
 def test_date_histogram_fixed_interval(spark, events):
     req = {"h12": {"date_histogram": {"field": "ts", "fixed_interval": "12h"}}}
     rows = run_agg_tree(events, req)["h12"].collect()

@@ -92,6 +92,40 @@ def test_crash_midway_through_second_batch(spark, corpus, tmp_path_factory,
     assert reader.total_num_tokens == clean_result["total_tokens"]
 
 
+def test_orphan_batch_invisible_to_readers(spark, corpus, tmp_path_factory):
+    """A crash AFTER all of a batch's parquet writes but BEFORE its
+    manifest publish must leave the batch invisible: readers count only
+    published docs (no phantom matches with excluded statistics), and a
+    restarted indexer reclaims the orphan directories."""
+    import os
+
+    out = str(tmp_path_factory.mktemp("fp_orphan") / "inc")
+    cfg = IndexConfig(key_col="url", text_col="text")
+    ix = IncrementalIndexer(spark, out, cfg, segments_per_batch=2)
+    b0 = corpus.filter(F.substring("url", -1, 1).isin(*"01234"))
+    b1 = corpus.filter(~F.substring("url", -1, 1).isin(*"01234"))
+    ix.process_batch(b0, 0)
+    n0 = b0.count()
+    # the LAST failpoint: every table of batch 1 is on disk, unpublished
+    ix.failpoints.add("after_term_stats")
+    with pytest.raises(InjectedFailure):
+        ix.process_batch(b1, 1)
+    assert os.path.isdir(os.path.join(out, "postings", "batch=1"))
+
+    reader = IndexReader(spark, out)
+    from tantivy_spark.query import AllQuery
+    s = ExactSearcher(reader)
+    assert reader.num_docs == n0
+    assert s.matching(AllQuery()).count() == n0          # docmap gated
+    assert reader.postings.filter("batch = 1").count() == 0  # postings gated
+
+    # restart: orphan dirs are reclaimed, then redelivery completes
+    ix2 = IncrementalIndexer(spark, out, cfg, segments_per_batch=2)
+    assert not os.path.isdir(os.path.join(out, "postings", "batch=1"))
+    ix2.process_batch(b1, 1)
+    assert IndexReader(spark, out).num_docs == corpus.count()
+
+
 def test_fresh_indexer_resumes_from_manifest(spark, corpus, tmp_path_factory):
     """A NEW IncrementalIndexer over the same dir (process restart) skips
     committed batches and continues from the recorded segment ordinal."""

@@ -152,3 +152,27 @@ def test_fast_field_range_query(spark, tiny_index, tiny_golden):
     got_ex = s.matching(FastFieldRangeQuery("kmod", 10, 19, False, False)).count()
     want_ex = ff.filter((F.col("kmod") > 10) & (F.col("kmod") < 19)).count()
     assert got_ex == want_ex
+
+
+def test_fuzzy_expansion_distributed_dl(spark, tmp_path):
+    """The Damerau-Levenshtein check runs distributed BEFORE the cap, so a
+    coarse superset larger than the cap cannot silently drop valid
+    matches, and the loud-cap error measures the TRUE DL set."""
+    from tantivy_spark.index.build import IndexConfig, build_index
+    from tantivy_spark.index.reader import IndexReader
+
+    # dictionary: DL<=1 of 'ab' is exactly {ab, ba}; {awq, axy, axz} are
+    # coarse-only (levenshtein 2 = 2*distance, DL 2) and sort BEFORE 'ba',
+    # so a collect-then-filter under cap=2 would have dropped 'ba'
+    docs = spark.createDataFrame(
+        [("k1", "ab awq axy"), ("k2", "ba axz")], "url STRING, text STRING")
+    out = str(tmp_path / "fuzzy_idx")
+    build_index(spark, docs, out, IndexConfig(key_col="url", n_segments=1))
+    s = ExactSearcher(IndexReader(spark, out))
+    got = s._expand_fuzzy("ab", 1, prefix=False, cap=2,
+                          transposition_cost_one=True)
+    assert got == ["ab", "ba"]
+    # and the cap fails loudly on the exact DL set, not the coarse one
+    with pytest.raises(ValueError, match="exceeds"):
+        s._expand_fuzzy("ab", 1, prefix=False, cap=1,
+                        transposition_cost_one=True)

@@ -203,3 +203,24 @@ def test_ip_range_filter(spark):
     got6 = sorted(r["ip"] for r in
                   ip_range_filter(df, "ip", "2001:db8::", "2001:db8::ff").collect())
     assert got6 == ["2001:db8::1"]
+
+
+def test_ip_dirty_input_keys_to_null(spark):
+    """Out-of-range octets must NOT take the JVM fast path (lpad would
+    truncate the overflowing hex into a colliding key), and unparseable
+    strings key to NULL instead of failing the query."""
+    from tantivy_spark.functions.ip import ip_key, ip_key_col, ip_range_filter
+
+    df = spark.createDataFrame(
+        [("300.1.2.3",), ("999.999.999.999",), ("not-an-ip",), ("1.2.3",),
+         ("10.0.0.1",), (None,)], "ip STRING")
+    got = {r["ip"]: r["k"] for r in
+           df.select("ip", ip_key_col(F.col("ip")).alias("k")).collect()}
+    assert got["10.0.0.1"] == ip_key("10.0.0.1")
+    for dirty in ("300.1.2.3", "999.999.999.999", "not-an-ip", "1.2.3", None):
+        assert got[dirty] is None, (dirty, got[dirty])
+    # a range filter over dirty rows neither raises nor matches them
+    kept = sorted(r["ip"] for r in
+                  ip_range_filter(df, "ip", "0.0.0.0", "255.255.255.255")
+                  .collect())
+    assert kept == ["10.0.0.1"]
