@@ -69,11 +69,37 @@ DOCMAP_SCHEMA = "segment_ord INT, doc_id INT, key STRING"
 #: This keeps the build single-pass: no stage ever re-tokenizes.
 FIELDNORM_SENTINEL = "\x00fieldnorms"
 
+#: Multi-field schema: terms are stored field-qualified as
+#: ``{field}\x1f{term}`` — the analogue of the reference's Term encoding
+#: ``field_id ++ type_tag ++ bytes`` (src/schema/term.rs:22-58), reusing
+#: the JSON-path prefix mechanism (\x1f cannot appear in analyzer
+#: output).  Each field gets its OWN sentinel row chain
+#: (``\x00fieldnorms\x1f{field}``) carrying that field's per-doc token
+#: counts and fieldnorm ids, so BM25 norms and averages are per-field,
+#: like the reference's per-field fieldnorm readers.
+FIELD_SEP = "\x1f"
+
+
+def fieldnorm_sentinel(fld: str | None = None) -> str:
+    return FIELDNORM_SENTINEL if fld is None else \
+        f"{FIELDNORM_SENTINEL}{FIELD_SEP}{fld}"
+
+
+def qualify_term(term: str, fld: str) -> str:
+    """Field-qualified dictionary key of a term."""
+    return f"{fld}{FIELD_SEP}{term}"
+
 
 @dataclass
 class IndexConfig:
     key_col: str = "url"
     text_col: str = "text"
+    #: multi-field schema: ordered {field_name: source_column}.  When set,
+    #: ``text_col`` is ignored; every field indexes into the SAME segment/
+    #: doc-id space (one docmap) with field-qualified terms and its own
+    #: fieldnorm sentinel chain.  The FIRST field is the default field for
+    #: unqualified query terms.
+    field_cols: dict[str, str] | None = None
     n_segments: int = 8
     segment_expr: str | None = None   # SQL over input cols; default pmod(xxhash64(key), n)
     with_positions: bool = True
@@ -105,14 +131,29 @@ def _sort_spec(cfg: IndexConfig) -> tuple[str, bool] | None:
     return cfg.sort_col, False
 
 
+def _field_specs(cfg: IndexConfig) -> list[tuple[str, str, str, str]]:
+    """[(term_prefix, source_col_alias, toks_col, sentinel_term)] — one
+    entry per indexed field.  Single-field indexes keep the historical
+    unprefixed layout (prefix "", sentinel FIELDNORM_SENTINEL), so their
+    on-disk format is unchanged."""
+    if not cfg.field_cols:
+        return [("", "text", "toks", FIELDNORM_SENTINEL)]
+    return [(f"{fld}{FIELD_SEP}", f"text__{fld}", f"toks__{fld}",
+             fieldnorm_sentinel(fld)) for fld in cfg.field_cols]
+
+
 def _segmented_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """(segment_ord, key, text[, sortv]) with deterministic segment
+    """(segment_ord, key, text-col(s)[, sortv]) with deterministic segment
     assignment."""
     cols = [
         F.expr(cfg.segment_sql()).cast("int").alias("segment_ord"),
         F.col(cfg.key_col).alias("key"),
-        F.col(cfg.text_col).alias("text"),
     ]
+    if cfg.field_cols:
+        cols += [F.col(src).alias(f"text__{fld}")
+                 for fld, src in cfg.field_cols.items()]
+    else:
+        cols.append(F.col(cfg.text_col).alias("text"))
     spec = _sort_spec(cfg)
     if spec:
         cols.append(F.col(spec[0]).alias("sortv"))
@@ -120,16 +161,17 @@ def _segmented_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 
 def _tokenized_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """(segment_ord, key, toks): raw alphanumeric runs split JVM-side with
-    a plain (codegen-friendly) regexp_extract_all — no higher-order
-    functions, whose per-token struct allocation dominates otherwise.
-    Lowercasing, the 40-byte filter, and position bookkeeping happen in
-    the Arrow kernel at C speed."""
+    """(segment_ord, key, toks-col(s)): raw alphanumeric runs split
+    JVM-side with a plain (codegen-friendly) regexp_extract_all — no
+    higher-order functions, whose per-token struct allocation dominates
+    otherwise.  Lowercasing, the 40-byte filter, and position bookkeeping
+    happen in the Arrow kernel at C speed."""
     from tantivy_spark.analyzer import raw_tokens_col
 
     seg = _segmented_docs(df, cfg)
-    cols = ["segment_ord", "key",
-            raw_tokens_col(F.coalesce(F.col("text"), F.lit(""))).alias("toks")]
+    cols = ["segment_ord", "key"] + [
+        raw_tokens_col(F.coalesce(F.col(src), F.lit(""))).alias(toks)
+        for _pfx, src, toks, _sent in _field_specs(cfg)]
     if _sort_spec(cfg):
         cols.append(F.col("sortv"))
     return seg.select(*cols)
@@ -148,6 +190,7 @@ def _segment_kernel(cfg: IndexConfig):
     with_positions = cfg.with_positions
     sort_spec = _sort_spec(cfg)
     chunk_docs = int(cfg.chunk_docs)  # captured by value into the kernel
+    specs = [(pfx, toks, sent) for pfx, _src, toks, sent in _field_specs(cfg)]
 
     def build_segment(tbl: "pa.Table") -> "pa.Table":
         import pyarrow as pa
@@ -160,7 +203,26 @@ def _segment_kernel(cfg: IndexConfig):
                 ("sortv", direction), ("key", "ascending")])
         else:
             order = pc.sort_indices(tbl.column("key").combine_chunks())
-        la = tbl.column("toks").combine_chunks().take(order)
+        rows = []
+        for term_prefix, toks_col, sentinel in specs:
+            rows.extend(_index_field(tbl, order, seg, term_prefix, toks_col,
+                                     sentinel, chunk_docs, with_positions))
+        cols = list(zip(*rows))
+        names = list(_EMPTY_POSTINGS.keys())
+        return pa.table(
+            {names[i]: list(cols[i]) for i in range(len(names))},
+            schema=_POSTINGS_PA_SCHEMA,
+        )
+
+    def _index_field(tbl, order, seg, term_prefix, toks_col, sentinel,
+                     chunk_docs, with_positions):
+        """Posting + sentinel rows of ONE field of one segment — per-field
+        fieldnorms, per-field segment-average block-max cache, terms
+        stored under the field's prefix."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        la = tbl.column(toks_col).combine_chunks().take(order)
         n_docs = len(la)
         raw_counts = pc.list_value_length(la).to_numpy(zero_copy_only=False)
         raw_counts = np.nan_to_num(raw_counts.astype(np.float64)).astype(np.int64) \
@@ -211,7 +273,7 @@ def _segment_kernel(cfg: IndexConfig):
         for c0 in range(0, n_docs, chunk_docs) if n_docs else [0]:
             c1 = min(c0 + chunk_docs, n_docs)
             rows.append((
-                seg, FIELDNORM_SENTINEL, c0 // chunk_docs, c1 - c0,
+                seg, sentinel, c0 // chunk_docs, c1 - c0,
                 int(counts[c0:c1].sum()),
                 codec.vint_encode(counts[c0:c1].astype(np.uint32)), b"",
                 fn_ids_per_doc[c0:c1].tobytes(), None,
@@ -242,7 +304,7 @@ def _segment_kernel(cfg: IndexConfig):
 
             for ti in range(len(t_starts)):
                 lo, hi = t_starts[ti], t_ends[ti]
-                term = vocab[int(tcodes_td[lo])].as_py()
+                term = term_prefix + vocab[int(tcodes_td[lo])].as_py()
                 d = docs_td[lo:hi]
                 tf = tfs_all[lo:hi]
                 fn = fn_ids_per_doc[d]
@@ -264,12 +326,7 @@ def _segment_kernel(cfg: IndexConfig):
                         list(m[0]), list(m[1]), list(m[2]), list(m[3]),
                         list(m[4]), list(m[5]),
                     ))
-        cols = list(zip(*rows))
-        names = list(_EMPTY_POSTINGS.keys())
-        return pa.table(
-            {names[i]: list(cols[i]) for i in range(len(names))},
-            schema=_POSTINGS_PA_SCHEMA,
-        )
+        return rows
 
     return build_segment
 
@@ -382,10 +439,15 @@ def _build_index_inner(spark: SparkSession, df: DataFrame, out_dir: str,
                 manifest["stages"][name] = {"wall_sec": fut.result(), "status": "done"}
         _write_manifest(manifest_path, manifest)
 
+    # a multi-field index carries one sentinel chain PER FIELD; doc counts
+    # must come from exactly one of them (they all cover the same docs)
+    doc_sentinel = fieldnorm_sentinel(
+        next(iter(cfg.field_cols)) if cfg.field_cols else None)
+
     def _term_stats_job():
         t0 = time.time()
         postings = spark.read.parquet(os.path.join(out_dir, "postings"))
-        (postings.filter(F.col("term") != FIELDNORM_SENTINEL)
+        (postings.filter(~F.col("term").startswith(FIELDNORM_SENTINEL))
          .groupBy("term")
          .agg(F.sum("doc_freq").alias("doc_freq"), F.sum("total_tf").alias("total_tf"))
          .write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats")))
@@ -394,9 +456,10 @@ def _build_index_inner(spark: SparkSession, df: DataFrame, out_dir: str,
     def _lineage_job():
         t0 = time.time()
         postings = spark.read.parquet(os.path.join(out_dir, "postings"))
-        is_sent = F.col("term") == FIELDNORM_SENTINEL
+        is_sent = F.col("term").startswith(FIELDNORM_SENTINEL)
         lin = postings.groupBy("segment_ord").agg(
-            F.sum(F.when(is_sent, F.col("doc_freq"))).alias("n_docs"),
+            F.sum(F.when(F.col("term") == doc_sentinel, F.col("doc_freq")))
+            .alias("n_docs"),
             F.sum(F.when(is_sent, F.col("total_tf"))).alias("n_tokens"),
             F.sum(F.when(~is_sent, 1).otherwise(0)).alias("posting_rows"),
             F.sum(F.when(~is_sent, F.col("doc_freq"))).alias("postings"),
@@ -431,6 +494,25 @@ def _build_index_inner(spark: SparkSession, df: DataFrame, out_dir: str,
             "num_segments": tot["num_segments"],
             "avg_fieldnorm": (total_tokens / num_docs) if num_docs else 0.0,
         }
+        if cfg.field_cols:
+            # per-field BM25 statistics from each field's sentinel chain
+            # (the reference keeps avg fieldnorm per field — bm25.rs uses
+            # the searched field's average, not a document-global one)
+            sent_rows = (
+                spark.read.parquet(os.path.join(out_dir, "postings"))
+                .filter(F.col("term").startswith(FIELDNORM_SENTINEL))
+                .groupBy("term")
+                .agg(F.sum("doc_freq").alias("nd"), F.sum("total_tf").alias("nt"))
+                .collect())
+            fields: dict = {}
+            for r in sent_rows:
+                fld = r["term"].split(FIELD_SEP, 1)[1]
+                nd, nt = int(r["nd"]), int(r["nt"])
+                fields[fld] = {
+                    "num_docs": nd, "total_num_tokens": nt,
+                    "avg_fieldnorm": (nt / nd) if nd else 0.0,
+                }
+            manifest["totals"]["fields"] = fields
         wall = sum(s.get("wall_sec", 0.0) for s in manifest["stages"].values())
         manifest["metrics"] = {
             "build_wall_sec": wall,

@@ -43,9 +43,11 @@ from tantivy_spark.bm25 import tf_cache_f32
 from tantivy_spark.index import codec
 from tantivy_spark.index.build import (
     CHUNK_DOCS,
+    FIELD_SEP,
     FIELDNORM_SENTINEL,
     POSTINGS_SCHEMA,
     _write_manifest,
+    fieldnorm_sentinel,
 )
 
 
@@ -62,7 +64,8 @@ def _dead_in_chunk(dd: np.ndarray | None, base: int, n: int) -> np.ndarray | Non
 
 def _rebase_kernel(offsets: dict[int, int], out_seg: dict[int, int],
                    avg_fieldnorm: float,
-                   dead: dict[int, np.ndarray] | None = None):
+                   dead: dict[int, np.ndarray] | None = None,
+                   avg_by_field: dict[str, float] | None = None):
     """mapInPandas kernel: rebase each posting chunk by its segment offset
     into its output segment.
 
@@ -70,9 +73,21 @@ def _rebase_kernel(offsets: dict[int, int], out_seg: dict[int, int],
     physically dropped and the survivors renumbered densely — the
     reference merger's alive-doc remapping (merger.rs:697-708):
     ``new_id = old_id - #dead_before(old_id) + alive_offset(segment)``.
+
+    ``avg_by_field``: per-field average fieldnorms of a multi-field index;
+    the block-max (wand_fn, wand_tf) pair re-selection must use the
+    TERM'S FIELD average, matching the build kernel, or WAND pruning over
+    the merged index would not be exact.
     """
     cache = tf_cache_f32(max(avg_fieldnorm, 1e-9))
+    field_caches = {f: tf_cache_f32(max(a, 1e-9))
+                    for f, a in (avg_by_field or {}).items()}
     dead = dead or {}
+
+    def cache_of(term: str):
+        if field_caches and FIELD_SEP in term:
+            return field_caches.get(term.split(FIELD_SEP, 1)[0], cache)
+        return cache
 
     def rebase(batches):
         for pdf in batches:
@@ -98,7 +113,8 @@ def _rebase_kernel(offsets: dict[int, int], out_seg: dict[int, int],
                     if len(d) == 0:
                         continue
                     d = d - np.searchsorted(dd, d)
-                db, tb, fb, new_meta = codec.encode_postings(d + off, t, fn, cache)
+                db, tb, fb, new_meta = codec.encode_postings(
+                    d + off, t, fn, cache_of(row.term))
                 pb = (codec.encode_positions(pos_flat, t)
                       if pos_flat is not None else None)
                 m = list(zip(*new_meta))
@@ -241,13 +257,14 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
     n_out = len(set(out_seg.values())) if out_seg else 1
     total_alive = sum(alive_docs.values())
 
+    field_cols = manifest.get("config", {}).get("field_cols") or None
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    real = postings.filter(F.col("term") != FIELDNORM_SENTINEL)
-    sent = postings.filter(F.col("term") == FIELDNORM_SENTINEL)
+    real = postings.filter(~F.col("term").startswith(FIELDNORM_SENTINEL))
+    sent = postings.filter(F.col("term").startswith(FIELDNORM_SENTINEL))
 
-    # alive-only global token count (drives both the block-max cache and
-    # the merged manifest) — distributed over the chunked sentinel rows,
-    # never a whole-index driver collect
+    # alive-only token counts PER SENTINEL CHAIN (drives both the
+    # block-max caches and the merged manifest) — distributed over the
+    # chunked sentinel rows, never a whole-index driver collect
     def _sent_stats(batches):
         for pdf in batches:
             recs = []
@@ -260,16 +277,23 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                     mask = np.ones(n, dtype=bool)
                     mask[loc] = False
                     counts = counts[mask]
-                recs.append((int(counts.sum()),))
+                recs.append((row.term, int(counts.sum())))
             if recs:
-                yield pd.DataFrame(recs, columns=["tok_alive"])
+                yield pd.DataFrame(recs, columns=["term", "tok_alive"])
 
-    tok_rows = (sent.select("segment_ord", "chunk_id", "doc_freq", "docs")
-                .mapInPandas(_sent_stats, "tok_alive LONG")
+    tok_rows = (sent.select("term", "segment_ord", "chunk_id", "doc_freq", "docs")
+                .mapInPandas(_sent_stats, "term STRING, tok_alive LONG")
+                .groupBy("term")
                 .agg(F.coalesce(F.sum("tok_alive"), F.lit(0)).alias("t"))
                 .collect())
-    alive_tokens = int(tok_rows[0]["t"])
+    alive_tokens = sum(int(r["t"]) for r in tok_rows)
     avg_fn = (alive_tokens / total_alive) if total_alive else 1.0
+    avg_by_field = None
+    if field_cols:
+        avg_by_field = {
+            r["term"].split(FIELD_SEP, 1)[1]:
+                (int(r["t"]) / total_alive) if total_alive else 1.0
+            for r in tok_rows}
 
     # ---- per-(term, out-segment) chunk renumbering via prefix sums -------
     oseg_expr = F.create_map(
@@ -293,14 +317,18 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         .drop("salt")
     )
     merged = rebased_input.mapInPandas(
-        _rebase_kernel(offsets, out_seg, avg_fn, dead), schema=POSTINGS_SCHEMA)
+        _rebase_kernel(offsets, out_seg, avg_fn, dead, avg_by_field),
+        schema=POSTINGS_SCHEMA)
 
     # ---- merged fieldnorm sentinels: concat per-doc stats in segment
     # order within each output segment, re-chunked per CHUNK_DOCS (one
     # bounded row per chunk — never a whole-segment cell)
     def merge_sentinels(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one invocation per (output segment, sentinel term): each field's
+        # chain merges independently with identical stacking
         pdf = pdf.sort_values(["segment_ord", "chunk_id"], ignore_index=True)
         g = out_seg[int(pdf["segment_ord"].iloc[0])]
+        sentinel_term = pdf["term"].iloc[0]
         counts_parts, fns_parts = [], []
         for row in pdf.itertuples(index=False):
             n = int(row.doc_freq)
@@ -321,7 +349,7 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         for c0 in range(0, n_all, chunk_docs) if n_all else [0]:
             c1 = min(c0 + chunk_docs, n_all)
             rows.append((
-                g, FIELDNORM_SENTINEL, c0 // chunk_docs, c1 - c0,
+                g, sentinel_term, c0 // chunk_docs, c1 - c0,
                 int(all_counts[c0:c1].sum()),
                 codec.vint_encode(all_counts[c0:c1].astype(np.uint32)), b"",
                 all_fns[c0:c1].tobytes(), None,
@@ -333,7 +361,7 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
             "bits_doc", "bits_tf", "wand_fn", "wand_tf"])
 
     sent_merged = (sent.withColumn("g", oseg_expr[F.col("segment_ord")])
-                   .groupBy("g")
+                   .groupBy("g", "term")
                    .applyInPandas(lambda pdf: merge_sentinels(pdf.drop(columns=["g"])),
                                   schema=POSTINGS_SCHEMA))
 
@@ -365,14 +393,17 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
 
     # ---- term_stats / lineage / manifest ----------------------------------
     new_postings = spark.read.parquet(os.path.join(out_dir, "postings"))
-    (new_postings.filter(F.col("term") != FIELDNORM_SENTINEL)
+    (new_postings.filter(~F.col("term").startswith(FIELDNORM_SENTINEL))
      .groupBy("term")
      .agg(F.sum("doc_freq").alias("doc_freq"), F.sum("total_tf").alias("total_tf"))
      .write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats")))
 
-    is_sent = F.col("term") == FIELDNORM_SENTINEL
+    is_sent = F.col("term").startswith(FIELDNORM_SENTINEL)
+    doc_sentinel = fieldnorm_sentinel(
+        next(iter(field_cols)) if field_cols else None)
     (new_postings.groupBy("segment_ord").agg(
-        F.sum(F.when(is_sent, F.col("doc_freq"))).alias("n_docs"),
+        F.sum(F.when(F.col("term") == doc_sentinel, F.col("doc_freq")))
+        .alias("n_docs"),
         F.sum(F.when(is_sent, F.col("total_tf"))).alias("n_tokens"),
         F.sum(F.when(~is_sent, 1).otherwise(0)).alias("posting_rows"),
         F.sum(F.when(~is_sent, F.col("doc_freq"))).alias("postings"),
@@ -388,6 +419,14 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         "num_segments": n_out,
         "avg_fieldnorm": avg_fn,
     }
+    if avg_by_field is not None:
+        new_manifest["totals"]["fields"] = {
+            r["term"].split(FIELD_SEP, 1)[1]: {
+                "num_docs": total_alive,
+                "total_num_tokens": int(r["t"]),
+                "avg_fieldnorm": (int(r["t"]) / total_alive)
+                if total_alive else 0.0,
+            } for r in tok_rows}
     new_manifest["stages"] = dict(manifest.get("stages", {}),
                                   merge={"wall_sec": time.time() - t_start,
                                          "status": "done"})

@@ -38,6 +38,26 @@ class IndexReader:
         self.with_positions: bool = bool(self.manifest["config"].get("with_positions", True))
         from tantivy_spark.index.build import CHUNK_DOCS
         self.chunk_docs: int = int(self.manifest["config"].get("chunk_docs", CHUNK_DOCS))
+        #: multi-field schema (field-qualified terms): ordered field ->
+        #: source column, per-field BM25 statistics, and the default field
+        #: for unqualified query terms (the first declared field)
+        self.field_cols: dict | None = \
+            self.manifest["config"].get("field_cols") or None
+        self.field_totals: dict | None = t.get("fields") \
+            if self.field_cols else None
+        self.default_field: str | None = \
+            next(iter(self.field_cols)) if self.field_cols else None
+
+    def avg_fieldnorm_for_term(self, term: str) -> float:
+        """BM25 average fieldnorm for a (possibly field-qualified) term —
+        the searched FIELD's average on multi-field indexes (bm25.rs
+        semantics), the global average otherwise."""
+        from tantivy_spark.index.build import FIELD_SEP
+        if self.field_totals and FIELD_SEP in term:
+            ft = self.field_totals.get(term.split(FIELD_SEP, 1)[0])
+            if ft:
+                return float(ft["avg_fieldnorm"]) or 1.0
+        return self.avg_fieldnorm
 
     def _table(self, name: str) -> DataFrame:
         """Read an index table, restricted — for streaming-built indexes —
@@ -116,16 +136,21 @@ class IndexReader:
     @cached_property
     def fieldnorms(self) -> DataFrame:
         """(segment_ord, doc_id, num_tokens, fieldnorm_id) decoded from the
-        per-segment sentinel rows (see build.FIELDNORM_SENTINEL)."""
+        per-segment sentinel rows (see build.FIELDNORM_SENTINEL).  On a
+        multi-field index this is the DEFAULT field's chain; use
+        :meth:`fieldnorms_of` for a specific field."""
+        return self.fieldnorms_of(self.default_field)
+
+    def fieldnorms_of(self, fld: str | None) -> DataFrame:
         import numpy as np
         import pandas as pd
 
         from tantivy_spark.fieldnorm import fieldnorm_to_id  # noqa: F401
         from tantivy_spark.index import codec
-        from tantivy_spark.index.build import FIELDNORM_SENTINEL
+        from tantivy_spark.index.build import fieldnorm_sentinel
 
         chunk_docs = self.chunk_docs  # captured by value into the kernel
-        rows = self.postings.filter(F.col("term") == FIELDNORM_SENTINEL) \
+        rows = self.postings.filter(F.col("term") == fieldnorm_sentinel(fld)) \
             .select("segment_ord", "chunk_id", "doc_freq", "docs", "fns")
 
         def decode(batches):

@@ -29,8 +29,10 @@ class Query:
 @dataclass
 class TermQuery(Query):
     """All docs containing `term`, BM25-scored
-    (ref: src/query/term_query/)."""
+    (ref: src/query/term_query/).  ``field`` targets a specific field of
+    a multi-field index (None = the index's default field)."""
     term: str
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return [self.term]
@@ -66,6 +68,7 @@ class PhraseQuery(Query):
     multi-term BM25 weight and phrase frequency as tf."""
     phrase_terms: list[str]
     slop: int = 0
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return list(self.phrase_terms)
@@ -78,6 +81,7 @@ class PhrasePrefixQuery(Query):
     phrase_terms: list[str]   # all but the prefix
     prefix: str
     max_expansions: int = 50
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return list(self.phrase_terms)
@@ -120,6 +124,7 @@ class TermSetQuery(Query):
     """Docs containing any term of the set, constant score 1.0
     (ref: src/query/set_query.rs — scoring disabled there too)."""
     set_terms: list[str]
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return list(self.set_terms)
@@ -180,6 +185,7 @@ class FuzzyTermQuery(Query):
     #: adjacent transposition costs 1 (Damerau) instead of 2
     #: (ref: fuzzy_query.rs:85-93 ``transposition_cost_one``)
     transposition_cost_one: bool = False
+    field: str | None = None
 
     def terms(self) -> list[str]:  # expansion happens at plan time
         return []
@@ -194,6 +200,7 @@ class TermRangeQuery(Query):
     upper: str | None = None
     lower_inclusive: bool = True
     upper_inclusive: bool = True
+    field: str | None = None
 
 
 @dataclass
@@ -214,6 +221,7 @@ class FastFieldRangeQuery(Query):
 class ExistsQuery(Query):
     """Docs where the text field has at least one indexed token
     (ref: src/query/exist_query.rs — field-has-value semantics)."""
+    field: str | None = None
 
 
 @dataclass
@@ -221,6 +229,80 @@ class RegexQuery(Query):
     """Terms matching a regex (ref: src/query/regex_query.rs), expanded
     against the term dictionary at plan time; constant score 1.0."""
     pattern: str
+    field: str | None = None
 
     def terms(self) -> list[str]:
         return []
+
+
+def qualify(q: Query, default_field: str, sep: str = "\x1f") -> Query:
+    """Rewrite a query tree for a MULTI-FIELD index: every term-bearing
+    node's terms become field-qualified dictionary keys
+    (``{field}{sep}{term}``), using each node's ``field`` or the index's
+    default.  The lowered plan then runs unchanged — qualified terms are
+    just strings — while per-field statistics are resolved by prefix.
+    Mirrors the reference's QueryParser field resolution
+    (query_parser.rs:336-412) over field-qualified Terms (term.rs:22-58).
+
+    Idempotent: already-qualified terms (containing the separator, which
+    the analyzer can never emit) pass through unchanged, so facade and
+    planner may both call it.
+    """
+    import re as _re
+    from dataclasses import replace
+
+    def fq(f):
+        return f if f is not None else default_field
+
+    def qt(t, f):
+        return t if sep in t else f"{fq(f)}{sep}{t}"
+
+    if isinstance(q, TermQuery):
+        return replace(q, term=qt(q.term, q.field), field=None)
+    if isinstance(q, PhraseQuery):
+        return replace(q, phrase_terms=[qt(t, q.field)
+                                        for t in q.phrase_terms], field=None)
+    if isinstance(q, PhrasePrefixQuery):
+        return replace(q, phrase_terms=[qt(t, q.field)
+                                        for t in q.phrase_terms],
+                       prefix=qt(q.prefix, q.field), field=None)
+    if isinstance(q, TermSetQuery):
+        return replace(q, set_terms=[qt(t, q.field)
+                                     for t in q.set_terms], field=None)
+    if isinstance(q, FuzzyTermQuery):
+        return replace(q, term=qt(q.term, q.field), field=None)
+    if isinstance(q, RegexQuery):
+        if sep in q.pattern:
+            return q
+        return replace(q, pattern=_re.escape(f"{fq(q.field)}{sep}")
+                       + f"(?:{q.pattern})", field=None)
+    if isinstance(q, TermRangeQuery):
+        if any(b is not None and sep in b for b in (q.lower, q.upper)):
+            return q
+        f = fq(q.field)
+        # unbounded sides pin to the field's key range: every term of the
+        # field sorts inside (f+sep, f+"\x20") — sep is below any token
+        # byte, "\x20" above sep but below all alnum
+        lower = qt(q.lower, q.field) if q.lower is not None else f + sep
+        if q.upper is not None:
+            upper, upper_incl = qt(q.upper, q.field), q.upper_inclusive
+        else:
+            upper, upper_incl = f + "\x20", False
+        return TermRangeQuery(lower, upper, q.lower_inclusive, upper_incl)
+    if isinstance(q, BooleanQuery):
+        return replace(q, clauses=[(o, qualify(c, default_field, sep))
+                                   for o, c in q.clauses])
+    if isinstance(q, (BoostQuery, ConstScoreQuery)):
+        return replace(q, child=qualify(q.child, default_field, sep))
+    if isinstance(q, DisjunctionMaxQuery):
+        return replace(q, disjuncts=[qualify(c, default_field, sep)
+                                     for c in q.disjuncts])
+    if isinstance(q, RegexPhraseQuery):
+        if any(sep in p for p in q.patterns):
+            return q
+        pfx = _re.escape(f"{default_field}{sep}")
+        return replace(q, patterns=[f"{pfx}(?:{p})" for p in q.patterns])
+    # AllQuery / EmptyQuery / FastFieldRangeQuery / ExistsQuery /
+    # MoreLikeThisQuery carry no dictionary terms to qualify (Exists and
+    # MLT resolve their field at plan time)
+    return q

@@ -128,23 +128,28 @@ class ExactSearcher:
         return rows.mapInPandas(_decode_kernel(True), schema=FLAT_POS_SCHEMA)
 
     # -------------------------------------------------------------- scoring
-    def _score_col(self, weight: float):
+    def _score_col(self, weight: float, avg: float | None = None):
         """BM25 f64 column over (tf, fieldnorm_id) with baked weight.
 
         Fixed shape: w * tf / (tf + K1*(1-B) + (K1*B/avg) * qnorm)
         — association order mirrored exactly by the DuckDB oracle builder.
+        ``avg`` is the searched FIELD's average fieldnorm (multi-field
+        indexes score per field, bm25.rs semantics); default global.
         """
+        avg = self.avg if avg is None else avg
         qnorm = F.element_at(self._norms_arr, F.col("fieldnorm_id") + 1).cast("double")
         tf = F.col("tf").cast("double")
         return (F.lit(float(weight)) * tf
-                / (tf + F.lit(K1 * (1.0 - B)) + F.lit(K1 * B / self.avg) * qnorm))
+                / (tf + F.lit(K1 * (1.0 - B)) + F.lit(K1 * B / avg) * qnorm))
 
     def _term_frame(self, term: str, doc_freq: int, boost: float = 1.0) -> DataFrame:
         flat = self.flat_postings([term]).filter(F.col("term") == term)
         if doc_freq <= 0:
             return flat.select("segment_ord", "doc_id", F.lit(0.0).alias("score")).limit(0)
         w = idf64(doc_freq, self.N) * (1.0 + K1) * boost
-        return flat.select("segment_ord", "doc_id", self._score_col(w).alias("score"))
+        avg = self.reader.avg_fieldnorm_for_term(term)
+        return flat.select("segment_ord", "doc_id",
+                           self._score_col(w, avg).alias("score"))
 
     # ------------------------------------------------------------- matching
     def matching(self, q: ast.Query, boost: float = 1.0) -> DataFrame:
@@ -152,7 +157,10 @@ class ExactSearcher:
 
         Deleted docs are filtered from the match set, but BM25 statistics
         keep including them until a merge — the reference's alive-bitset
-        semantics (ARCHITECTURE.md:59-64)."""
+        semantics (ARCHITECTURE.md:59-64).  On multi-field indexes the
+        tree is first rewritten to field-qualified dictionary keys."""
+        if self.reader.field_cols:
+            q = ast.qualify(q, self.reader.default_field)
         dfs = self.reader.doc_freqs(q.terms())
         out = self._lower(q, boost, dfs)
         dels = self.reader.deletes
@@ -262,7 +270,10 @@ class ExactSearcher:
                     .select("segment_ord", "doc_id",
                             F.lit(1.0 * boost).alias("score")))
         if isinstance(q, ast.ExistsQuery):
-            return (self.reader.fieldnorms.filter(F.col("num_tokens") > 0)
+            fld = (q.field or self.reader.default_field) \
+                if self.reader.field_cols else None
+            return (self.reader.fieldnorms_of(fld)
+                    .filter(F.col("num_tokens") > 0)
                     .select("segment_ord", "doc_id",
                             F.lit(1.0 * boost).alias("score")))
         if isinstance(q, ast.RegexQuery):
@@ -368,7 +379,9 @@ class ExactSearcher:
             )
         idf_sum = sum(idf64(dfs.get(t, 0), self.N) for t in terms)
         w = idf_sum * (1.0 + K1) * boost
-        return hits.select("segment_ord", "doc_id", self._score_col(w).alias("score"))
+        avg = self.reader.avg_fieldnorm_for_term(terms[0])
+        return hits.select("segment_ord", "doc_id",
+                           self._score_col(w, avg).alias("score"))
 
     def select_mlt_terms(self, doc_text: str, max_terms: int = 10,
                          min_tf: int = 1, min_doc_freq: int = 1,
@@ -390,6 +403,12 @@ class ExactSearcher:
                 if len(t) >= min_word_length
                 and (max_word_length is None or len(t) <= max_word_length)
                 and t not in stop]
+        if self.reader.field_cols:
+            # multi-field: statistics live under the default field's
+            # qualified keys; the returned terms are qualified too (they
+            # feed straight into TermQuery postings lookups)
+            from tantivy_spark.index.build import qualify_term
+            toks = [qualify_term(t, self.reader.default_field) for t in toks]
         tfs = {t: c for t, c in Counter(toks).items() if c >= min_tf}
         if not tfs:
             return []
@@ -441,7 +460,9 @@ class ExactSearcher:
             slot_dfs.append(n)
         idf_sum = sum(idf64(df_, self.N) for df_ in slot_dfs)
         w = idf_sum * (1.0 + K1) * boost
-        return hits.select("segment_ord", "doc_id", self._score_col(w).alias("score"))
+        avg = self.reader.avg_fieldnorm_for_term(slot_terms[0][0])
+        return hits.select("segment_ord", "doc_id",
+                           self._score_col(w, avg).alias("score"))
 
     # ----------------------------------------------- distributed term match
     def _const_docs_matching(self, term_cond, boost: float) -> DataFrame:
@@ -458,7 +479,8 @@ class ExactSearcher:
         from tantivy_spark.index.build import FIELDNORM_SENTINEL
 
         rows = (self.reader.postings
-                .filter((F.col("term") != FIELDNORM_SENTINEL) & term_cond)
+                .filter(~F.col("term").startswith(FIELDNORM_SENTINEL)
+                        & term_cond)
                 .drop("pos"))
         flat = rows.mapInPandas(_decode_kernel(False), schema=FLAT_SCHEMA)
         return (flat.select("segment_ord", "doc_id").distinct()
@@ -492,7 +514,14 @@ class ExactSearcher:
         limit, so the cap measures — and fails loudly on — the true DL
         set, never the inflated coarse set (a coarse set past the cap
         must not silently drop valid matches beyond it)."""
+        from tantivy_spark.index.build import FIELD_SEP
+
         base = self.reader.term_stats
+        if FIELD_SEP in term:
+            # field-qualified term: candidates must stay inside the field
+            # (short field names could otherwise be within edit distance)
+            base = base.filter(
+                F.col("term").startswith(term.split(FIELD_SEP, 1)[0] + FIELD_SEP))
         if prefix:
             base = base.filter(F.col("term").startswith(term[: max(len(term) - distance, 1)]))
         coarse = 2 * distance if transposition_cost_one else distance
@@ -544,6 +573,8 @@ class ExactSearcher:
     def count(self, q: ast.Query) -> int:
         """Count collector (ref: src/collector/count_collector.rs).  A
         single-term count short-circuits to the term_stats lookup."""
+        if self.reader.field_cols:
+            q = ast.qualify(q, self.reader.default_field)
         if isinstance(q, ast.TermQuery) and self.reader.deletes is None:
             return self.reader.doc_freqs([q.term])[q.term]
         return self.matching(q).count()

@@ -212,6 +212,15 @@ class QueryParser:
         # clauses stay SHOULD (reference semantics)
         return ast.BooleanQuery(clauses)
 
+    @staticmethod
+    def _attach_field(node: ast.Query | None, field: str) -> ast.Query | None:
+        from dataclasses import replace
+        if isinstance(node, (ast.TermQuery, ast.PhraseQuery,
+                             ast.PhrasePrefixQuery, ast.FuzzyTermQuery,
+                             ast.TermSetQuery, ast.TermRangeQuery)):
+            return replace(node, field=field)
+        return node
+
     def _atom(self) -> ast.Query | None:
         kind, val = self._next()
         if kind == "lparen":
@@ -267,15 +276,26 @@ class QueryParser:
                     raise QueryParserError("expected ] after IN set")
                 return ast.TermSetQuery(terms)
             # field prefix: validated against the field registry when one
-            # is configured (ref: FieldDoesNotExist, query_parser.rs:87-92);
-            # this engine indexes a single text field, so every known
-            # field resolves to the same postings
+            # is configured (ref: FieldDoesNotExist, query_parser.rs:87-92).
+            # The resolved field rides on the AST node — multi-field
+            # searchers qualify terms per field (query_parser.rs:336-412),
+            # single-field engines ignore it (every known field resolves
+            # to the same postings).
+            field: str | None = None
             if ":" in val and not val.startswith(":"):
                 field, rest = val.split(":", 1)
                 if self.fields is not None and field not in self.fields:
                     raise QueryParserError(f"field does not exist: {field!r}")
                 if rest == "*":
-                    return ast.ExistsQuery()
+                    return ast.ExistsQuery(field=field)
+                if rest == "":
+                    # 'field:' directly before a quoted phrase or a range
+                    # atom ('title:"a b"', 'ts:[a TO b]'): parse the next
+                    # atom and attach the field to it
+                    nk, _nv = self._peek()
+                    if nk in ("quoted", "lbrack", "lbrace"):
+                        return self._attach_field(self._atom(), field)
+                    raise QueryParserError(f"dangling field prefix {field!r}:")
                 val = rest
             fdist = 0
             if self._peek()[0] == "fuzzy":
@@ -288,7 +308,8 @@ class QueryParser:
                     # "term~N" (query_grammar.rs vector "a~2" :1799);
                     # transposition cost 1, the ES-compatible default
                     return ast.FuzzyTermQuery(terms[0], distance=fdist,
-                                              transposition_cost_one=True)
-                return ast.TermQuery(terms[0])
-            return ast.PhraseQuery(terms, slop=0)
+                                              transposition_cost_one=True,
+                                              field=field)
+                return ast.TermQuery(terms[0], field=field)
+            return ast.PhraseQuery(terms, slop=0, field=field)
         raise QueryParserError(f"unexpected token {kind} {val!r}")

@@ -57,7 +57,13 @@ class Searcher:
         self.parser = QueryParser()
 
     def _as_query(self, q) -> ast.Query:
-        return self.parser.parse(q) if isinstance(q, str) else q
+        query = self.parser.parse(q) if isinstance(q, str) else q
+        if self.reader.field_cols:
+            # qualify BEFORE WAND shape detection, so the kernel receives
+            # field-qualified dictionary keys (idempotent — the exact
+            # planner qualifies too)
+            query = ast.qualify(query, self.reader.default_field)
+        return query
 
     def search(self, q, k: int = 10, offset: int = 0,
                method: str = "auto") -> DataFrame:

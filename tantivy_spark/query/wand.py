@@ -379,8 +379,11 @@ def _wand_plan(reader: IndexReader, terms: list[str], k: int, mode: str,
     if mode == "and" and len(live_terms) < len(terms):
         live_terms = []
     params_by_term = {
+        # per-term average fieldnorm: the term's FIELD average on
+        # multi-field indexes (matches the build kernel's per-field
+        # block-max pair selection, so pruning stays exact)
         t: Bm25Params.for_one_term(dfs[t], reader.num_docs,
-                                   reader.avg_fieldnorm,
+                                   reader.avg_fieldnorm_for_term(t),
                                    boost=float(boost_of.get(t, 1.0)))
         for t in live_terms
     }

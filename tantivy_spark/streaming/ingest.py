@@ -117,6 +117,7 @@ class IncrementalIndexer:
         base = int(self.manifest["next_segment_ord"])
         cfg = IndexConfig(
             key_col=self.cfg.key_col, text_col=self.cfg.text_col,
+            field_cols=self.cfg.field_cols,
             n_segments=n_seg,
             segment_expr=(
                 f"{base} + pmod(xxhash64({self.cfg.key_col}), {n_seg})"
@@ -144,18 +145,24 @@ class IncrementalIndexer:
         docmap.write.mode("overwrite").parquet(self._bdir("docmap", bid))
         self._fail("after_docmap")
 
-        # per-batch stats from the freshly written sentinel rows
+        # per-batch stats from the freshly written sentinel rows (doc
+        # counts from exactly ONE field's sentinel chain on multi-field)
+        from tantivy_spark.index.build import fieldnorm_sentinel
+        doc_sentinel = fieldnorm_sentinel(
+            next(iter(self.cfg.field_cols)) if self.cfg.field_cols else None)
         batch_postings = self.spark.read.parquet(self._bdir("postings", bid))
-        is_sent = F.col("term") == FIELDNORM_SENTINEL
+        is_sent = F.col("term").startswith(FIELDNORM_SENTINEL)
+        is_doc_sent = F.col("term") == doc_sentinel
         stats = batch_postings.filter(is_sent).agg(
-            F.coalesce(F.sum("doc_freq"), F.lit(0)).alias("docs"),
+            F.coalesce(F.sum(F.when(is_doc_sent, F.col("doc_freq"))),
+                       F.lit(0)).alias("docs"),
             F.coalesce(F.sum("total_tf"), F.lit(0)).alias("tokens"),
             F.countDistinct("segment_ord").alias("segs"),
         ).collect()[0]
 
         # lineage rows for the new segments
         (batch_postings.groupBy("segment_ord").agg(
-            F.sum(F.when(is_sent, F.col("doc_freq"))).alias("n_docs"),
+            F.sum(F.when(is_doc_sent, F.col("doc_freq"))).alias("n_docs"),
             F.sum(F.when(is_sent, F.col("total_tf"))).alias("n_tokens"),
             F.sum(F.when(~is_sent, 1).otherwise(0)).alias("posting_rows"),
             F.sum(F.when(~is_sent, F.col("doc_freq"))).alias("postings"),
@@ -177,6 +184,21 @@ class IncrementalIndexer:
         t["total_num_tokens"] += int(stats["tokens"])
         t["num_segments"] += int(stats["segs"])
         t["avg_fieldnorm"] = (t["total_num_tokens"] / t["num_docs"]) if t["num_docs"] else 0.0
+        if self.cfg.field_cols:
+            from tantivy_spark.index.build import FIELD_SEP
+            frows = (batch_postings.filter(is_sent).groupBy("term")
+                     .agg(F.sum("doc_freq").alias("nd"),
+                          F.sum("total_tf").alias("nt")).collect())
+            fstats = t.setdefault("fields", {})
+            for r in frows:
+                fld = r["term"].split(FIELD_SEP, 1)[1]
+                e = fstats.setdefault(
+                    fld, {"num_docs": 0, "total_num_tokens": 0,
+                          "avg_fieldnorm": 0.0})
+                e["num_docs"] += int(r["nd"])
+                e["total_num_tokens"] += int(r["nt"])
+                e["avg_fieldnorm"] = (e["total_num_tokens"] / e["num_docs"]
+                                      if e["num_docs"] else 0.0)
         self.manifest["next_segment_ord"] = base + n_seg
         self.manifest["batches"][bid] = {
             "segments": [base, base + n_seg], "docs": int(stats["docs"]),

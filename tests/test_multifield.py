@@ -1,0 +1,160 @@
+"""Multi-field schema: field-qualified terms ({field}\\x1f{term} — the
+analogue of the reference's field-qualified Term encoding,
+src/schema/term.rs:22-58), per-field fieldnorm sentinels, and per-field
+BM25 statistics.
+
+The equivalence oracle: a field of a multi-field index must score
+EXACTLY like a single-field index built over that field's column alone —
+same doc_freqs, same per-field fieldnorms, same per-field average, same
+DocAddress space (segmenting is keyed by doc key only).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tantivy_spark.index.build import FIELD_SEP, IndexConfig, build_index
+from tantivy_spark.index.reader import IndexReader
+from tantivy_spark.query import BooleanQuery, Occur, PhraseQuery, TermQuery
+from tantivy_spark.query.ast import ExistsQuery
+from tantivy_spark.query.exact import ExactSearcher
+
+SF = "/root/testdata/sf0.001"
+SEG_EXPR = "pmod(cast(substring(key, -10, 10) as bigint), 4)"
+
+
+def _docs(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return docs.select(
+        F.format_string("%010d", F.col("doc_id")).alias("key"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80).alias("title"),
+        F.col("text").alias("body"),
+    )
+
+
+@pytest.fixture(scope="module")
+def mf_searcher(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mf") / "idx")
+    cfg = IndexConfig(key_col="key",
+                      field_cols={"title": "title", "body": "body"},
+                      n_segments=4, segment_expr=SEG_EXPR)
+    build_index(spark, _docs(spark), out, cfg)
+    return ExactSearcher(IndexReader(spark, out))
+
+
+def _single_field_searcher(spark, tmp_path, col):
+    out = str(tmp_path / f"sf_{col}")
+    cfg = IndexConfig(key_col="key", text_col=col, n_segments=4,
+                      segment_expr=SEG_EXPR)
+    build_index(spark, _docs(spark), out, cfg)
+    return ExactSearcher(IndexReader(spark, out))
+
+
+def _hits(res):
+    return [(r["rank"], r["key"], r["score"]) for r in res.collect()]
+
+
+@pytest.mark.parametrize("field,term", [("title", "data"), ("body", "data"),
+                                        ("title", "the"), ("body", "fast")])
+def test_field_scores_equal_single_field_index(spark, tmp_path_factory,
+                                               mf_searcher, field, term):
+    single = _single_field_searcher(
+        spark, tmp_path_factory.mktemp(f"sf_{field}_{term}"), field)
+    got = _hits(mf_searcher.search(TermQuery(term, field=field), k=10))
+    want = _hits(single.search(TermQuery(term), k=10))
+    assert got == want
+    assert got, (field, term)  # non-vacuous
+
+
+def test_title_and_body_resolve_to_distinct_postings(mf_searcher):
+    r = mf_searcher.reader
+    q = f"title{FIELD_SEP}data", f"body{FIELD_SEP}data"
+    dfs = r.doc_freqs(list(q))
+    assert 0 < dfs[q[0]] < dfs[q[1]]  # title is a prefix of body
+    assert mf_searcher.count(TermQuery("data", field="title")) == dfs[q[0]]
+    assert mf_searcher.count(TermQuery("data", field="body")) == dfs[q[1]]
+    # default field (first declared) is title
+    assert mf_searcher.count(TermQuery("data")) == dfs[q[0]]
+
+
+def test_field_totals_and_exists(mf_searcher):
+    r = mf_searcher.reader
+    ft = r.field_totals
+    assert set(ft) == {"title", "body"}
+    assert ft["title"]["total_num_tokens"] < ft["body"]["total_num_tokens"]
+    assert ft["title"]["num_docs"] == ft["body"]["num_docs"] == r.num_docs
+    n_title = mf_searcher.count(ExistsQuery(field="title"))
+    n_body = mf_searcher.count(ExistsQuery(field="body"))
+    assert 0 < n_title <= n_body <= r.num_docs
+
+
+def test_cross_field_boolean(mf_searcher):
+    """title:X AND body:Y joins in the shared DocAddress space."""
+    q = BooleanQuery([(Occur.MUST, TermQuery("data", field="title")),
+                      (Occur.MUST, TermQuery("fast", field="body"))])
+    got = {r["key"] for r in mf_searcher.search(q, k=10_000).collect()}
+    t = {r["key"] for r in
+         mf_searcher.search(TermQuery("data", field="title"), k=1000).collect()}
+    b = {r["key"] for r in
+         mf_searcher.search(TermQuery("fast", field="body"), k=1000).collect()}
+    assert got == (t & b) and got
+
+
+def test_parser_attaches_fields(mf_searcher):
+    from tantivy_spark.query.parser import QueryParser
+
+    p = QueryParser(fields=["title", "body"])
+    q = p.parse("title:data")
+    assert q == TermQuery("data", field="title")
+    assert _hits(mf_searcher.search(q, k=10)) == \
+        _hits(mf_searcher.search(TermQuery("data", field="title"), k=10))
+    assert p.parse('body:"order sort"') == \
+        PhraseQuery(["order", "sort"], field="body")
+
+
+def test_facade_parses_and_dispatches_fields(mf_searcher):
+    """Searcher('title:data') must qualify before WAND shape dispatch —
+    the kernel needs field-qualified dictionary keys."""
+    from tantivy_spark.query.searcher import Searcher
+
+    s = Searcher(mf_searcher.reader)
+    got = [(r["key"], float(r["score"])) for r in
+           s.search("title:data", k=5).collect()]        # WAND fast path
+    want = [(r["key"], float(r["score"])) for r in
+            mf_searcher.search(TermQuery("data", field="title"),
+                               k=5).collect()]           # exact path
+    assert [k for k, _ in got] == [k for k, _ in want] and got
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-6)
+
+
+def test_wand_matches_exact_on_multifield(mf_searcher):
+    """Per-field block-max caches: WAND over field-qualified terms must
+    equal the exhaustive scorer (pruning exactness needs the per-field
+    average both at build and at query time)."""
+    from tantivy_spark.query.wand import wand_topk
+
+    terms = [f"title{FIELD_SEP}data", f"body{FIELD_SEP}fast"]
+    got = wand_topk(mf_searcher.reader, terms, k=10, mode="or").collect()
+    want = mf_searcher.search(BooleanQuery([
+        (Occur.SHOULD, TermQuery("data", field="title")),
+        (Occur.SHOULD, TermQuery("fast", field="body"))]), k=10).collect()
+    assert [r["key"] for r in got] == [w["key"] for w in want] and got
+    for g, w in zip(got, want):
+        assert float(g["score"]) == pytest.approx(float(w["score"]), rel=1e-6)
+
+
+def test_multifield_merge_preserves_results(spark, tmp_path_factory,
+                                            mf_searcher):
+    from tantivy_spark.index.merge import merge_segments
+
+    src = mf_searcher.reader.index_dir
+    out = str(tmp_path_factory.mktemp("mf_merged") / "idx")
+    merge_segments(spark, src, out, n_target_segments=2)
+    merged = ExactSearcher(IndexReader(spark, out))
+    for field, term in [("title", "data"), ("body", "fast")]:
+        got = [(r["rank"], r["key"], r["score"]) for r in
+               merged.search(TermQuery(term, field=field), k=10).collect()]
+        want = [(r["rank"], r["key"], r["score"]) for r in
+                mf_searcher.search(TermQuery(term, field=field), k=10).collect()]
+        assert got == want
+    assert merged.reader.field_totals == mf_searcher.reader.field_totals

@@ -78,9 +78,12 @@ def test_range(p):
     assert p.parse("[a TO *]") == ast.TermRangeQuery("a", None, True, True)
 
 
-def test_field_prefix_ignored(p):
-    assert p.parse("text:data") == ast.TermQuery("data")
-    assert p.parse("text:*") == ast.ExistsQuery()
+def test_field_prefix_attaches(p):
+    """The resolved field rides on the AST node; single-field searchers
+    ignore it, multi-field searchers qualify terms with it."""
+    assert p.parse("text:data") == ast.TermQuery("data", field="text")
+    assert p.parse("text:*") == ast.ExistsQuery(field="text")
+    assert p.parse("data") == ast.TermQuery("data")  # no prefix -> None
 
 
 def test_lex_error(p):
@@ -164,7 +167,7 @@ def test_mixed_bool_occur_vectors(p):
 
 def test_field_registry_validation():
     p2 = QueryParser(fields=["text", "title"])
-    assert p2.parse("title:data") == ast.TermQuery("data")
+    assert p2.parse("title:data") == ast.TermQuery("data", field="title")
     with pytest.raises(QueryParserError):
         p2.parse("nope:data")
 
