@@ -57,6 +57,23 @@ def _damerau_levenshtein(a: str, b: str) -> int:
     return prev[lb]
 
 
+def fastfield_filter(df: DataFrame, q: "ast.FastFieldRangeQuery") -> DataFrame:
+    """Rows of a columnar (fast-field) table satisfying a
+    FastFieldRangeQuery — the predicate pushes into the parquet scan
+    (min/max row-group pruning), the reference's lazy fast-field range
+    evaluation (range_query_fastfield.rs).  Bounds may be numbers or
+    datetimes (RFC3339 literals parse to naive-UTC datetimes)."""
+    col = F.col(q.field)
+    out = df
+    if q.lower is not None:
+        out = out.filter(col >= F.lit(q.lower) if q.lower_inclusive
+                         else col > F.lit(q.lower))
+    if q.upper is not None:
+        out = out.filter(col <= F.lit(q.upper) if q.upper_inclusive
+                         else col < F.lit(q.upper))
+    return out
+
+
 def _decode_kernel(with_positions: bool):
     def decode(batches):
         for pdf in batches:
@@ -255,17 +272,10 @@ class ExactSearcher:
             if self._fast_fields is None:
                 raise ValueError(
                     "FastFieldRangeQuery needs set_fast_fields(df, key_col)")
-            ff = self._fast_fields
-            col = F.col(q.field)
-            if q.lower is not None:
-                ff = ff.filter(col >= q.lower if q.lower_inclusive
-                               else col > q.lower)
-            if q.upper is not None:
-                ff = ff.filter(col <= q.upper if q.upper_inclusive
-                               else col < q.upper)
             # the range filter pushes into the fast-field (source) scan;
             # matching keys then resolve to DocAddresses through docmap
-            keys = ff.select(F.col(self._fast_key).alias("key"))
+            keys = fastfield_filter(self._fast_fields, q) \
+                .select(F.col(self._fast_key).alias("key"))
             return (self.reader.docmap.join(keys, "key", "left_semi")
                     .select("segment_ord", "doc_id",
                             F.lit(1.0 * boost).alias("score")))

@@ -56,6 +56,38 @@ class QueryParserError(ValueError):
     pass
 
 
+def parse_rfc3339(s: str):
+    """RFC3339 date-time (or bare date) -> naive-UTC datetime — the
+    reference's date literal handling (query_parser.rs date branch routes
+    date fields through DateTime parsing).  The lexer lowercases range
+    bounds; 't'/'z' are restored before parsing."""
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(s.upper().replace("Z", "+00:00"))
+    except ValueError as e:
+        raise QueryParserError(f"invalid RFC3339 date: {s!r}") from e
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def _typed_value(v: str, ftype: str):
+    if ftype == "date":
+        return parse_rfc3339(v)
+    if ftype in ("i64", "u64"):
+        try:
+            return int(v)
+        except ValueError as e:
+            raise QueryParserError(f"invalid integer literal: {v!r}") from e
+    if ftype == "f64":
+        try:
+            return float(v)
+        except ValueError as e:
+            raise QueryParserError(f"invalid float literal: {v!r}") from e
+    raise QueryParserError(f"unsupported field type {ftype!r}")
+
+
 def _lex(q: str) -> list[tuple[str, str]]:
     out = []
     pos = 0
@@ -109,14 +141,23 @@ def _all_negative(q: ast.Query) -> bool:
 class QueryParser:
     def __init__(self, default_occur: ast.Occur = ast.Occur.SHOULD,
                  fields: list[str] | None = None,
-                 default_field: str = "text"):
+                 default_field: str = "text",
+                 field_types: dict[str, str] | None = None):
         """``fields``: the known field names; ``field:term`` prefixes are
         validated against it (unknown field -> error, the reference's
-        FieldDoesNotExist).  This engine has a single indexed text field,
-        so every known field resolves to the same postings."""
+        FieldDoesNotExist).
+
+        ``field_types``: per-field value types ("date", "i64", "u64",
+        "f64") for NON-TEXT fields (ref: query_parser.rs:131-212 routes
+        typed fields through value parsing).  A range or literal on a
+        typed field lowers to a FastFieldRangeQuery over the columnar
+        (fast-field) store; date literals are RFC3339."""
         self.default_occur = default_occur
-        self.fields = set(fields) if fields is not None else None
         self.default_field = default_field
+        self.field_types = dict(field_types or {})
+        self.fields = set(fields) if fields is not None else None
+        if self.fields is not None:
+            self.fields |= set(self.field_types)
 
     def parse(self, q: str) -> ast.Query:
         toks = _lex(q)
@@ -212,9 +253,21 @@ class QueryParser:
         # clauses stay SHOULD (reference semantics)
         return ast.BooleanQuery(clauses)
 
-    @staticmethod
-    def _attach_field(node: ast.Query | None, field: str) -> ast.Query | None:
+    def _attach_field(self, node: ast.Query | None,
+                      field: str) -> ast.Query | None:
         from dataclasses import replace
+        ftype = self.field_types.get(field)
+        if ftype and isinstance(node, ast.TermRangeQuery):
+            # typed range -> columnar fast-field range (the reference's
+            # date/numeric range branch, range_query_fastfield.rs)
+            return ast.FastFieldRangeQuery(
+                field=field,
+                lower=None if node.lower is None
+                else _typed_value(node.lower, ftype),
+                upper=None if node.upper is None
+                else _typed_value(node.upper, ftype),
+                lower_inclusive=node.lower_inclusive,
+                upper_inclusive=node.upper_inclusive)
         if isinstance(node, (ast.TermQuery, ast.PhraseQuery,
                              ast.PhrasePrefixQuery, ast.FuzzyTermQuery,
                              ast.TermSetQuery, ast.TermRangeQuery)):
@@ -297,6 +350,13 @@ class QueryParser:
                         return self._attach_field(self._atom(), field)
                     raise QueryParserError(f"dangling field prefix {field!r}:")
                 val = rest
+                ftype = self.field_types.get(field)
+                if ftype:
+                    # typed literal ('ts:2021-03-01T00:00:00Z', 'n:42'):
+                    # exact-value fast-field match (degenerate range)
+                    v = _typed_value(val, ftype)
+                    return ast.FastFieldRangeQuery(field=field, lower=v,
+                                                   upper=v)
             fdist = 0
             if self._peek()[0] == "fuzzy":
                 fdist = int(self._next()[1])

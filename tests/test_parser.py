@@ -221,3 +221,58 @@ def test_range_and_exists_queries(tiny_index, tiny_golden):
     q = A.TermRangeQuery("da", "dz", True, True)
     assert s.count(q) == tiny_golden.count(q)
     assert s.count(A.ExistsQuery()) == tiny_golden.count(A.ExistsQuery())
+
+
+def test_date_range_lowers_to_fastfield():
+    """RFC3339 date ranges on a registered date field lower to a
+    FastFieldRangeQuery with parsed datetimes (ref: query_parser.rs date
+    branch; grammar vectors with dates)."""
+    from datetime import datetime
+
+    pd_ = QueryParser(field_types={"ts": "date", "n": "i64", "x": "f64"})
+    q = pd_.parse("ts:[2021-03-01T00:00:00Z TO 2021-06-15T12:30:00Z}")
+    assert q == ast.FastFieldRangeQuery(
+        field="ts", lower=datetime(2021, 3, 1),
+        upper=datetime(2021, 6, 15, 12, 30),
+        lower_inclusive=True, upper_inclusive=False)
+    # bare dates and star bounds
+    q2 = pd_.parse("ts:[* TO 2021-06-15]")
+    assert q2 == ast.FastFieldRangeQuery(
+        field="ts", lower=None, upper=datetime(2021, 6, 15))
+    # offsets normalize to UTC
+    q3 = pd_.parse("ts:[2021-03-01T02:00:00+02:00 TO *]")
+    assert q3.lower == datetime(2021, 3, 1)
+    # typed literal = degenerate range
+    assert pd_.parse("ts:2021-03-01T00:00:00Z") == ast.FastFieldRangeQuery(
+        field="ts", lower=datetime(2021, 3, 1), upper=datetime(2021, 3, 1))
+    # numeric fields
+    assert pd_.parse("n:[10 TO 20]") == ast.FastFieldRangeQuery(
+        field="n", lower=10, upper=20)
+    assert pd_.parse("x:{1.5 TO 2.5}") == ast.FastFieldRangeQuery(
+        field="x", lower=1.5, upper=2.5,
+        lower_inclusive=False, upper_inclusive=False)
+    # malformed date fails loudly
+    with pytest.raises(QueryParserError):
+        pd_.parse("ts:[not-a-date TO 2021-06-15]")
+    # typed fields combine with text clauses
+    q4 = pd_.parse("data AND ts:[2021-01-01 TO 2021-02-01]")
+    assert isinstance(q4, ast.BooleanQuery)
+
+
+def test_fastfield_filter_execution(spark):
+    """Parsed date range executed over the events table equals the
+    direct timestamp predicate."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from tantivy_spark.query.exact import fastfield_filter
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = QueryParser(field_types={"ts": "date"}).parse(
+        "ts:[2021-02-01T00:00:00Z TO 2021-04-01T00:00:00Z}")
+    got = fastfield_filter(events, q).count()
+    want = events.filter(
+        (F.col("ts") >= datetime(2021, 2, 1))
+        & (F.col("ts") < datetime(2021, 4, 1))).count()
+    assert got == want
