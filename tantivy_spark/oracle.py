@@ -25,21 +25,59 @@ _KB1 = K1 * (1.0 - B)    # 0.3…
 _KB = K1 * B             # 0.9
 
 
+FIELD_SEP = "\x1f"
+
+
 class OracleBuilder:
     def __init__(self, table: str = "documents", id_col: str = "doc_id",
-                 text_col: str = "text", n_segments: int = 8):
+                 text_col: str = "text", n_segments: int = 8,
+                 fields: dict[str, str] | None = None):
+        """``fields``: multi-field mode — ordered {field: SQL text expr}.
+        Term queries must arrive FIELD-QUALIFIED (``{field}\\x1f{term}``,
+        i.e. the same tree the multi-field searcher executes); each field
+        scores with its own token stream and average fieldnorm."""
         self.table = table
         self.id = id_col
         self.text = text_col
         self.n = n_segments
+        self.fields = dict(fields) if fields else None
         self._ctr = 0
+
+    def _toks_expr(self, text_expr: str) -> str:
+        return (
+            f"list_transform(list_filter(regexp_extract_all({text_expr}, "
+            f"'{RE2_TOKEN_PATTERN}'), t -> strlen(t) < {MAX_TOKEN_BYTES}), t -> lower(t))"
+        )
 
     # ---------------------------------------------------------------- base
     def _base_ctes(self, need_positions: bool) -> list[str]:
-        toks = (
-            f"list_transform(list_filter(regexp_extract_all({self.text}, "
-            f"'{RE2_TOKEN_PATTERN}'), t -> strlen(t) < {MAX_TOKEN_BYTES}), t -> lower(t))"
-        )
+        if self.fields:
+            if need_positions:
+                raise NotImplementedError(
+                    "multi-field oracle: positional queries not supported")
+            tok_cols = ", ".join(
+                f"{self._toks_expr(expr)} AS toks_{f}"
+                for f, expr in self.fields.items())
+            ntok_cols = ", ".join(f"len(toks_{f}) AS ntok_{f}"
+                                  for f in self.fields)
+            toks_pass = ", ".join(f"toks_{f}" for f in self.fields)
+            ctes = [
+                f"docs0 AS (SELECT {self.id} AS did, {tok_cols} "
+                f"FROM {self.table})",
+                ("docs AS (SELECT did, did % {n} AS seg, "
+                 "row_number() OVER (PARTITION BY did % {n} ORDER BY did) - 1 "
+                 "AS sdoc, {ntok}, {toks} FROM docs0)"
+                 ).format(n=self.n, ntok=ntok_cols, toks=toks_pass),
+            ]
+            for f in self.fields:
+                ctes.append(
+                    f"stats_{f} AS (SELECT CAST(count(*) AS DOUBLE) AS nn, "
+                    f"CAST(sum(ntok_{f}) AS DOUBLE)/CAST(count(*) AS DOUBLE) "
+                    f"AS avgfn FROM docs)")
+                ctes.append(
+                    f"tok_{f} AS (SELECT did, unnest(toks_{f}) AS tk FROM docs)")
+            return ctes
+        toks = self._toks_expr(self.text)
         ctes = [
             f"docs0 AS (SELECT {self.id} AS did, {toks} AS toks FROM {self.table})",
             (
@@ -66,22 +104,37 @@ class OracleBuilder:
         return f"{prefix}_{self._ctr}"
 
     # ----------------------------------------------------------- term score
+    def _term_sources(self, term: str) -> tuple[str, str, str, str]:
+        """(bare_term, tok_cte, stats_cte, ntok_col) — field resolved from
+        the qualified term on multi-field oracles."""
+        if self.fields:
+            if FIELD_SEP in term:
+                fld, bare = term.split(FIELD_SEP, 1)
+            else:
+                fld, bare = next(iter(self.fields)), term
+            if fld not in self.fields:
+                raise ValueError(f"unknown field in qualified term: {fld!r}")
+            return bare, f"tok_{fld}", f"stats_{fld}", f"d.ntok_{fld}"
+        return term, "tok", "stats", "d.ntok"
+
     def _term_cte(self, term: str, boost: float, ctes: list[str]) -> str:
-        t = term.replace("'", "''")
+        bare, tok_src, stats_src, ntok_col = self._term_sources(term)
+        t = bare.replace("'", "''")
         tf = self._name("tf")
         sc = self._name("sc")
         ctes.append(
             f"{tf} AS (SELECT did, CAST(count(*) AS DOUBLE) AS tf "
-            f"FROM tok WHERE tk = '{t}' GROUP BY did)"
+            f"FROM {tok_src} WHERE tk = '{t}' GROUP BY did)"
         )
         dfq = f"(SELECT CAST(count(*) AS DOUBLE) FROM {tf})"
-        weight = f"(ln(1.0 + ((SELECT nn FROM stats) - {dfq} + 0.5) / ({dfq} + 0.5)) * {_W!r})"
+        weight = (f"(ln(1.0 + ((SELECT nn FROM {stats_src}) - {dfq} + 0.5) "
+                  f"/ ({dfq} + 0.5)) * {_W!r})")
         if boost != 1.0:
             weight = f"({weight} * {float(boost)!r})"
-        qn = sql_quantize_fieldnorm("d.ntok")
+        qn = sql_quantize_fieldnorm(ntok_col)
         score = (
             f"{weight} * t.tf / (t.tf + {_KB1!r} + "
-            f"({_KB!r} / (SELECT avgfn FROM stats)) * CAST({qn} AS DOUBLE))"
+            f"({_KB!r} / (SELECT avgfn FROM {stats_src})) * CAST({qn} AS DOUBLE))"
         )
         ctes.append(
             f"{sc} AS (SELECT t.did, {score} AS score "

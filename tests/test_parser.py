@@ -270,9 +270,9 @@ def test_fastfield_filter_execution(spark):
 
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     q = QueryParser(field_types={"ts": "date"}).parse(
-        "ts:[2021-02-01T00:00:00Z TO 2021-04-01T00:00:00Z}")
+        "ts:[2024-01-05T00:00:00Z TO 2024-01-20T00:00:00Z}")
     got = fastfield_filter(events, q).count()
     want = events.filter(
-        (F.col("ts") >= datetime(2021, 2, 1))
-        & (F.col("ts") < datetime(2021, 4, 1))).count()
-    assert got == want
+        (F.col("ts") >= datetime(2024, 1, 5))
+        & (F.col("ts") < datetime(2024, 1, 20))).count()
+    assert got == want > 0
