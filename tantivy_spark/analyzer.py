@@ -420,6 +420,22 @@ def fr_stem_tokens_col(text: Column) -> Column:
     return _stem_chain("tantivy_spark.functions.snowball:french_stem")(text)
 
 
+def it_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball:italian_stem")(text)
+
+
+def pt_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball:portuguese_stem")(text)
+
+
+def nl_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball:dutch_stem")(text)
+
+
+def ru_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball:russian_stem")(text)
+
+
 ANALYZERS = {
     "default": tokens_col,
     "raw": raw_analyzer,
@@ -428,6 +444,10 @@ ANALYZERS = {
     "de_stem": de_stem_tokens_col,
     "es_stem": es_stem_tokens_col,
     "fr_stem": fr_stem_tokens_col,
+    "it_stem": it_stem_tokens_col,
+    "pt_stem": pt_stem_tokens_col,
+    "nl_stem": nl_stem_tokens_col,
+    "ru_stem": ru_stem_tokens_col,
 }
 
 

@@ -1,4 +1,5 @@
-"""Snowball stemmers beyond English: German, Spanish, French.
+"""Snowball stemmers beyond English: German, Spanish, French, Italian,
+Portuguese, Dutch, Russian.
 
 Implemented from the published Snowball algorithm descriptions
 (M.F. Porter's snowball algorithm family, snowballstem.org) — the same
@@ -36,6 +37,26 @@ def _std_r1_r2(word: str, vowels: str) -> tuple[int, int]:
     r1 = _r_after(word, 0, vowels)
     r2 = _r_after(word, r1, vowels)
     return r1, r2
+
+
+def _rv_std(w: str, vowels: str) -> int:
+    """The Romance-language RV definition (Spanish/Italian/Portuguese):
+    second-letter-consonant -> after the next vowel; two leading vowels ->
+    after the next consonant; consonant-vowel -> after the third letter."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in vowels:
+        i = 2
+        while i < n and w[i] not in vowels:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in vowels and w[1] in vowels:
+        i = 2
+        while i < n and w[i] in vowels:
+            i += 1
+        return min(i + 1, n)
+    return 3
 
 
 # --------------------------------------------------------------------------
@@ -621,3 +642,513 @@ def french_stem(word: str) -> str:
 
     # postlude
     return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+# --------------------------------------------------------------------------
+# Italian (snowball italian algorithm)
+# --------------------------------------------------------------------------
+
+_IT_VOWELS = "aeiouàèìòù"
+
+_IT_PRON = sorted(
+    ["ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+     "sene", "gliela", "gliele", "glieli", "glielo", "gliene",
+     "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli",
+     "telo", "tene", "cela", "cele", "celi", "celo", "cene",
+     "vela", "vele", "veli", "velo", "vene"], key=len, reverse=True)
+
+_IT_STEP2 = sorted(
+    ["ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+     "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+     "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+     "erà", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+     "eremmo", "eremo", "ereste", "eresti", "erete", "erò", "erono",
+     "essero", "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+     "Yamo", "iamo", "immo", "irà", "irai", "iranno", "ire", "irebbe",
+     "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti", "irete",
+     "irò", "irono", "isca", "iscano", "isce", "isci", "isco", "iscono",
+     "issero", "ita", "ite", "iti", "ito", "iva", "ivamo", "ivano",
+     "ivate", "ivi", "ivo", "ono", "uta", "ute", "uti", "uto",
+     "ar", "ir"], key=len, reverse=True)
+
+
+def italian_stem(word: str) -> str:
+    # prelude: acute -> grave; mark u after q and i/u between vowels
+    w = (word.replace("á", "à").replace("é", "è").replace("í", "ì")
+         .replace("ó", "ò").replace("ú", "ù"))
+    chars = list(w)
+    n = len(chars)
+    for i in range(n):
+        if chars[i] == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+        elif chars[i] in "iu" and 0 < i < n - 1 \
+                and chars[i - 1] in _IT_VOWELS and chars[i + 1] in _IT_VOWELS:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+
+    r1, r2 = _std_r1_r2(w, _IT_VOWELS)
+    rv = _rv_std(w, _IT_VOWELS)
+
+    def in_r1(p):
+        return p >= r1
+
+    def in_r2(p):
+        return p >= r2
+
+    def in_rv(p):
+        return p >= rv
+
+    # ---- step 0: attached pronoun ----------------------------------------
+    for pron in _IT_PRON:
+        if not w.endswith(pron):
+            continue
+        base = w[: -len(pron)]
+        cut = len(w) - len(pron)
+        if any(base.endswith(g) and in_rv(cut - 4) for g in ("ando", "endo")):
+            w = base
+        elif any(base.endswith(g) and in_rv(cut - 2)
+                 for g in ("ar", "er", "ir")):
+            w = base + "e"
+        break
+
+    n0 = len(w)
+
+    # ---- step 1: standard suffixes (longest match) ------------------------
+    basic_r2 = ("anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+                "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+                "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+                "ose", "mente", "atrice", "atrici", "ante", "anti")
+    all_s1 = sorted(basic_r2 + ("azione", "azioni", "atore", "atori",
+                                "logia", "logie", "uzione", "uzioni",
+                                "usione", "usioni", "enza", "enze",
+                                "amento", "amenti", "imento", "imenti",
+                                "amente", "ità", "ivo", "ivi", "iva", "ive"),
+                    key=len, reverse=True)
+    for suf in all_s1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("amento", "amenti", "imento", "imenti"):
+            if in_rv(pos):
+                w = w[:pos]
+        elif suf == "amente":
+            if in_r1(pos):
+                w = w[:pos]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic"):
+                        if w.endswith(pre) and in_r2(len(w) - 2):
+                            w = w[:-2]
+                            break
+                    else:
+                        if w.endswith("abil") and in_r2(len(w) - 4):
+                            w = w[:-4]
+        elif suf in ("azione", "azioni", "atore", "atori"):
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("logia", "logie"):
+            if in_r2(pos):
+                w = w[:pos] + "log"
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if in_r2(pos):
+                w = w[:pos] + "u"
+        elif suf in ("enza", "enze"):
+            if in_r2(pos):
+                w = w[:pos] + "ente"
+        elif suf == "ità":
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif w.endswith(("ic", "iv")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("ivo", "ivi", "iva", "ive"):
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("ic") and in_r2(len(w) - 2):
+                        w = w[:-2]
+        else:  # basic_r2
+            if in_r2(pos):
+                w = w[:pos]
+        break
+
+    # ---- step 2: verb suffixes (only if step 1 removed nothing) -----------
+    if len(w) == n0:
+        for suf in _IT_STEP2:
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                break
+
+    # ---- step 3a: residual vowel ------------------------------------------
+    if w and w[-1] in "aeioàèìò" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if w.endswith("i") and in_rv(len(w) - 1):
+            w = w[:-1]
+
+    # ---- step 3b: ch/gh ----------------------------------------------------
+    if w.endswith(("ch", "gh")) and in_rv(len(w) - 2):
+        w = w[:-1]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# --------------------------------------------------------------------------
+# Portuguese (snowball portuguese algorithm)
+# --------------------------------------------------------------------------
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+
+_PT_STEP2 = sorted(
+    ["ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá",
+     "era", "irá", "ava", "asse", "esse", "isse", "aste", "este", "iste",
+     "ei", "arei", "erei", "irei", "am", "iam", "ariam", "eriam", "iriam",
+     "aram", "eram", "iram", "avam", "em", "arem", "erem", "irem",
+     "assem", "essem", "issem", "ado", "ido", "ando", "endo", "indo",
+     "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as", "adas", "idas",
+     "ias", "arias", "erias", "irias", "arás", "aras", "erás", "eras",
+     "irás", "avas", "es", "ardes", "erdes", "irdes", "ares", "eres",
+     "ires", "asses", "esses", "isses", "astes", "estes", "istes", "is",
+     "ais", "iais", "ariais", "eriais", "iriais", "áreis", "areis",
+     "éreis", "ereis", "íreis", "ireis", "ásseis", "ésseis", "ísseis",
+     "áveis", "ados", "idos", "ámos", "amos", "íamos", "aríamos",
+     "eríamos", "iríamos", "áramos", "éramos", "íramos", "ávamos",
+     "emos", "aremos", "eremos", "iremos", "ássemos", "êssemos",
+     "íssemos", "imos", "armos", "ermos", "irmos", "eu", "iu", "ou",
+     "ira", "iras"], key=len, reverse=True)
+
+
+def portuguese_stem(word: str) -> str:
+    # prelude: nasalised vowels marked as vowel + tilde-consonant
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    r1, r2 = _std_r1_r2(w, _PT_VOWELS)
+    rv = _rv_std(w, _PT_VOWELS)
+
+    def in_r1(p):
+        return p >= r1
+
+    def in_r2(p):
+        return p >= r2
+
+    def in_rv(p):
+        return p >= rv
+
+    n0 = len(w)
+
+    # ---- step 1: standard suffixes (longest match) ------------------------
+    basic_r2 = ("eza", "ezas", "ico", "ica", "icos", "icas", "ismo",
+                "ismos", "ável", "ível", "ista", "istas", "oso", "osa",
+                "osos", "osas", "amento", "amentos", "imento", "imentos",
+                "adora", "ador", "aça~o", "adoras", "adores", "aço~es",
+                "ante", "antes", "ância")
+    all_s1 = sorted(basic_r2 + ("logia", "logias", "uça~o", "uço~es",
+                                "ência", "ências", "amente", "mente",
+                                "idade", "idades", "iva", "ivo", "ivas",
+                                "ivos", "ira", "iras"),
+                    key=len, reverse=True)
+    for suf in all_s1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("logia", "logias"):
+            if in_r2(pos):
+                w = w[:pos] + "log"
+        elif suf in ("uça~o", "uço~es"):
+            if in_r2(pos):
+                w = w[:pos] + "u"
+        elif suf in ("ência", "ências"):
+            if in_r2(pos):
+                w = w[:pos] + "ente"
+        elif suf == "amente":
+            if in_r1(pos):
+                w = w[:pos]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and in_r2(len(w) - 2):
+                            w = w[:-2]
+                            break
+        elif suf == "mente":
+            if in_r2(pos):
+                w = w[:pos]
+                for pre in ("ante", "avel", "ível"):
+                    if w.endswith(pre) and in_r2(len(w) - 4):
+                        w = w[:-4]
+                        break
+        elif suf in ("idade", "idades"):
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif w.endswith(("ic", "iv")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("ira", "iras"):
+            if in_rv(pos) and pos >= 1 and w[pos - 1] == "e":
+                w = w[:pos] + "ir"
+        else:  # basic_r2
+            if in_r2(pos):
+                w = w[:pos]
+        break
+
+    step1_changed = len(w) != n0
+    step2_changed = False
+
+    # ---- step 2: verb suffixes (only if step 1 removed nothing) -----------
+    if not step1_changed:
+        for suf in _PT_STEP2:
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                step2_changed = True
+                break
+
+    # ---- step 3 / step 4 ---------------------------------------------------
+    if step1_changed or step2_changed:
+        if w.endswith("i") and in_rv(len(w) - 1) and len(w) >= 2 \
+                and w[-2] == "c":
+            w = w[:-1]
+    else:
+        for suf in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(suf) and in_rv(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                break
+
+    # ---- step 5: final e / cedilla ----------------------------------------
+    if w and w[-1] in "eéê" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if (w.endswith("gu") and in_rv(len(w) - 1)) or \
+                (w.endswith("ci") and in_rv(len(w) - 1)):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# --------------------------------------------------------------------------
+# Dutch (snowball dutch algorithm)
+# --------------------------------------------------------------------------
+
+_NL_VOWELS = "aeiouyè"
+
+
+def _nl_undouble(w: str) -> str:
+    return w[:-1] if w.endswith(("kk", "dd", "tt")) else w
+
+
+def dutch_stem(word: str) -> str:
+    # prelude: fold umlauts/acutes, mark y/i consonantal uses
+    w = word
+    for src, dst in (("ä", "a"), ("ë", "e"), ("ï", "i"), ("ö", "o"),
+                     ("ü", "u"), ("á", "a"), ("é", "e"), ("í", "i"),
+                     ("ó", "o"), ("ú", "u")):
+        w = w.replace(src, dst)
+    chars = list(w)
+    n = len(chars)
+    for i in range(n):
+        if chars[i] == "y" and (i == 0 or chars[i - 1] in _NL_VOWELS):
+            chars[i] = "Y"
+        elif chars[i] == "i" and 0 < i < n - 1 \
+                and chars[i - 1] in _NL_VOWELS and chars[i + 1] in _NL_VOWELS:
+            chars[i] = "I"
+    w = "".join(chars)
+
+    r1, r2 = _std_r1_r2(w, _NL_VOWELS)
+    r1 = max(r1, min(3, len(w)))
+
+    def in_r1(p):
+        return p >= r1
+
+    def in_r2(p):
+        return p >= r2
+
+    def del_en(v: str) -> str:
+        """Shared en/ene deletion: valid en-ending = non-vowel, not gem."""
+        for suf in ("ene", "en"):
+            pos = len(v) - len(suf)
+            if v.endswith(suf) and in_r1(pos) and pos >= 1 \
+                    and v[pos - 1] not in _NL_VOWELS \
+                    and not v[:pos].endswith("gem"):
+                return _nl_undouble(v[:pos])
+        return v
+
+    # ---- step 1 ------------------------------------------------------------
+    if w.endswith("heden") and in_r1(len(w) - 5):
+        w = w[:-5] + "heid"
+    else:
+        w2 = del_en(w)
+        if w2 != w:
+            w = w2
+        else:
+            for suf in ("se", "s"):
+                pos = len(w) - len(suf)
+                if w.endswith(suf) and in_r1(pos) and pos >= 1 \
+                        and w[pos - 1] not in _NL_VOWELS and w[pos - 1] != "j":
+                    w = w[:pos]
+                    break
+
+    # ---- step 2: final e --------------------------------------------------
+    e_found = False
+    if w.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 \
+            and w[-2] not in _NL_VOWELS:
+        e_found = True
+        w = _nl_undouble(w[:-1])
+
+    # ---- step 3a: heid ----------------------------------------------------
+    if w.endswith("heid") and in_r2(len(w) - 4) and \
+            (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        w = del_en(w)
+
+    # ---- step 3b: d-suffixes (longest match) -------------------------------
+    for suf in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("end", "ing"):
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("ig") and in_r2(len(w) - 2) and \
+                        (len(w) < 3 or w[-3] != "e"):
+                    w = w[:-2]
+                else:
+                    w = _nl_undouble(w)
+        elif suf == "ig":
+            if in_r2(pos) and (pos < 1 or w[pos - 1] != "e"):
+                w = w[:pos]
+        elif suf == "lijk":
+            if in_r2(pos):
+                w = w[:pos]
+                # repeat step 2
+                if w.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 \
+                        and w[-2] not in _NL_VOWELS:
+                    w = _nl_undouble(w[:-1])
+        elif suf == "baar":
+            if in_r2(pos):
+                w = w[:pos]
+        elif suf == "bar":
+            if in_r2(pos) and e_found:
+                w = w[:pos]
+        break
+
+    # ---- step 4: undouble vowel --------------------------------------------
+    if len(w) >= 4 and w[-1] not in _NL_VOWELS and w[-1] != "I" \
+            and w[-2] == w[-3] and w[-2] in "aeou" \
+            and w[-4] not in _NL_VOWELS:
+        w = w[:-2] + w[-1]
+
+    return w.replace("Y", "y").replace("I", "i")
+
+
+# --------------------------------------------------------------------------
+# Russian (snowball russian algorithm)
+# --------------------------------------------------------------------------
+
+_RU_VOWELS = "аеиоуыэюя"
+
+_RU_PERFECTIVE_1 = ("вшись", "вши", "в")                # preceded by а/я
+_RU_PERFECTIVE_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_REFLEXIVE = ("ся", "сь")
+_RU_ADJECTIVE = ("ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый",
+                 "ой", "ем", "им", "ым", "ом", "его", "ого", "ему", "ому",
+                 "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+_RU_PARTICIPLE_1 = ("ем", "нн", "вш", "ющ", "щ")        # preceded by а/я
+_RU_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = ("ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н", "ло",
+              "но", "ет", "ют", "ны", "ть", "ешь", "нно")  # preceded by а/я
+_RU_VERB_2 = ("ила", "ыла", "ена", "ейте", "уйте", "ите", "или", "ыли",
+              "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ило", "ыло",
+              "ено", "ят", "ует", "уют", "ит", "ыт", "ены", "ить", "ыть",
+              "ишь", "ую", "ю")
+_RU_NOUN = ("а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами", "еи",
+            "ии", "и", "ией", "ей", "ой", "ий", "й", "иям", "ям", "ием",
+            "ем", "ам", "ом", "о", "у", "ах", "иях", "ях", "ы", "ь",
+            "ию", "ью", "ю", "ия", "ья", "я")
+
+
+def _ru_remove(w: str, rv: int, plain: tuple, preceded: tuple = ()) -> str | None:
+    """Longest-match removal within RV; ``preceded`` suffixes require а/я
+    immediately before (the а/я is retained).  None if nothing matched."""
+    best = None  # (total_len, cut_pos)
+    for suf in plain:
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and pos >= rv:
+            if best is None or len(suf) > best[0]:
+                best = (len(suf), pos)
+    for suf in preceded:
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and pos >= 1 and w[pos - 1] in "ая" \
+                and pos - 1 >= rv:
+            if best is None or len(suf) + 1 > best[0]:
+                best = (len(suf) + 1, pos)
+    return w[: best[1]] if best else None
+
+
+def russian_stem(word: str) -> str:
+    w = word.replace("ё", "е")
+    n = len(w)
+    rv = n
+    for i in range(n):
+        if w[i] in _RU_VOWELS:
+            rv = i + 1
+            break
+    r1, r2 = _std_r1_r2(w, _RU_VOWELS)
+
+    # ---- step 1 -------------------------------------------------------------
+    out = _ru_remove(w, rv, _RU_PERFECTIVE_2, _RU_PERFECTIVE_1)
+    if out is not None:
+        w = out
+    else:
+        out = _ru_remove(w, rv, _RU_REFLEXIVE)
+        if out is not None:
+            w = out
+        out = _ru_remove(w, rv, _RU_ADJECTIVE)
+        if out is not None:
+            w = out
+            out = _ru_remove(w, rv, _RU_PARTICIPLE_2, _RU_PARTICIPLE_1)
+            if out is not None:
+                w = out
+        else:
+            out = _ru_remove(w, rv, _RU_VERB_2, _RU_VERB_1)
+            if out is not None:
+                w = out
+            else:
+                out = _ru_remove(w, rv, _RU_NOUN)
+                if out is not None:
+                    w = out
+
+    # ---- step 2: final и ------------------------------------------------------
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    # ---- step 3: derivational (R2) ---------------------------------------------
+    for suf in ("ость", "ост"):
+        if w.endswith(suf) and len(w) - len(suf) >= r2:
+            w = w[: -len(suf)]
+            break
+
+    # ---- step 4 ------------------------------------------------------------------
+    if w.endswith("нн") and len(w) - 1 >= rv:
+        w = w[:-1]
+    else:
+        out = _ru_remove(w, rv, ("ейше", "ейш"))
+        if out is not None:
+            w = out
+            if w.endswith("нн") and len(w) - 1 >= rv:
+                w = w[:-1]
+        elif w.endswith("ь") and len(w) - 1 >= rv:
+            w = w[:-1]
+    return w

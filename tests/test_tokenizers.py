@@ -94,14 +94,37 @@ SNOWBALL_VECTORS = {
         "animaux": "animal", "finissons": "fin", "maisons": "maison",
         "belles": "bel", "mangeait": "mang",
     },
+    # hand-traced from the published algorithm descriptions
+    "it": {
+        "abbandonata": "abbandon", "felicità": "felic", "cantando": "cant",
+        "nazionale": "nazional", "pronunciare": "pronunc",
+        "mangiavano": "mang", "libri": "libr", "azione": "azion",
+    },
+    "pt": {
+        "quilométricas": "quilométr", "felicidade": "felic",
+        "cantando": "cant", "organizações": "organiz", "meninas": "menin",
+        "bondade": "bondad", "falaram": "fal",
+    },
+    "nl": {
+        "lichamelijk": "licham", "gelukkig": "gelukk", "haren": "har",
+        "bomen": "bom", "werkelijkheid": "werkelijk", "katten": "kat",
+        "huizen": "huiz",
+    },
+    "ru": {
+        "книгами": "книг", "важная": "важн", "делаться": "дела",
+        "красивые": "красив", "читавшие": "чита", "столом": "стол",
+    },
 }
 
 
 def test_snowball_vectors():
     from tantivy_spark.functions.snowball import (
-        french_stem, german_stem, spanish_stem)
+        dutch_stem, french_stem, german_stem, italian_stem,
+        portuguese_stem, russian_stem, spanish_stem)
 
-    fns = {"de": german_stem, "es": spanish_stem, "fr": french_stem}
+    fns = {"de": german_stem, "es": spanish_stem, "fr": french_stem,
+           "it": italian_stem, "pt": portuguese_stem, "nl": dutch_stem,
+           "ru": russian_stem}
     for lang, vecs in SNOWBALL_VECTORS.items():
         for w, want in vecs.items():
             assert fns[lang](w) == want, (lang, w, fns[lang](w))
@@ -122,6 +145,27 @@ def test_snowball_chains_distributed(spark):
     got = list(_one(spark, fr_stem_tokens_col(F.col("t")),
                     "chantaient nationaux continuellement"))
     assert got == ["chant", "national", "continuel"]
+
+
+def test_snowball_new_chains_distributed(spark):
+    """The {it,pt,nl,ru}_stem analyzers run the same stems through the
+    Arrow-batched UDF path."""
+    from tantivy_spark.analyzer import (
+        it_stem_tokens_col, nl_stem_tokens_col, pt_stem_tokens_col,
+        ru_stem_tokens_col)
+
+    got = list(_one(spark, it_stem_tokens_col(F.col("t")),
+                    "abbandonata cantando felicità"))
+    assert got == ["abbandon", "cant", "felic"]
+    got = list(_one(spark, pt_stem_tokens_col(F.col("t")),
+                    "organizações cantando felicidade"))
+    assert got == ["organiz", "cant", "felic"]
+    got = list(_one(spark, nl_stem_tokens_col(F.col("t")),
+                    "lichamelijk gelukkig haren"))
+    assert got == ["licham", "gelukk", "har"]
+    got = list(_one(spark, ru_stem_tokens_col(F.col("t")),
+                    "книгами важная красивые"))
+    assert got == ["книг", "важн", "красив"]
 
 
 def test_regex_tokenizer(spark):
