@@ -107,21 +107,26 @@ class IndexReader:
         out.update({r["term"]: int(r["doc_freq"]) for r in rows})
         return out
 
-    def warm(self) -> "IndexReader":
+    def warm(self, include_postings: bool = False) -> "IndexReader":
         """Pin the hot index tables in executor memory — the analogue of
         the reference's Warmer API (src/reader/warming.rs): repeated
-        queries then skip parquet footers/decompression entirely.
+        queries then skip parquet footers/decompression.
 
-        Trade-off (measured): a cached DataFrame replaces the parquet
-        scan, so per-term In() PREDICATE PUSHDOWN is lost — every query
-        then scans the cached postings instead of pruned row groups.
-        Warm only when the index fits comfortably in cluster memory and
-        the workload is scan-heavy (aggregations); keep term lookups on
-        the cold path, where the term-sorted parquet layout makes the
-        scan itself selective."""
+        TERM-ADDRESSED by default: only docmap and term_stats are cached.
+        Caching the postings replaces their parquet scan, which KILLS the
+        per-term In() predicate pushdown — every query then scans the
+        whole cached table instead of pruned row groups (a measured 2x
+        suite regression).  The reference's Warmer stays fast because its
+        cache is term-addressed; ours is achieved by leaving the postings
+        on the cold path, where the term-sorted parquet layout makes each
+        lookup prune to a handful of row groups.  Pass
+        ``include_postings=True`` only for scan-heavy workloads
+        (aggregations over most of the dictionary) on an index that fits
+        comfortably in cluster memory."""
         self.term_stats.cache().count()
-        self.postings.cache().count()
         self.docmap.cache().count()
+        if include_postings:
+            self.postings.cache().count()
         return self
 
     @property

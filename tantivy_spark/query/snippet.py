@@ -22,46 +22,69 @@ from pyspark.sql import functions as F
 from tantivy_spark.analyzer import PY_TOKEN_RE
 
 
-def _best_fragment(text: str, terms: set[str],
-                   term_scores: dict[str, float],
+def search_fragments(text: str, term_scores: dict[str, float],
+                     max_num_chars: int) -> list[tuple]:
+    """Candidate fragments, built by streaming the token spans exactly
+    like the reference (snippet/mod.rs search_fragments): a candidate
+    starts at offset 0 (or at the token that overflowed the previous
+    one); every token extends stop_offset; a token whose text is a query
+    term adds its score and a highlight range; candidates with score 0
+    are dropped.  Returns [(score, start, stop, [(hl_start, hl_end)...])].
+    """
+    frags: list[tuple] = []
+    score, start, stop = 0.0, 0, 0
+    hl: list[tuple[int, int]] = []
+    for m in PY_TOKEN_RE.finditer(text):
+        if m.end() - start > max_num_chars:
+            if score > 0:
+                frags.append((score, start, stop, hl))
+            score, start, stop, hl = 0.0, m.start(), m.start(), []
+        stop = m.end()
+        t = m.group(0).lower()
+        if t in term_scores:
+            score += term_scores[t]
+            hl.append((m.start(), m.end()))
+    if score > 0:
+        frags.append((score, start, stop, hl))
+    return frags
+
+
+def select_best_fragment(frags: list[tuple]) -> tuple | None:
+    """Highest score; ties go to the EARLIEST fragment (the reference's
+    select_best_fragment_combination ordering)."""
+    best = None
+    for f in frags:
+        if best is None or f[0] > best[0] or \
+                (f[0] == best[0] and (f[1], f[2]) < (best[1], best[2])):
+            best = f
+    return best
+
+
+def _escape(s: str) -> str:
+    """Minimal HTML escaping, like the reference's to_html."""
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;")
+            .replace("'", "&#x27;"))
+
+
+def _best_fragment(text: str, term_scores: dict[str, float],
                    max_num_chars: int) -> tuple[str, int]:
-    """(highlighted fragment, n_highlights) for one document."""
-    matches = [(m.start(), m.end(), m.group(0).lower())
-               for m in PY_TOKEN_RE.finditer(text)
-               if m.group(0).lower() in terms]
-    if not matches:
+    """(highlighted html fragment, n_highlights) for one document."""
+    best = select_best_fragment(
+        search_fragments(text, term_scores, max_num_chars))
+    if best is None:
         return "", 0
-    # two-pointer window over match ordinals: fragment = [start of match i,
-    # bounded end]; score = sum over unique terms present (ref: fragment
-    # scoring in snippet/mod.rs)
-    best = (-1.0, 0, 0)  # (score, i, j_exclusive)
-    j = 0
-    for i in range(len(matches)):
-        if j < i:
-            j = i
-        while j < len(matches) and \
-                matches[j][1] - matches[i][0] <= max_num_chars:
-            j += 1
-        uniq = {t for _s, _e, t in matches[i:j]}
-        score = sum(term_scores.get(t, 1.0) for t in uniq)
-        # tie-break: more matches, then earliest fragment
-        key = (score + 1e-6 * (j - i), i, j)
-        if key[0] > best[0]:
-            best = (key[0], i, j)
-    _score, i, j = best
-    frag_start = matches[i][0]
-    frag_end = min(len(text), frag_start + max_num_chars)
-    spans = [(s, e) for s, e, _t in matches[i:j] if e <= frag_end]
+    _score, start, stop, hl = best
     out = []
-    cur = frag_start
-    for s, e in spans:
-        out.append(text[cur:s])
+    cur = start
+    for s, e in hl:
+        out.append(_escape(text[cur:s]))
         out.append("<b>")
-        out.append(text[s:e])
+        out.append(_escape(text[s:e]))
         out.append("</b>")
         cur = e
-    out.append(text[cur:frag_end])
-    return "".join(out), len(spans)
+    out.append(_escape(text[cur:stop]))
+    return "".join(out), len(hl)
 
 
 def snippet_col(text_col, terms: list[str],
@@ -71,15 +94,15 @@ def snippet_col(text_col, terms: list[str],
     the given (analyzed) query terms."""
     from pyspark.sql.functions import pandas_udf
 
-    term_set = {t.lower() for t in terms}
-    scores = dict(term_scores or {})
+    scores = {t.lower(): float((term_scores or {}).get(t, 1.0))
+              for t in terms}
     mc = int(max_num_chars)
 
     @pandas_udf("string")
     def _snip(texts: pd.Series) -> pd.Series:
         from tantivy_spark.query.snippet import _best_fragment
         return texts.map(
-            lambda t: _best_fragment(t or "", term_set, scores, mc)[0])
+            lambda t: _best_fragment(t or "", scores, mc)[0])
 
     return _snip(text_col)
 

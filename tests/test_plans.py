@@ -85,3 +85,26 @@ def test_regex_query_stays_distributed(searcher):
     plan = _plan(df)
     assert "RLIKE" in plan or "rlike" in plan
     assert df.count() > 0
+
+
+def test_warm_reader_keeps_postings_pushdown(spark, tiny_pages, tmp_path_factory):
+    """warm() is term-addressed: docmap/term_stats cache, but postings
+    stay on the cold parquet path so per-term In() pushdown survives."""
+    from tantivy_spark.index.build import IndexConfig, build_index
+    from tantivy_spark.index.reader import IndexReader
+
+    out = str(tmp_path_factory.mktemp("warm") / "idx")
+    build_index(spark, tiny_pages, out,
+                IndexConfig(key_col="url", text_col="text", n_segments=2))
+    reader = IndexReader(spark, out).warm()
+    try:
+        s = ExactSearcher(reader)
+        plan = _plan(s.flat_postings(["data", "fast"]))
+        assert "PushedFilters: [In(term" in plan      # postings still cold
+        assert "InMemoryTableScan" in _plan(reader.docmap)   # docmap cached
+        assert "InMemoryTableScan" in _plan(reader.term_stats)
+        # results unchanged through the warm reader
+        assert s.search(TermQuery("data"), k=3).count() == 3
+    finally:
+        reader.docmap.unpersist()
+        reader.term_stats.unpersist()

@@ -1,45 +1,108 @@
-"""Snippet generation tests (ref: src/snippet/mod.rs semantics: best
-fragment by unique-term score within max_num_chars, <b> highlighting)."""
+"""Snippet generation tests.
 
-from tantivy_spark.query.snippet import _best_fragment
+The fragment-construction vectors are ported from the reference's unit
+tests (src/snippet/mod.rs tests: test_snippet, test_snippet_scored_
+fragment, test_snippet_in_second_fragment, test_snippet_with_term_at_
+the_end_of_fragment, test_snippet_with_second_fragment_has_the_highest_
+score, test_snippet_with_term_not_in_text) — pinned goldens so fragment
+selection and <b> boundaries cannot drift silently.
+"""
+
+from tantivy_spark.query.snippet import (
+    _best_fragment,
+    search_fragments,
+    select_best_fragment,
+)
+
+# the reference's TEST_TEXT (snippet/mod.rs:491)
+TEST_TEXT = """Rust is a systems programming language sponsored by
+Mozilla which describes it as a "safe, concurrent, practical language", supporting functional and
+imperative-procedural paradigms. Rust is syntactically similar to C++[according to whom?],
+but its designers intend it to provide better memory safety while still maintaining
+performance.
+
+Rust is free and open-source software, released under an MIT License, or Apache License
+2.0. Its designers have refined the language through the experiences of writing the Servo
+web browser layout engine[14] and the Rust compiler. A large proportion of current commits
+to the project are from community members.[15]
+
+Rust won first place for "most loved programming language" in the Stack Overflow Developer
+Survey in 2016, 2017, and 2018."""
 
 
-def test_basic_highlight():
-    frag, n = _best_fragment("the quick brown fox", {"quick", "fox"}, {}, 150)
-    assert frag == "<b>quick</b> brown <b>fox</b>"
-    assert n == 2
+def test_snippet_reference_vector():
+    """ref test_snippet / test_snippet_generator_custom_highlighted_elements"""
+    terms = {"rust": 1.0, "language": 0.9}
+    frags = search_fragments(TEST_TEXT, terms, 100)
+    assert len(frags) == 7
+    assert frags[0][0] == 1.9          # first fragment score
+    assert frags[0][2] == 89           # first fragment stop_offset
+    html, _n = _best_fragment(TEST_TEXT, terms, 100)
+    assert html == (
+        '<b>Rust</b> is a systems programming <b>language</b> sponsored '
+        'by\nMozilla which describes it as a &quot;safe')
 
 
-def test_fragment_prefers_more_unique_terms():
-    text = ("alpha alpha alpha alpha filler filler filler filler filler "
-            "filler filler beta gamma end")
-    frag, _ = _best_fragment(text, {"alpha", "beta", "gamma"}, {}, 12)
-    # the (beta, gamma) window scores 2 unique terms; any alpha-only
-    # window scores 1
-    assert "<b>beta</b>" in frag and "<b>gamma</b>" in frag
+def test_snippet_scored_fragment():
+    """ref test_snippet_scored_fragment: relative term scores flip which
+    fragment wins."""
+    html, _ = _best_fragment(TEST_TEXT, {"rust": 1.0, "language": 0.9}, 20)
+    assert html == "<b>Rust</b> is a systems"
+    html, _ = _best_fragment(TEST_TEXT, {"rust": 0.9, "language": 1.0}, 20)
+    assert html == "programming <b>language</b>"
 
 
-def test_term_scores_weight_fragments():
-    text = "rare filler filler filler filler filler common common common"
-    frag, _ = _best_fragment(text, {"rare", "common"},
-                             {"rare": 5.0, "common": 1.0}, 10)
-    assert "<b>rare</b>" in frag
+def test_snippet_in_second_fragment():
+    frags = search_fragments("a b c d e f g", {"c": 1.0}, 3)
+    assert len(frags) == 1
+    assert frags[0][:3] == (1.0, 4, 7)
+    html, _ = _best_fragment("a b c d e f g", {"c": 1.0}, 3)
+    assert html == "<b>c</b> d"
 
 
-def test_no_match_empty():
-    assert _best_fragment("nothing here", {"zzz"}, {}, 100) == ("", 0)
+def test_snippet_with_term_at_the_end_of_fragment():
+    frags = search_fragments("a b c d e f f g", {"f": 1.0}, 3)
+    assert len(frags) == 2
+    assert frags[0][:3] == (1.0, 8, 11)
+    html, _ = _best_fragment("a b c d e f f g", {"f": 1.0}, 3)
+    assert html == "e <b>f</b>"
+
+
+def test_snippet_with_second_fragment_has_the_highest_score():
+    frags = search_fragments("a b c d e f g", {"f": 1.0, "a": 0.9}, 7)
+    assert len(frags) == 2
+    assert frags[0][:3] == (0.9, 0, 7)
+    html, _ = _best_fragment("a b c d e f g", {"f": 1.0, "a": 0.9}, 7)
+    assert html == "e <b>f</b> g"
+
+
+def test_snippet_with_term_not_in_text():
+    assert search_fragments("a b c d", {"z": 1.0}, 3) == []
+    assert _best_fragment("a b c d", {"z": 1.0}, 3) == ("", 0)
+    assert _best_fragment("a b c d", {}, 3) == ("", 0)
+
+
+def test_tie_breaks_to_earliest_fragment():
+    frags = search_fragments("a x a", {"a": 1.0}, 1)
+    assert len(frags) == 2
+    assert select_best_fragment(frags)[:3] == (1.0, 0, 1)
+
+
+def test_html_escaping_minimal():
+    html, _ = _best_fragment('x < "y" & z', {"z": 1.0}, 50)
+    assert html == 'x &lt; &quot;y&quot; &amp; <b>z</b>'
+
+
+def test_case_insensitive_against_analyzer_terms():
+    frag, _ = _best_fragment("The QUICK fox", {"quick": 1.0, "the": 1.0}, 150)
+    assert frag == "<b>The</b> <b>QUICK</b> fox"
 
 
 def test_max_chars_respected():
     text = "x " * 200 + "needle " + "y " * 200
-    frag, _ = _best_fragment(text, {"needle"}, {}, 50)
+    frag, _ = _best_fragment(text, {"needle": 1.0}, 50)
     assert len(frag) <= 50 + len("<b></b>")
     assert frag.startswith("<b>needle</b>")
-
-
-def test_case_insensitive_against_analyzer_terms():
-    frag, _ = _best_fragment("The QUICK fox", {"quick", "the"}, {}, 150)
-    assert frag == "<b>The</b> <b>QUICK</b> fox"
 
 
 def test_snippets_for_topk_end_to_end(spark, tiny_index):
