@@ -436,6 +436,18 @@ def ru_stem_tokens_col(text: Column) -> Column:
     return _stem_chain("tantivy_spark.functions.snowball:russian_stem")(text)
 
 
+def da_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball:danish_stem")(text)
+
+
+def no_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball:norwegian_stem")(text)
+
+
+def sv_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball:swedish_stem")(text)
+
+
 ANALYZERS = {
     "default": tokens_col,
     "raw": raw_analyzer,
@@ -448,6 +460,9 @@ ANALYZERS = {
     "pt_stem": pt_stem_tokens_col,
     "nl_stem": nl_stem_tokens_col,
     "ru_stem": ru_stem_tokens_col,
+    "da_stem": da_stem_tokens_col,
+    "no_stem": no_stem_tokens_col,
+    "sv_stem": sv_stem_tokens_col,
 }
 
 

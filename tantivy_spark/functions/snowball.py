@@ -1152,3 +1152,175 @@ def russian_stem(word: str) -> str:
         elif w.endswith("ь") and len(w) - 1 >= rv:
             w = w[:-1]
     return w
+
+
+# --------------------------------------------------------------------------
+# Danish (snowball danish algorithm)
+# --------------------------------------------------------------------------
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_S_END = "abcdfghjklmnoprtvyzå"
+
+_DA_STEP1 = sorted(
+    ["hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+     "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+     "heds", "es", "endes", "erendes", "enes", "ernes", "eres", "ens",
+     "hedens", "erens", "ers", "ets", "erets", "et", "eret"],
+    key=len, reverse=True)
+
+
+def _scand_r1(w: str, vowels: str) -> int:
+    r1 = _r_after(w, 0, vowels)
+    return max(r1, min(3, len(w)))
+
+
+def danish_stem(word: str) -> str:
+    w = word
+    r1 = _scand_r1(w, _DA_VOWELS)
+
+    def in_r1(p):
+        return p >= r1
+
+    # ---- step 1: main suffixes (longest match incl. the s-rule) ----------
+    for suf in _DA_STEP1:
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos):
+            w = w[:pos]
+            break
+    else:
+        if w.endswith("s") and in_r1(len(w) - 1) and len(w) >= 2 \
+                and w[-2] in _DA_S_END:
+            w = w[:-1]
+
+    # ---- step 2: consonant pair tail --------------------------------------
+    if w.endswith(("gd", "dt", "gt", "kt")) and in_r1(len(w) - 1):
+        w = w[:-1]
+
+    # ---- step 3 -------------------------------------------------------------
+    if w.endswith("igst"):
+        w = w[:-2]
+    for suf in ("elig", "lig", "els", "ig"):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos):
+            w = w[:pos]
+            # repeat step 2
+            if w.endswith(("gd", "dt", "gt", "kt")) and in_r1(len(w) - 1):
+                w = w[:-1]
+            break
+    else:
+        if w.endswith("løst") and in_r1(len(w) - 1):
+            w = w[:-1]
+
+    # ---- step 4: undouble consonants ---------------------------------------
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_VOWELS \
+            and in_r1(len(w) - 1):
+        w = w[:-1]
+    return w
+
+
+# --------------------------------------------------------------------------
+# Norwegian (snowball norwegian algorithm)
+# --------------------------------------------------------------------------
+
+_NO_VOWELS = "aeiouyæåø"
+_NO_S_END = "bcdfghjlmnoprtvyz"
+
+_NO_STEP1 = sorted(
+    ["a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+     "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+     "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast"],
+    key=len, reverse=True)
+
+
+def norwegian_stem(word: str) -> str:
+    w = word
+    r1 = _scand_r1(w, _NO_VOWELS)
+
+    def in_r1(p):
+        return p >= r1
+
+    # ---- step 1 (longest among main, erte/ert, s-rule) --------------------
+    cands = []
+    for suf in _NO_STEP1:
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos):
+            cands.append((len(suf), "del", pos))
+            break
+    for suf in ("erte", "ert"):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos):
+            cands.append((len(suf), "er", pos))
+            break
+    if w.endswith("s") and in_r1(len(w) - 1) and len(w) >= 2 and \
+            (w[-2] in _NO_S_END or
+             (w[-2] == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS))):
+        cands.append((1, "del", len(w) - 1))
+    if cands:
+        _l, action, pos = max(cands)
+        w = w[:pos] + ("er" if action == "er" else "")
+
+    # ---- step 2 -------------------------------------------------------------
+    if w.endswith(("dt", "vt")) and in_r1(len(w) - 1):
+        w = w[:-1]
+
+    # ---- step 3 -------------------------------------------------------------
+    for suf in sorted(["leg", "eleg", "ig", "eig", "lig", "elig", "els",
+                       "lov", "elov", "slov", "hetslov"],
+                      key=len, reverse=True):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos):
+            w = w[:pos]
+            break
+    return w
+
+
+# --------------------------------------------------------------------------
+# Swedish (snowball swedish algorithm)
+# --------------------------------------------------------------------------
+
+_SV_VOWELS = "aeiouyäåö"
+_SV_S_END = "bcdfghjklmnoprtvy"
+
+_SV_STEP1 = sorted(
+    ["a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+     "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+     "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+     "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
+     "ast"], key=len, reverse=True)
+
+
+def swedish_stem(word: str) -> str:
+    w = word
+    r1 = _scand_r1(w, _SV_VOWELS)
+
+    def in_r1(p):
+        return p >= r1
+
+    # ---- step 1 -------------------------------------------------------------
+    for suf in _SV_STEP1:
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos):
+            w = w[:pos]
+            break
+    else:
+        if w.endswith("s") and in_r1(len(w) - 1) and len(w) >= 2 \
+                and w[-2] in _SV_S_END:
+            w = w[:-1]
+
+    # ---- step 2 -------------------------------------------------------------
+    if w.endswith(("dd", "gd", "nn", "dt", "gt", "kt", "tt")) \
+            and in_r1(len(w) - 1):
+        w = w[:-1]
+
+    # ---- step 3 -------------------------------------------------------------
+    for suf in ("lig", "ig", "els"):
+        pos = len(w) - len(suf)
+        if w.endswith(suf) and in_r1(pos):
+            w = w[:pos]
+            break
+    else:
+        if w.endswith("löst") and in_r1(len(w) - 1):
+            w = w[:-1]
+        elif w.endswith("fullt") and in_r1(len(w) - 1):
+            w = w[:-1]
+    return w

@@ -114,17 +114,31 @@ SNOWBALL_VECTORS = {
         "книгами": "книг", "важная": "важн", "делаться": "дела",
         "красивые": "красив", "читавшие": "чита", "столом": "стол",
     },
+    "da": {
+        "undersøgelse": "undersøg", "mulighederne": "mulighed",
+        "billeder": "billed", "venligst": "ven", "indeholdt": "indehold",
+    },
+    "no": {
+        "muligheten": "mul", "kildene": "kild", "norske": "norsk",
+        "forskjellige": "forskjel",
+    },
+    "sv": {
+        "möjligheterna": "möj", "utbildningen": "utbildning",
+        "svenska": "svensk", "klokkorna": "klokk", "betydelse": "betyd",
+    },
 }
 
 
 def test_snowball_vectors():
     from tantivy_spark.functions.snowball import (
-        dutch_stem, french_stem, german_stem, italian_stem,
-        portuguese_stem, russian_stem, spanish_stem)
+        danish_stem, dutch_stem, french_stem, german_stem, italian_stem,
+        norwegian_stem, portuguese_stem, russian_stem, spanish_stem,
+        swedish_stem)
 
     fns = {"de": german_stem, "es": spanish_stem, "fr": french_stem,
            "it": italian_stem, "pt": portuguese_stem, "nl": dutch_stem,
-           "ru": russian_stem}
+           "ru": russian_stem, "da": danish_stem, "no": norwegian_stem,
+           "sv": swedish_stem}
     for lang, vecs in SNOWBALL_VECTORS.items():
         for w, want in vecs.items():
             assert fns[lang](w) == want, (lang, w, fns[lang](w))
