@@ -465,6 +465,48 @@ ANALYZERS = {
     "sv_stem": sv_stem_tokens_col,
 }
 
+#: python-side stemmer of each "{lang}_stem" chain (query-literal
+#: analysis must match what the field's chain indexed)
+_PY_STEMMERS = {
+    "en_stem": "tantivy_spark.functions.porter:porter_stem",
+    "de_stem": "tantivy_spark.functions.snowball:german_stem",
+    "es_stem": "tantivy_spark.functions.snowball:spanish_stem",
+    "fr_stem": "tantivy_spark.functions.snowball:french_stem",
+    "it_stem": "tantivy_spark.functions.snowball:italian_stem",
+    "pt_stem": "tantivy_spark.functions.snowball:portuguese_stem",
+    "nl_stem": "tantivy_spark.functions.snowball:dutch_stem",
+    "ru_stem": "tantivy_spark.functions.snowball:russian_stem",
+    "da_stem": "tantivy_spark.functions.snowball:danish_stem",
+    "no_stem": "tantivy_spark.functions.snowball:norwegian_stem",
+    "sv_stem": "tantivy_spark.functions.snowball:swedish_stem",
+}
+
+
+def py_analyze_fn(name: str):
+    """Python-side (driver) analyzer equivalent of a registered chain —
+    used for QUERY LITERALS against fields indexed with that chain (the
+    reference's QueryParser resolves the field's analyzer the same way,
+    query_parser.rs:336-412)."""
+    import importlib
+
+    import pandas as pd
+
+    if name == "default":
+        return lambda text: list(tokenize_series(pd.Series([text]))[0])
+    if name == "whitespace":
+        return lambda text: (text or "").split()
+    if name == "raw":
+        return lambda text: [text] if text else []
+    if name in _PY_STEMMERS:
+        mod_name, fn_name = _PY_STEMMERS[name].split(":")
+        stem = getattr(importlib.import_module(mod_name), fn_name)
+
+        def run(text: str) -> list[str]:
+            return [stem(t) for t in tokenize_series(pd.Series([text]))[0]]
+
+        return run
+    raise KeyError(f"no python-side analyzer for chain {name!r}")
+
 
 # ---------------------------------------------------------------------------
 # 3. DuckDB SQL form (oracle)

@@ -100,6 +100,12 @@ class IndexConfig:
     #: fieldnorm sentinel chain.  The FIRST field is the default field for
     #: unqualified query terms.
     field_cols: dict[str, str] | None = None
+    #: per-field analyzer selection (ref: per-field tokenizers in the
+    #: schema, query_parser.rs:336-412): {field: name in
+    #: analyzer.ANALYZERS}.  Unlisted fields use the default chain.
+    #: Query literals against such a field must be analyzed with the same
+    #: chain (QueryParser(field_analyzers=...)).
+    field_analyzers: dict[str, str] | None = None
     n_segments: int = 8
     segment_expr: str | None = None   # SQL over input cols; default pmod(xxhash64(key), n)
     with_positions: bool = True
@@ -131,15 +137,17 @@ def _sort_spec(cfg: IndexConfig) -> tuple[str, bool] | None:
     return cfg.sort_col, False
 
 
-def _field_specs(cfg: IndexConfig) -> list[tuple[str, str, str, str]]:
-    """[(term_prefix, source_col_alias, toks_col, sentinel_term)] — one
-    entry per indexed field.  Single-field indexes keep the historical
-    unprefixed layout (prefix "", sentinel FIELDNORM_SENTINEL), so their
-    on-disk format is unchanged."""
+def _field_specs(cfg: IndexConfig) -> list[tuple[str, str, str, str, str]]:
+    """[(term_prefix, source_col_alias, toks_col, sentinel_term,
+    analyzer_name)] — one entry per indexed field.  Single-field indexes
+    keep the historical unprefixed layout (prefix "", sentinel
+    FIELDNORM_SENTINEL), so their on-disk format is unchanged."""
     if not cfg.field_cols:
-        return [("", "text", "toks", FIELDNORM_SENTINEL)]
+        return [("", "text", "toks", FIELDNORM_SENTINEL, "default")]
+    anlz = cfg.field_analyzers or {}
     return [(f"{fld}{FIELD_SEP}", f"text__{fld}", f"toks__{fld}",
-             fieldnorm_sentinel(fld)) for fld in cfg.field_cols]
+             fieldnorm_sentinel(fld), anlz.get(fld, "default"))
+            for fld in cfg.field_cols]
 
 
 def _segmented_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -166,12 +174,20 @@ def _tokenized_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     higher-order functions, whose per-token struct allocation dominates
     otherwise.  Lowercasing, the 40-byte filter, and position bookkeeping
     happen in the Arrow kernel at C speed."""
-    from tantivy_spark.analyzer import raw_tokens_col
+    from tantivy_spark.analyzer import ANALYZERS, raw_tokens_col
 
     seg = _segmented_docs(df, cfg)
-    cols = ["segment_ord", "key"] + [
-        raw_tokens_col(F.coalesce(F.col(src), F.lit(""))).alias(toks)
-        for _pfx, src, toks, _sent in _field_specs(cfg)]
+    cols = ["segment_ord", "key"]
+    for _pfx, src, toks, _sent, anlz in _field_specs(cfg):
+        text = F.coalesce(F.col(src), F.lit(""))
+        if anlz == "default":
+            # default chain: raw runs here, lowercase + length filter in
+            # the Arrow kernel (C speed)
+            cols.append(raw_tokens_col(text).alias(toks))
+        else:
+            # custom chain: the registered analyzer produces FINAL tokens
+            # (the kernel skips its lowercase tail for this field)
+            cols.append(ANALYZERS[anlz](text).alias(toks))
     if _sort_spec(cfg):
         cols.append(F.col("sortv"))
     return seg.select(*cols)
@@ -190,7 +206,8 @@ def _segment_kernel(cfg: IndexConfig):
     with_positions = cfg.with_positions
     sort_spec = _sort_spec(cfg)
     chunk_docs = int(cfg.chunk_docs)  # captured by value into the kernel
-    specs = [(pfx, toks, sent) for pfx, _src, toks, sent in _field_specs(cfg)]
+    specs = [(pfx, toks, sent, anlz != "default")
+             for pfx, _src, toks, sent, anlz in _field_specs(cfg)]
 
     def build_segment(tbl: "pa.Table") -> "pa.Table":
         import pyarrow as pa
@@ -204,9 +221,10 @@ def _segment_kernel(cfg: IndexConfig):
         else:
             order = pc.sort_indices(tbl.column("key").combine_chunks())
         rows = []
-        for term_prefix, toks_col, sentinel in specs:
+        for term_prefix, toks_col, sentinel, pre_analyzed in specs:
             rows.extend(_index_field(tbl, order, seg, term_prefix, toks_col,
-                                     sentinel, chunk_docs, with_positions))
+                                     sentinel, chunk_docs, with_positions,
+                                     pre_analyzed))
         cols = list(zip(*rows))
         names = list(_EMPTY_POSTINGS.keys())
         return pa.table(
@@ -215,10 +233,13 @@ def _segment_kernel(cfg: IndexConfig):
         )
 
     def _index_field(tbl, order, seg, term_prefix, toks_col, sentinel,
-                     chunk_docs, with_positions):
+                     chunk_docs, with_positions, pre_analyzed=False):
         """Posting + sentinel rows of ONE field of one segment — per-field
         fieldnorms, per-field segment-average block-max cache, terms
-        stored under the field's prefix."""
+        stored under the field's prefix.  ``pre_analyzed`` fields arrive
+        as FINAL tokens (a custom analyzer chain ran JVM-side), so the
+        kernel's lowercase tail is skipped; the 40-byte bound still
+        applies."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -236,7 +257,7 @@ def _segment_kernel(cfg: IndexConfig):
         if total_raw:
             blen = pc.binary_length(flat_raw).to_numpy()
             keep = blen < 40  # MAX_TOKEN_BYTES, on the pre-lowercase token
-            low = pc.utf8_lower(flat_raw)
+            low = flat_raw if pre_analyzed else pc.utf8_lower(flat_raw)
             dic = pc.dictionary_encode(low)
             codes_raw = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
             # remap codes so code order == lexicographic term order (the

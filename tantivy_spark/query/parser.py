@@ -142,7 +142,8 @@ class QueryParser:
     def __init__(self, default_occur: ast.Occur = ast.Occur.SHOULD,
                  fields: list[str] | None = None,
                  default_field: str = "text",
-                 field_types: dict[str, str] | None = None):
+                 field_types: dict[str, str] | None = None,
+                 field_analyzers: dict[str, str] | None = None):
         """``fields``: the known field names; ``field:term`` prefixes are
         validated against it (unknown field -> error, the reference's
         FieldDoesNotExist).
@@ -151,13 +152,22 @@ class QueryParser:
         "f64") for NON-TEXT fields (ref: query_parser.rs:131-212 routes
         typed fields through value parsing).  A range or literal on a
         typed field lowers to a FastFieldRangeQuery over the columnar
-        (fast-field) store; date literals are RFC3339."""
+        (fast-field) store; date literals are RFC3339.
+
+        ``field_analyzers``: per-field analyzer chain names (from
+        analyzer.ANALYZERS) for fields indexed with a non-default chain —
+        literals against such fields analyze with the SAME chain
+        (query_parser.rs:336-412 resolves per-field analyzers)."""
+        from tantivy_spark.analyzer import py_analyze_fn
+
         self.default_occur = default_occur
         self.default_field = default_field
         self.field_types = dict(field_types or {})
+        self._field_fns = {f: py_analyze_fn(n)
+                           for f, n in (field_analyzers or {}).items()}
         self.fields = set(fields) if fields is not None else None
         if self.fields is not None:
-            self.fields |= set(self.field_types)
+            self.fields |= set(self.field_types) | set(self._field_fns)
 
     def parse(self, q: str) -> ast.Query:
         toks = _lex(q)
@@ -256,6 +266,22 @@ class QueryParser:
     def _attach_field(self, node: ast.Query | None,
                       field: str) -> ast.Query | None:
         from dataclasses import replace
+        fn = self._field_fns.get(field)
+        if fn is not None and isinstance(node, (ast.TermQuery,
+                                                ast.PhraseQuery)):
+            # re-analyze the literal terms with the field's chain (a
+            # quoted phrase was analyzed with the default chain first;
+            # custom chains map each default token to >= 0 final tokens)
+            if isinstance(node, ast.TermQuery):
+                toks = fn(node.term)
+            else:
+                toks = [t for raw in node.phrase_terms for t in fn(raw)]
+            if not toks:
+                return ast.EmptyQuery()
+            if len(toks) == 1:
+                return ast.TermQuery(toks[0], field=field)
+            slop = node.slop if isinstance(node, ast.PhraseQuery) else 0
+            return ast.PhraseQuery(toks, slop=slop, field=field)
         ftype = self.field_types.get(field)
         if ftype and isinstance(node, ast.TermRangeQuery):
             # typed range -> columnar fast-field range (the reference's
@@ -370,6 +396,10 @@ class QueryParser:
                     return ast.FuzzyTermQuery(terms[0], distance=fdist,
                                               transposition_cost_one=True,
                                               field=field)
-                return ast.TermQuery(terms[0], field=field)
-            return ast.PhraseQuery(terms, slop=0, field=field)
+                node: ast.Query = ast.TermQuery(terms[0], field=field)
+            else:
+                node = ast.PhraseQuery(terms, slop=0, field=field)
+            if field is not None and field in self._field_fns:
+                node = self._attach_field(node, field)
+            return node
         raise QueryParserError(f"unexpected token {kind} {val!r}")

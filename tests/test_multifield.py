@@ -158,3 +158,39 @@ def test_multifield_merge_preserves_results(spark, tmp_path_factory,
                 mf_searcher.search(TermQuery(term, field=field), k=10).collect()]
         assert got == want
     assert merged.reader.field_totals == mf_searcher.reader.field_totals
+
+
+def test_per_field_analyzer_selection(spark, tmp_path):
+    """field_analyzers: a field indexed with en_stem matches stemmed
+    query literals; the default-chain field does not (ref: per-field
+    tokenizer resolution, query_parser.rs:336-412)."""
+    from tantivy_spark.query.parser import QueryParser
+    from tantivy_spark.query.searcher import Searcher
+
+    docs = spark.createDataFrame(
+        [("k1", "motoring relations", "motoring relations"),
+         ("k2", "motor relation", "motor relation")],
+        "key STRING, title STRING, body STRING")
+    out = str(tmp_path / "mf_anlz")
+    cfg = IndexConfig(key_col="key",
+                      field_cols={"title": "title", "body": "body"},
+                      field_analyzers={"body": "en_stem"},
+                      n_segments=1)
+    build_index(spark, docs, out, cfg)
+    r = IndexReader(spark, out)
+    # the stemmed field's dictionary holds stems; title holds raw forms
+    dfs = r.doc_freqs([f"body{FIELD_SEP}motor", f"body{FIELD_SEP}motoring",
+                       f"title{FIELD_SEP}motoring"])
+    assert dfs[f"body{FIELD_SEP}motor"] == 2      # both docs stem to motor
+    assert dfs[f"body{FIELD_SEP}motoring"] == 0   # raw form never indexed
+    assert dfs[f"title{FIELD_SEP}motoring"] == 1  # default chain keeps it
+
+    # parsed literals re-analyze with the field's chain
+    p = QueryParser(field_analyzers={"body": "en_stem"})
+    q = p.parse("body:motoring")
+    assert q == TermQuery("motor", field="body")
+    s = Searcher(r)
+    assert {row["key"] for row in s.search(q, k=10).collect()} == {"k1", "k2"}
+    # phrase literals re-analyze per slot
+    q2 = p.parse('body:"motoring relations"')
+    assert {row["key"] for row in s.search(q2, k=10).collect()} == {"k1", "k2"}
