@@ -199,12 +199,15 @@ def main() -> None:
 
         # ---- width probe: the same build in a fresh JVM at a width the
         # box still scales at (BASELINE.md: memory bandwidth saturates
-        # past ~12 threads, so local[32] underuses its cores)
+        # past ~12 threads, so local[32] underuses its cores).  The main
+        # session is STOPPED first — its 32 idle executor threads and
+        # held memory would otherwise contend with the probe JVM.
         probe_cpus = os.environ.get("SPARK_GRAFT_PROBE_CPUS", "12")
         if probe_cpus.isdigit() and int(probe_cpus) > 0:
+            spark.stop()
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "scripts", "width_probe.py"),
-                 corpus_path, probe_cpus],
+                 corpus_path, probe_cpus, str(big_cfg.n_segments)],
                 capture_output=True, text=True, timeout=900)
             try:
                 probe = json.loads(proc.stdout.strip().splitlines()[-1])

@@ -5,7 +5,12 @@ d, "load_before": [...], "load_after": [...]}.
 Run by bench.py as a subprocess so the width probe gets its own Spark
 master (one JVM cannot change local[N] after startup).
 
-Usage: python scripts/width_probe.py <corpus_parquet_path> <cpus>
+Usage: python scripts/width_probe.py <corpus_parquet_path> <cpus> [n_segments]
+
+``n_segments`` defaults to 32 and should match the main bench's big
+build, so the probe varies ONLY executor-thread width — the produced
+index is identical (the same discipline as scripts/scaling.py, which
+pins 128 segments across widths).
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     corpus_path, cpus = sys.argv[1], sys.argv[2]
+    n_segments = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     os.makedirs("/dev/shm/spark_local", exist_ok=True)
     os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark_local")
 
@@ -34,17 +40,23 @@ def main() -> None:
     docs = spark.read.parquet(corpus_path).select("url", "text")
     n = docs.count()  # warm the input read before timing
     out = f"/dev/shm/tantivy_width_probe_idx_{cpus}"
-    shutil.rmtree(out, ignore_errors=True)
     load_before = [round(x, 2) for x in os.getloadavg()]
-    t0 = time.time()
-    build_index(spark, docs, out, IndexConfig(
-        key_col="url", text_col="text", n_segments=int(cpus)), resume=False)
-    dt = time.time() - t0
+    trials = []
+    for _ in range(2):  # best-of-2, same discipline as the main bench
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, docs, out, IndexConfig(
+            key_col="url", text_col="text", n_segments=n_segments),
+            resume=False)
+        trials.append(round(time.time() - t0, 3))
     shutil.rmtree(out, ignore_errors=True)
+    dt = min(trials)
     print(json.dumps({
         "cpus": int(cpus),
+        "n_segments": n_segments,
         "n_docs": n,
-        "build_sec": round(dt, 3),
+        "build_sec": dt,
+        "trials": trials,
         "docs_per_sec": round(n / dt, 1),
         "load_before": load_before,
         "load_after": [round(x, 2) for x in os.getloadavg()],
