@@ -241,7 +241,11 @@ def _run_chain(df: DataFrame, name: str, kind: str, body: dict) -> DataFrame:
         else:
             ik = f"__k{len(ikeys)}"
             key_col, _ = _bucket_key(lvl.kind, lvl.body)
-            work = work.withColumn(ik, key_col)
+            # docs MISSING the bucketed field fall out of the bucket set
+            # (ES terms/histogram semantics; the `missing` agg is the
+            # explicit collector for them)
+            work = work.withColumn(ik, key_col) \
+                       .filter(F.col(ik).isNotNull())
             ikeys.append(ik)
             pub_keys.append(lvl.alias)
             key_of_level[i] = ik

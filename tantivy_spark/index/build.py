@@ -106,6 +106,12 @@ class IndexConfig:
     #: Query literals against such a field must be analyzed with the same
     #: chain (QueryParser(field_analyzers=...)).
     field_analyzers: dict[str, str] | None = None
+    #: FAST FIELDS stored IN the index: input columns carried on the
+    #: docmap rows next to (segment_ord, doc_id, key) — the analogue of
+    #: the reference's per-segment fast-field (columnar) files.  Range
+    #: queries and aggregations over these columns resolve directly on
+    #: the docmap scan, no join back to the source table.
+    fast_field_cols: list[str] | None = None
     n_segments: int = 8
     segment_expr: str | None = None   # SQL over input cols; default pmod(xxhash64(key), n)
     with_positions: bool = True
@@ -162,6 +168,8 @@ def _segmented_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
                  for fld, src in cfg.field_cols.items()]
     else:
         cols.append(F.col(cfg.text_col).alias("text"))
+    for ff in cfg.fast_field_cols or ():
+        cols.append(F.col(ff))
     spec = _sort_spec(cfg)
     if spec:
         cols.append(F.col(spec[0]).alias("sortv"))
@@ -430,11 +438,12 @@ def _build_index_inner(spark: SparkSession, df: DataFrame, out_dir: str,
             w = Window.partitionBy("segment_ord").orderBy(first, F.col("key"))
         else:
             w = Window.partitionBy("segment_ord").orderBy("key")
-        narrow = docs.select("segment_ord", "key", "sortv") if spec \
-            else docs.select("segment_ord", "key")
+        ffs = list(cfg.fast_field_cols or ())
+        narrow = docs.select("segment_ord", "key", *ffs,
+                             *(["sortv"] if spec else []))
         docmap = narrow \
             .withColumn("doc_id", (F.row_number().over(w) - 1).cast("int")) \
-            .select("segment_ord", "doc_id", "key")
+            .select("segment_ord", "doc_id", "key", *ffs)
         docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
         return time.time() - t0
 

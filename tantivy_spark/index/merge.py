@@ -382,13 +382,16 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
     off_expr = F.create_map(
         *[x for seg, off in offsets.items() for x in (F.lit(seg), F.lit(off))])
     w_alive = Window.partitionBy("segment_ord").orderBy("doc_id")
+    # fast-field columns ride on the docmap and are carried through
+    extra = [c for c in docmap.columns
+             if c not in ("segment_ord", "doc_id")]
     (docmap
      .withColumn("alive_rank", F.row_number().over(w_alive) - 1)
      .select(
          oseg_expr[F.col("segment_ord")].cast("int").alias("segment_ord"),
          (F.col("alive_rank") + off_expr[F.col("segment_ord")]).cast("int")
          .alias("doc_id"),
-         "key")
+         *extra)
      .write.mode("overwrite").parquet(os.path.join(out_dir, "docmap")))
 
     # ---- term_stats / lineage / manifest ----------------------------------

@@ -47,6 +47,11 @@ class IndexReader:
             if self.field_cols else None
         self.default_field: str | None = \
             next(iter(self.field_cols)) if self.field_cols else None
+        #: fast-field columns stored ON the docmap (the per-segment
+        #: columnar store) — range queries/aggs over them never join back
+        #: to the source table
+        self.fast_field_cols: list[str] = list(
+            self.manifest["config"].get("fast_field_cols") or ())
 
     def avg_fieldnorm_for_term(self, term: str) -> float:
         """BM25 average fieldnorm for a (possibly field-qualified) term —

@@ -269,9 +269,19 @@ class ExactSearcher:
                                else F.col("term") < q.upper)
             return self._const_docs_matching(cond, boost)
         if isinstance(q, ast.FastFieldRangeQuery):
+            if q.field in self.reader.fast_field_cols:
+                # the column is stored ON the docmap (IndexConfig.
+                # fast_field_cols): the range predicate pushes straight
+                # into the docmap parquet scan — join-free, the
+                # reference's per-segment fast-field file read
+                return (fastfield_filter(self.reader.docmap, q)
+                        .select("segment_ord", "doc_id",
+                                F.lit(1.0 * boost).alias("score")))
             if self._fast_fields is None:
                 raise ValueError(
-                    "FastFieldRangeQuery needs set_fast_fields(df, key_col)")
+                    f"FastFieldRangeQuery({q.field!r}): not an indexed "
+                    f"fast field; attach a source table via "
+                    f"set_fast_fields(df, key_col)")
             # the range filter pushes into the fast-field (source) scan;
             # matching keys then resolve to DocAddresses through docmap
             keys = fastfield_filter(self._fast_fields, q) \

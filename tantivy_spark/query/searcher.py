@@ -86,6 +86,22 @@ class Searcher:
     def count(self, q) -> int:
         return self.exact.count(self._as_query(q))
 
+    def aggregate(self, q, request: dict):
+        """ES-style aggregation request over the QUERY'S matching docs —
+        the reference executes aggregations as collectors over a query's
+        doc set (src/aggregation/: AggregationCollector runs inside the
+        searcher).  Aggregation fields must be fast fields stored on the
+        index (IndexConfig.fast_field_cols), so the matching DocAddresses
+        join the columnar values segment-locally — no source-table join.
+        Returns {name: DataFrame} like run_agg_tree."""
+        from tantivy_spark.aggs import run_agg_tree
+
+        query = self._as_query(q)
+        matches = self.exact.matching(query).select("segment_ord", "doc_id")
+        docs = matches.join(self.reader.docmap, ["segment_ord", "doc_id"],
+                            "inner")
+        return run_agg_tree(docs, request)
+
     def fetch_docs(self, topk: DataFrame, source: DataFrame,
                    key_col: str = "url") -> DataFrame:
         """Docstore retrieval: join the (tiny, broadcast) top-k back to the

@@ -138,10 +138,11 @@ class IncrementalIndexer:
 
         from tantivy_spark.index.build import _segmented_docs
         w = Window.partitionBy("segment_ord").orderBy("key")
+        ffs = list(cfg.fast_field_cols or ())
         docmap = (_segmented_docs(batch_df, cfg)
-                  .select("segment_ord", "key")
+                  .select("segment_ord", "key", *ffs)
                   .withColumn("doc_id", (F.row_number().over(w) - 1).cast("int"))
-                  .select("segment_ord", "doc_id", "key"))
+                  .select("segment_ord", "doc_id", "key", *ffs))
         docmap.write.mode("overwrite").parquet(self._bdir("docmap", bid))
         self._fail("after_docmap")
 
