@@ -31,6 +31,23 @@ Bucket features vs the reference:
 - top_hits: per-bucket top documents by a sort spec with docvalue_fields
   (metric/top_hits.rs) — as a real tree node (must be the only sub-agg
   at its level; it changes the output granularity to one row per hit).
+- terms ``missing``: docs lacking the field bucket under the substitute
+  value; without it they are dropped (ES semantics; the ``missing``
+  BUCKET agg is the explicit collector for absent values).
+
+Mergeable-sketch semantics (ref: IntermediateAggregationResults,
+aggregation/mod.rs:119-128 — per-segment partial sketches merged
+upward): Spark's execution model provides exactly this WITHIN a query —
+``percentile_approx`` (KLL) and ``approx_count_distinct`` (HLL++) build
+per-partition partial sketches that the final aggregation merges, which
+is the property that makes them correct at any partition count.  What
+this module does NOT offer is persisting partial sketches ACROSS queries
+(incremental aggregation over growing indexes); re-aggregation is one
+scan of the fast-field columns, which is the Spark-native cost model.
+The sketch ALGORITHMS also differ from the reference's (KLL vs DDSketch
+for percentiles, HLL++ vs DataSketches HLL for cardinality): compatible
+error envelopes, not bit-identical estimates — which is why the approx
+gate entries are rows-only.
 """
 
 from __future__ import annotations
@@ -96,7 +113,12 @@ def _bucket_key(kind: str, body: dict) -> tuple[Column, str]:
     """(key column, ES key-name) for a bucket level."""
     field = body.get("field")
     if kind == "terms":
-        return F.col(field), "key"
+        col = F.col(field)
+        if "missing" in body:
+            # ES `missing` parameter: docs lacking the field bucket under
+            # this substitute value instead of being dropped
+            col = F.coalesce(col, F.lit(body["missing"]))
+        return col, "key"
     if kind == "histogram":
         interval = float(body["interval"])
         off = float(body.get("offset", 0.0))

@@ -50,6 +50,22 @@ def delete_by_term(spark: SparkSession, reader: IndexReader, term: str) -> int:
     return n
 
 
+def delete_by_query(spark: SparkSession, reader: IndexReader, query) -> int:
+    """Delete every doc MATCHING a query tree (ref: the reference's
+    IndexWriter::delete_query) — resolves the query's alive match set to
+    DocAddresses and appends them to the deletes table.  Already-deleted
+    docs are excluded from the match set (the searcher anti-joins), so
+    repeated calls are idempotent."""
+    from tantivy_spark.query.exact import ExactSearcher
+
+    addrs = ExactSearcher(reader).matching(query) \
+        .select("segment_ord", "doc_id").distinct()
+    n = addrs.count()
+    if n:
+        _append(spark, reader.index_dir, addrs)
+    return n
+
+
 def alive_filter(reader: IndexReader, df: DataFrame) -> DataFrame:
     """Anti-join a (segment_ord, doc_id, ...) frame against the deletes."""
     d = reader.deletes

@@ -268,3 +268,17 @@ def test_date_histogram_and_es_shape(spark, events):
     buckets = js["daily"]["buckets"]
     assert buckets and all("key_as_string" in b and b["doc_count"] > 0 for b in buckets)
     assert sum(b["doc_count"] for b in buckets) == events.count()
+
+
+def test_terms_missing_parameter(spark):
+    """ES terms `missing`: absent values bucket under the substitute."""
+    from tantivy_spark.aggs import run_agg_tree
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), ("b", 3.0), (None, 4.0)],
+        "lang STRING, v DOUBLE")
+    req = {"t": {"terms": {"field": "lang", "missing": "unknown"},
+                 "aggs": {"av": {"avg": {"field": "v"}}}}}
+    out = {(r["key"], r["doc_count"], r["av.value"])
+           for r in run_agg_tree(df, req)["t"].collect()}
+    assert out == {("a", 1, 1.0), ("b", 1, 3.0), ("unknown", 2, 3.0)}

@@ -66,3 +66,23 @@ def test_docstore_fetch(spark, idx):
     docs = s.fetch_docs(top, pages, key_col="url").collect()
     assert len(docs) == 3
     assert all(d["text"] is not None and d["rank"] in (1, 2, 3) for d in docs)
+
+
+def test_delete_by_query(spark, idx):
+    """delete_by_query (ref: IndexWriter::delete_query): all matching
+    docs die; idempotent on repeat; boolean queries supported."""
+    from tantivy_spark.index.deletes import delete_by_query
+    from tantivy_spark.query import BooleanQuery, Occur
+
+    reader, _pages = idx
+    s = Searcher(reader)
+    q = BooleanQuery([(Occur.MUST, TermQuery("the")),
+                      (Occur.MUST, TermQuery("of"))])
+    n_before = s.count(q)
+    assert n_before > 0
+    assert delete_by_query(spark, reader, q) == n_before
+    assert s.count(q) == 0
+    # idempotent: the alive match set is now empty
+    assert delete_by_query(spark, reader, q) == 0
+    # docs matching only one of the terms survive
+    assert s.count(TermQuery("the")) > 0
