@@ -235,14 +235,41 @@ class RegexQuery(Query):
         return []
 
 
-def qualify(q: Query, default_field: str, sep: str = "\x1f") -> Query:
+#: node kinds whose terms live in the dictionary (field-qualifiable)
+_TERM_NODES = None  # populated below, after all classes exist
+
+
+def _is_qualified(q: Query, sep: str) -> bool:
+    if isinstance(q, (TermQuery, FuzzyTermQuery)):
+        return sep in q.term
+    if isinstance(q, PhraseQuery):
+        return any(sep in t for t in q.phrase_terms)
+    if isinstance(q, PhrasePrefixQuery):
+        return sep in q.prefix or any(sep in t for t in q.phrase_terms)
+    if isinstance(q, TermSetQuery):
+        return any(sep in t for t in q.set_terms)
+    if isinstance(q, RegexQuery):
+        return sep in q.pattern
+    if isinstance(q, TermRangeQuery):
+        return any(b is not None and sep in b for b in (q.lower, q.upper))
+    return False
+
+
+def qualify(q: Query, default_field, sep: str = "\x1f",
+            field_boosts: dict[str, float] | None = None) -> Query:
     """Rewrite a query tree for a MULTI-FIELD index: every term-bearing
     node's terms become field-qualified dictionary keys
     (``{field}{sep}{term}``), using each node's ``field`` or the index's
-    default.  The lowered plan then runs unchanged — qualified terms are
-    just strings — while per-field statistics are resolved by prefix.
+    default(s).  The lowered plan then runs unchanged — qualified terms
+    are just strings — while per-field statistics are resolved by prefix.
     Mirrors the reference's QueryParser field resolution
     (query_parser.rs:336-412) over field-qualified Terms (term.rs:22-58).
+
+    ``default_field`` may be a LIST: an unqualified term then expands to
+    a SHOULD-disjunction over every default field, like the reference's
+    multi-default-field resolution (query_parser.rs:253-262).
+    ``field_boosts`` multiplies a resolved field's nodes by its boost
+    (the reference's set_field_boost, query_parser.rs:299).
 
     Idempotent: already-qualified terms (containing the separator, which
     the analyzer can never emit) pass through unchanged, so facade and
@@ -251,33 +278,54 @@ def qualify(q: Query, default_field: str, sep: str = "\x1f") -> Query:
     import re as _re
     from dataclasses import replace
 
+    defaults = [default_field] if isinstance(default_field, str) \
+        else list(default_field)
+    boosts = field_boosts or {}
+
     def fq(f):
-        return f if f is not None else default_field
+        return f if f is not None else defaults[0]
 
     def qt(t, f):
         return t if sep in t else f"{fq(f)}{sep}{t}"
 
+    def wrap(node, f):
+        b = float(boosts.get(f, 1.0)) if f is not None else 1.0
+        return BoostQuery(node, b) if b != 1.0 else node
+
+    # an UNQUALIFIED term-bearing node with several default fields:
+    # one copy per default field, OR-combined
+    if isinstance(q, _TERM_NODES) and getattr(q, "field", None) is None \
+            and len(defaults) > 1 and not _is_qualified(q, sep):
+        return BooleanQuery([
+            (Occur.SHOULD, qualify(replace(q, field=f), defaults, sep,
+                                   field_boosts))
+            for f in defaults])
+
     if isinstance(q, TermQuery):
-        return replace(q, term=qt(q.term, q.field), field=None)
+        return wrap(replace(q, term=qt(q.term, q.field), field=None),
+                    fq(q.field))
     if isinstance(q, PhraseQuery):
-        return replace(q, phrase_terms=[qt(t, q.field)
-                                        for t in q.phrase_terms], field=None)
+        return wrap(replace(q, phrase_terms=[qt(t, q.field)
+                                             for t in q.phrase_terms],
+                            field=None), fq(q.field))
     if isinstance(q, PhrasePrefixQuery):
-        return replace(q, phrase_terms=[qt(t, q.field)
-                                        for t in q.phrase_terms],
-                       prefix=qt(q.prefix, q.field), field=None)
+        return wrap(replace(q, phrase_terms=[qt(t, q.field)
+                                             for t in q.phrase_terms],
+                            prefix=qt(q.prefix, q.field), field=None),
+                    fq(q.field))
     if isinstance(q, TermSetQuery):
         return replace(q, set_terms=[qt(t, q.field)
                                      for t in q.set_terms], field=None)
     if isinstance(q, FuzzyTermQuery):
-        return replace(q, term=qt(q.term, q.field), field=None)
+        return wrap(replace(q, term=qt(q.term, q.field), field=None),
+                    fq(q.field))
     if isinstance(q, RegexQuery):
         if sep in q.pattern:
             return q
         return replace(q, pattern=_re.escape(f"{fq(q.field)}{sep}")
                        + f"(?:{q.pattern})", field=None)
     if isinstance(q, TermRangeQuery):
-        if any(b is not None and sep in b for b in (q.lower, q.upper)):
+        if _is_qualified(q, sep):
             return q
         f = fq(q.field)
         # unbounded sides pin to the field's key range: every term of the
@@ -290,19 +338,25 @@ def qualify(q: Query, default_field: str, sep: str = "\x1f") -> Query:
             upper, upper_incl = f + "\x20", False
         return TermRangeQuery(lower, upper, q.lower_inclusive, upper_incl)
     if isinstance(q, BooleanQuery):
-        return replace(q, clauses=[(o, qualify(c, default_field, sep))
+        return replace(q, clauses=[(o, qualify(c, defaults, sep,
+                                               field_boosts))
                                    for o, c in q.clauses])
     if isinstance(q, (BoostQuery, ConstScoreQuery)):
-        return replace(q, child=qualify(q.child, default_field, sep))
+        return replace(q, child=qualify(q.child, defaults, sep,
+                                        field_boosts))
     if isinstance(q, DisjunctionMaxQuery):
-        return replace(q, disjuncts=[qualify(c, default_field, sep)
+        return replace(q, disjuncts=[qualify(c, defaults, sep, field_boosts)
                                      for c in q.disjuncts])
     if isinstance(q, RegexPhraseQuery):
         if any(sep in p for p in q.patterns):
             return q
-        pfx = _re.escape(f"{default_field}{sep}")
+        pfx = _re.escape(f"{defaults[0]}{sep}")
         return replace(q, patterns=[f"{pfx}(?:{p})" for p in q.patterns])
     # AllQuery / EmptyQuery / FastFieldRangeQuery / ExistsQuery /
     # MoreLikeThisQuery carry no dictionary terms to qualify (Exists and
     # MLT resolve their field at plan time)
     return q
+
+
+_TERM_NODES = (TermQuery, PhraseQuery, PhrasePrefixQuery, TermSetQuery,
+               FuzzyTermQuery, RegexQuery, TermRangeQuery)

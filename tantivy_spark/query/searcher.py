@@ -51,10 +51,20 @@ def _pure_term_shape(q: ast.Query) -> tuple[str, list[str], list[float]] | None:
 
 
 class Searcher:
-    def __init__(self, reader: IndexReader):
+    def __init__(self, reader: IndexReader,
+                 default_fields: list[str] | None = None,
+                 field_boosts: dict[str, float] | None = None,
+                 parser: QueryParser | None = None):
+        """``default_fields``: fields an UNQUALIFIED term searches on a
+        multi-field index (SHOULD-disjunction across them, the
+        reference's multi-default-field resolution) — defaults to the
+        index's first declared field.  ``field_boosts``: per-field score
+        multipliers (set_field_boost, query_parser.rs:299)."""
         self.reader = reader
         self.exact = ExactSearcher(reader)
-        self.parser = QueryParser()
+        self.parser = parser or QueryParser()
+        self.default_fields = default_fields
+        self.field_boosts = field_boosts
 
     def _as_query(self, q) -> ast.Query:
         query = self.parser.parse(q) if isinstance(q, str) else q
@@ -62,7 +72,9 @@ class Searcher:
             # qualify BEFORE WAND shape detection, so the kernel receives
             # field-qualified dictionary keys (idempotent — the exact
             # planner qualifies too)
-            query = ast.qualify(query, self.reader.default_field)
+            query = ast.qualify(
+                query, self.default_fields or self.reader.default_field,
+                field_boosts=self.field_boosts)
         return query
 
     def search(self, q, k: int = 10, offset: int = 0,

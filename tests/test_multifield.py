@@ -194,3 +194,30 @@ def test_per_field_analyzer_selection(spark, tmp_path):
     # phrase literals re-analyze per slot
     q2 = p.parse('body:"motoring relations"')
     assert {row["key"] for row in s.search(q2, k=10).collect()} == {"k1", "k2"}
+
+
+def test_multi_default_fields_and_boosts(mf_searcher):
+    """Unqualified terms search ALL configured default fields
+    (SHOULD-disjunction, query_parser.rs:253-262); field boosts multiply
+    the resolved field's scores (set_field_boost, :299)."""
+    from tantivy_spark.query.searcher import Searcher
+
+    r = mf_searcher.reader
+    s_multi = Searcher(r, default_fields=["title", "body"])
+    got = _hits(s_multi.search("data", k=10))       # WAND path (f32)
+    want = _hits(mf_searcher.search(BooleanQuery([
+        (Occur.SHOULD, TermQuery("data", field="title")),
+        (Occur.SHOULD, TermQuery("data", field="body"))]), k=10))  # f64
+    assert [(r_, k) for r_, k, _ in got] == [(r_, k) for r_, k, _ in want]
+    assert got
+    for (_, _, g), (_, _, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-6)
+
+    # boost: title terms score exactly 2x the unboosted run
+    s_boost = Searcher(r, field_boosts={"title": 2.0})
+    boosted = _hits(s_boost.search("title:data", k=10))
+    plain = _hits(mf_searcher.search(TermQuery("data", field="title"), k=10))
+    assert [k for _r, k, _s in boosted] == [k for _r, k, _s in plain]
+    for (_, _, b), (_, _, p) in zip(boosted, plain):
+        # boosted run dispatches to WAND (f32); 2x the f64 plain score
+        assert b == pytest.approx(2.0 * p, rel=1e-6)
