@@ -1,1 +1,12 @@
-"""Index construction, codecs, merge, and reading."""
+"""Index construction, codecs, merge, reading, and the writer facade."""
+
+from tantivy_spark.index.build import IndexConfig, build_index  # noqa: F401
+from tantivy_spark.index.reader import IndexReader  # noqa: F401
+
+
+def __getattr__(name):
+    # IndexWriter pulls in streaming; import lazily to keep module load light
+    if name == "IndexWriter":
+        from tantivy_spark.index.writer import IndexWriter
+        return IndexWriter
+    raise AttributeError(name)

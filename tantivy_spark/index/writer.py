@@ -1,0 +1,115 @@
+"""IndexWriter facade: the reference's writer API shape over the
+incremental ingest + deletes + merge machinery.
+
+Reference semantics (src/indexer/index_writer.rs): ``add_document`` /
+``delete_term`` / ``delete_query`` BUFFER operations; nothing is visible
+to readers until ``commit()``, which atomically publishes the pending
+batch (our manifest plays meta.json's role) and returns an opstamp.
+``rollback()`` discards everything buffered since the last commit.
+
+Spark shape: adds buffer as DataFrames (lazy — no materialization until
+commit); a commit unions them into ONE micro-batch ingested through
+:class:`tantivy_spark.streaming.IncrementalIndexer` (per-batch
+subdirectories, crash-idempotent, manifest-gated visibility), then
+applies the buffered deletes against the fresh reader.  Deletes
+buffered in the same transaction as adds apply AFTER the adds, like the
+reference's opstamp ordering for a delete issued after an add.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tantivy_spark.index.build import IndexConfig
+from tantivy_spark.index.reader import IndexReader
+from tantivy_spark.streaming.ingest import IncrementalIndexer
+
+
+class IndexWriter:
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cfg: IndexConfig | None = None,
+                 segments_per_batch: int = 4):
+        self.spark = spark
+        self.index_dir = index_dir
+        self._indexer = IncrementalIndexer(
+            spark, index_dir, cfg, segments_per_batch=segments_per_batch)
+        self._pending_adds: list[DataFrame] = []
+        self._pending_deletes: list[tuple[str, object]] = []
+
+    # ------------------------------------------------------------ buffering
+    def add_documents(self, df: DataFrame) -> "IndexWriter":
+        """Buffer a frame of documents (columns per the IndexConfig).
+        Invisible to readers until commit()."""
+        self._pending_adds.append(df)
+        return self
+
+    def delete_term(self, term: str) -> "IndexWriter":
+        """Buffer a delete of every doc containing ``term`` (applies at
+        commit, ref: IndexWriter::delete_term)."""
+        self._pending_deletes.append(("term", term))
+        return self
+
+    def delete_by_keys(self, keys: list[str]) -> "IndexWriter":
+        """Buffer a primary-key delete (the delete_term-on-id-field case)."""
+        self._pending_deletes.append(("keys", list(keys)))
+        return self
+
+    def delete_query(self, query) -> "IndexWriter":
+        """Buffer a delete of every doc matching a query tree
+        (ref: IndexWriter::delete_query)."""
+        self._pending_deletes.append(("query", query))
+        return self
+
+    def rollback(self) -> "IndexWriter":
+        """Discard everything buffered since the last commit
+        (ref: IndexWriter::rollback)."""
+        self._pending_adds.clear()
+        self._pending_deletes.clear()
+        return self
+
+    # -------------------------------------------------------------- commit
+    @property
+    def _next_opstamp(self) -> int:
+        batches = self._indexer.manifest.get("batches", {})
+        return 1 + max((int(b) for b in batches), default=-1)
+
+    def commit(self) -> int:
+        """Publish the buffered adds as one micro-batch (atomic manifest
+        swap), then apply the buffered deletes.  Returns the opstamp
+        (batch id).  A commit with ONLY deletes skips the ingest."""
+        from functools import reduce
+
+        from tantivy_spark.index import deletes as dl
+
+        opstamp = self._next_opstamp
+        if self._pending_adds:
+            batch = reduce(lambda a, b: a.unionByName(b), self._pending_adds)
+            self._indexer.process_batch(batch, opstamp)
+            self._pending_adds.clear()
+        if self._pending_deletes:
+            reader = IndexReader(self.spark, self.index_dir)
+            for kind, arg in self._pending_deletes:
+                if kind == "term":
+                    dl.delete_by_term(self.spark, reader, arg)
+                elif kind == "keys":
+                    dl.delete_by_keys(self.spark, reader, arg)
+                else:
+                    dl.delete_by_query(self.spark, reader, arg)
+            self._pending_deletes.clear()
+        return opstamp
+
+    # ------------------------------------------------------------- reading
+    def reader(self) -> IndexReader:
+        """Snapshot reader over everything COMMITTED so far."""
+        return IndexReader(self.spark, self.index_dir)
+
+    def maybe_compact(self, out_dir: str, max_segments: int = 16,
+                      n_target_segments: int = 8):
+        """Run the merge policy when the index has accumulated too many
+        segments (ref: segment_updater's background merges — explicit
+        here, schedule it from your orchestrator)."""
+        from tantivy_spark.index.merge import maybe_compact
+
+        return maybe_compact(self.spark, self.index_dir, out_dir,
+                             max_segments=max_segments,
+                             n_target_segments=n_target_segments)

@@ -78,6 +78,9 @@ class IncrementalIndexer:
                            "num_segments": 0, "avg_fieldnorm": 0.0},
                 "batches": {}, "next_segment_ord": 0,
             }
+            # persist the empty manifest: a reader over a fresh index sees
+            # zero published batches instead of a missing meta.json
+            _write_manifest(self.manifest_path, self.manifest)
         self.manifest.setdefault("batches", {})
         self.manifest.setdefault("next_segment_ord",
                                  self.manifest["totals"].get("num_segments", 0))

@@ -1,0 +1,72 @@
+"""IndexWriter facade: buffered adds/deletes, visibility only at commit
+(ref: src/indexer/index_writer.rs semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tantivy_spark.corpus import synthetic_pages
+from tantivy_spark.index.build import IndexConfig
+from tantivy_spark.index.reader import IndexReader
+from tantivy_spark.index.writer import IndexWriter
+from tantivy_spark.query import AllQuery, TermQuery
+from tantivy_spark.query.searcher import Searcher
+
+
+@pytest.fixture()
+def corpus(spark):
+    return synthetic_pages(spark, 300, seed=17).select("url", "text")
+
+
+def test_commit_gates_visibility(spark, corpus, tmp_path):
+    out = str(tmp_path / "w1")
+    w = IndexWriter(spark, out, IndexConfig(key_col="url", text_col="text"),
+                    segments_per_batch=2)
+    b0 = corpus.limit(100)
+    w.add_documents(b0)
+    # nothing visible before commit (no manifest batches yet)
+    assert w.reader().num_docs == 0
+    op0 = w.commit()
+    assert w.reader().num_docs == 100
+
+    # second transaction: adds + a delete buffered together
+    b1 = corpus.subtract(b0)
+    w.add_documents(b1)
+    w.delete_term("the")
+    assert w.reader().num_docs == 100   # still invisible
+    op1 = w.commit()
+    assert op1 == op0 + 1
+    r = w.reader()
+    assert r.num_docs == 300            # stats include deleted until merge
+    s = Searcher(r)
+    assert s.count(TermQuery("the")) == 0          # delete applied...
+    assert s.count(AllQuery()) < 300               # ...to BOTH batches
+    assert s.count(AllQuery()) > 0
+
+
+def test_rollback_discards_buffered(spark, corpus, tmp_path):
+    out = str(tmp_path / "w2")
+    w = IndexWriter(spark, out, IndexConfig(key_col="url", text_col="text"),
+                    segments_per_batch=2)
+    w.add_documents(corpus.limit(50)).commit()
+    n = Searcher(w.reader()).count(AllQuery())
+    w.add_documents(corpus.limit(80)).delete_term("the").rollback()
+    w.commit()
+    assert Searcher(w.reader()).count(AllQuery()) == n
+
+
+def test_delete_only_commit_and_delete_query(spark, corpus, tmp_path):
+    from tantivy_spark.query import BooleanQuery, Occur
+
+    out = str(tmp_path / "w3")
+    w = IndexWriter(spark, out, IndexConfig(key_col="url", text_col="text"),
+                    segments_per_batch=2)
+    w.add_documents(corpus).commit()
+    s = Searcher(w.reader())
+    q = BooleanQuery([(Occur.MUST, TermQuery("the")),
+                      (Occur.MUST, TermQuery("of"))])
+    n_match = s.count(q)
+    assert n_match > 0
+    w.delete_query(q)
+    assert Searcher(w.reader()).count(q) == n_match   # not yet
+    w.commit()                                        # delete-only commit
+    assert Searcher(w.reader()).count(q) == 0
