@@ -235,6 +235,21 @@ class RegexQuery(Query):
         return []
 
 
+@dataclass
+class CustomQuery(Query):
+    """User-defined query — the analogue of implementing the reference's
+    Query/Weight/Scorer traits (ARCHITECTURE.md:283-291 lists custom
+    queries as the extension surface).  ``lower_fn(searcher, boost)``
+    must return a DataFrame of (segment_ord, doc_id, score) for matching
+    docs; it may use the searcher's reader tables and helpers.  Deletes
+    are applied by the caller like any other node."""
+    lower_fn: object
+    name: str = "custom"
+
+    def terms(self) -> list[str]:
+        return []
+
+
 #: node kinds whose terms live in the dictionary (field-qualifiable)
 _TERM_NODES = None  # populated below, after all classes exist
 

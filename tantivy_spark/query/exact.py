@@ -314,6 +314,10 @@ class ExactSearcher:
             return self._lower(sub, boost, self.reader.doc_freqs(terms))
         if isinstance(q, ast.BooleanQuery):
             return self._boolean(q, boost, dfs)
+        if isinstance(q, ast.CustomQuery):
+            # the user-defined Query/Scorer extension point: the plug-in
+            # produces the (segment_ord, doc_id, score) frame itself
+            return q.lower_fn(self, boost)
         raise NotImplementedError(type(q).__name__)
 
     def _boolean(self, q: ast.BooleanQuery, boost: float, dfs: dict[str, int]) -> DataFrame:

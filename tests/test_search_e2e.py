@@ -176,3 +176,29 @@ def test_fuzzy_expansion_distributed_dl(spark, tmp_path):
     with pytest.raises(ValueError, match="exceeds"):
         s._expand_fuzzy("ab", 1, prefix=False, cap=1,
                         transposition_cost_one=True)
+
+
+def test_custom_query_plugin(searcher, tiny_index):
+    """CustomQuery: the user-defined Query/Scorer extension point
+    (ARCHITECTURE.md:283-291) — composes with boolean clauses and
+    deletes like any built-in node."""
+    from pyspark.sql import functions as F
+
+    from tantivy_spark.query.ast import CustomQuery
+
+    def even_docs(s, boost):
+        return s.reader.docmap.filter(F.col("doc_id") % 2 == 0).select(
+            "segment_ord", "doc_id", F.lit(0.5 * boost).alias("score"))
+
+    q = CustomQuery(even_docs, name="even_docs")
+    got = searcher.matching(q).collect()
+    assert got and all(r["doc_id"] % 2 == 0 for r in got)
+    assert all(r["score"] == 0.5 for r in got)
+    # composes under boolean MUST with a term clause
+    combo = BooleanQuery([(Occur.MUST, TermQuery("data")), (Occur.MUST, q)])
+    both = searcher.matching(combo).collect()
+    data_docs = {(r["segment_ord"], r["doc_id"])
+                 for r in searcher.matching(TermQuery("data")).collect()}
+    assert both and all(
+        r["doc_id"] % 2 == 0 and (r["segment_ord"], r["doc_id"]) in data_docs
+        for r in both)
