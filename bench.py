@@ -92,7 +92,8 @@ def main() -> None:
     n_docs = docs.count()
     cfg = IndexConfig(key_col="key", text_col="text",
                       n_segments=int(cpus) if cpus.isdigit() else 32,
-                      segment_expr=None)
+                      segment_expr=None,
+                      fast_field_cols=["n_chars", "lang"])
 
     def build_once():
         shutil.rmtree(out, ignore_errors=True)
@@ -123,6 +124,16 @@ def main() -> None:
         "q_count_and": lambda: searcher.count(
             BooleanQuery([(Occur.MUST, TermQuery("fast")),
                           (Occur.MUST, TermQuery("scan"))])),
+        "q_fastfield_range": lambda: searcher.count(__import__(
+            "tantivy_spark.query.ast", fromlist=["FastFieldRangeQuery"]
+        ).FastFieldRangeQuery("n_chars", 500, 1500)),
+        "q_search_agg": lambda: __import__(
+            "tantivy_spark.query.searcher", fromlist=["Searcher"]
+        ).Searcher(searcher.reader).aggregate(
+            TermQuery("data"),
+            {"by_lang": {"terms": {"field": "lang", "size": 5},
+                         "aggs": {"av": {"avg": {"field": "n_chars"}}}}}
+        )["by_lang"].collect(),
         "agg_terms": lambda: e.agg_terms_events(spark, sf_dir).collect(),
         "agg_date_hist": lambda: e.agg_date_histogram(spark, sf_dir).collect(),
         "agg_stats": lambda: e.agg_stats_value(spark, sf_dir).collect(),
