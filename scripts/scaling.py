@@ -49,8 +49,9 @@ spark = get_spark(f"scale{{cores}}", master=f"local[{{cores}}]",
 warmup_python_workers(spark)  # long-lived executors never pay spawn storms
 docs = spark.read.parquet(path).select("url", "text")
 n = docs.count()
-best = None
-for trial in range(3):
+load_before = [round(x, 2) for x in os.getloadavg()]
+trials = []
+for trial in range(4):
     out = f"/dev/shm/tantivy_scale_{{cores}}"
     shutil.rmtree(out, ignore_errors=True)
     # segment count fixed across runs so the produced index is identical;
@@ -58,10 +59,12 @@ for trial in range(3):
     t0 = time.time()
     build_index(spark, docs, out, IndexConfig(
         key_col="url", text_col="text", n_segments=128), resume=False)
-    dt = time.time() - t0
-    best = dt if best is None else min(best, dt)
+    trials.append(round(time.time() - t0, 3))
+best = min(trials)
 print(json.dumps({{"cores": cores, "n_docs": n, "sec": best,
-                   "docs_per_sec": n / best, "trials": 3}}))
+                   "docs_per_sec": n / best, "trials": trials,
+                   "load_before": load_before,
+                   "load_after": [round(x, 2) for x in os.getloadavg()]}}))
 """
 
 
