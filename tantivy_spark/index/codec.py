@@ -271,26 +271,114 @@ def decode_positions(pos_bytes: bytes, tfs: np.ndarray) -> np.ndarray:
     return csum - base
 
 
+def _bitunpack_full_blocks(buf: bytes, widths: np.ndarray,
+                           offsets: np.ndarray) -> np.ndarray:
+    """Decode len(widths) bitpacked FULL blocks (BLOCK_LEN values each)
+    from ``buf``; block b starts at byte ``offsets[b]`` with width
+    ``widths[b]``.  One unpackbits/packbits pass per DISTINCT width —
+    byte-for-byte the inverse of :func:`_bitpack_block_rows`.  Returns
+    values as (n_blocks, BLOCK_LEN) uint32."""
+    n_blocks = len(widths)
+    out = np.zeros((n_blocks, BLOCK_LEN), dtype=np.uint32)
+    if n_blocks == 0:
+        return out
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    for w in np.unique(widths):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = np.nonzero(widths == w)[0]
+        nbytes = BLOCK_LEN * w // 8
+        idx = offsets[sel][:, None] + np.arange(nbytes)[None, :]
+        sub = raw[idx]                                       # (k, nbytes)
+        bits = np.unpackbits(sub, axis=1, bitorder="little") \
+            .reshape(len(sel), BLOCK_LEN, w)
+        padded = np.zeros((len(sel), BLOCK_LEN, 32), dtype=np.uint8)
+        padded[:, :, :w] = bits
+        vals = np.packbits(padded.reshape(len(sel), -1), axis=1,
+                           bitorder="little").view("<u4") \
+            .reshape(len(sel), BLOCK_LEN)
+        out[sel] = vals
+    return out
+
+
 def decode_postings(docs_bytes: bytes, tfs_bytes: bytes, meta) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a full posting list -> (doc_ids int64, tfs int64)."""
+    """Decode a full posting list -> (doc_ids int64, tfs int64).
+
+    All bitpacked FULL blocks decode in bulk (grouped by bit width — the
+    former per-block loop dominated the exhaustive query path's decode
+    kernel); the single VInt tail block, if any, decodes separately.
+    Per-block doc bases come from the skip metadata's ``last_doc`` chain,
+    so no sequential dependency survives.
+    """
+    rows = [(int(l), int(n), int(bd), int(bt)) for l, n, bd, bt, _f, _t in meta]
+    if not rows:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    full = [(i, r) for i, r in enumerate(rows) if r[2] != VINT_MARKER]
+    # encode_postings emits bitpacked blocks of exactly BLOCK_LEN docs
+    # followed by at most one VInt tail; fall back to the scalar path on
+    # anything else (foreign layouts)
+    if any(r[1] != BLOCK_LEN for _i, r in full) or \
+            sum(1 for r in rows if r[2] == VINT_MARKER) > 1 or \
+            (rows[-1][2] != VINT_MARKER and len(full) != len(rows)):
+        return _decode_postings_scalar(docs_bytes, tfs_bytes, rows)
+
+    n_full = len(full)
+    bd = np.array([r[2] for _i, r in full], dtype=np.int64)
+    bt = np.array([r[3] for _i, r in full], dtype=np.int64)
+    if n_full:
+        d_off = np.zeros(n_full, dtype=np.int64)
+        t_off = np.zeros(n_full, dtype=np.int64)
+        d_off[1:] = np.cumsum(BLOCK_LEN * bd // 8)[:-1]
+        t_off[1:] = np.cumsum(BLOCK_LEN * bt // 8)[:-1]
+        dm1 = _bitunpack_full_blocks(docs_bytes, bd, d_off)
+        tm1 = _bitunpack_full_blocks(tfs_bytes, bt, t_off)
+        # per-block doc base: previous block's last_doc (-1 for the first)
+        last = np.array([r[0] for _i, r in full], dtype=np.int64)
+        base = np.empty(n_full, dtype=np.int64)
+        base[0] = -1
+        base[1:] = last[:-1]
+        docs2 = np.cumsum(dm1.astype(np.int64) + 1, axis=1) + base[:, None]
+        if not np.array_equal(docs2[:, -1], last):
+            raise AssertionError("decode: last_doc chain mismatch")
+        docs = docs2.reshape(-1)
+        tfs = (tm1.astype(np.int64) + 1).reshape(-1)
+    else:
+        last = np.zeros(0, dtype=np.int64)
+        docs = np.zeros(0, dtype=np.int64)
+        tfs = np.zeros(0, dtype=np.int64)
+    if rows[-1][2] == VINT_MARKER:  # tail
+        n_tail = rows[-1][1]
+        d_end = int(BLOCK_LEN * bd.sum() // 8) if n_full else 0
+        t_end = int(BLOCK_LEN * bt.sum() // 8) if n_full else 0
+        dm1_t = vint_decode(docs_bytes[d_end:], n_tail)
+        tm1_t = vint_decode(tfs_bytes[t_end:], n_tail)
+        prev_last = int(last[-1]) if n_full else -1
+        tail_docs = np.cumsum(dm1_t.astype(np.int64) + 1) + prev_last
+        if int(tail_docs[-1]) != rows[-1][0]:
+            raise AssertionError("decode: tail last_doc mismatch")
+        docs = np.concatenate([docs, tail_docs])
+        tfs = np.concatenate([tfs, tm1_t.astype(np.int64) + 1])
+    return docs, tfs
+
+
+def _decode_postings_scalar(docs_bytes: bytes, tfs_bytes: bytes, rows):
+    """Reference per-block decode path (kept for foreign block layouts)."""
     doc_chunks = []
     tf_chunks = []
     dpos = tpos = 0
     prev_last = -1
-    for last_doc, n_docs, bits_doc, bits_tf, _fn, _tf in meta:
-        n_docs = int(n_docs)
-        if int(bits_doc) == VINT_MARKER:
-            dbuf = docs_bytes[dpos:]
-            tbuf = tfs_bytes[tpos:]
-            dm1 = vint_decode(dbuf, n_docs)
-            tm1 = vint_decode(tbuf, n_docs)
+    for last_doc, n_docs, bits_doc, bits_tf in rows:
+        if bits_doc == VINT_MARKER:
+            dm1 = vint_decode(docs_bytes[dpos:], n_docs)
+            tm1 = vint_decode(tfs_bytes[tpos:], n_docs)
             dpos = len(docs_bytes)
             tpos = len(tfs_bytes)
         else:
-            dn = _block_nbytes(int(bits_doc), n_docs)
-            tn = _block_nbytes(int(bits_tf), n_docs)
-            dm1 = bitunpack(docs_bytes[dpos:dpos + dn], int(bits_doc), n_docs)
-            tm1 = bitunpack(tfs_bytes[tpos:tpos + tn], int(bits_tf), n_docs)
+            dn = _block_nbytes(bits_doc, n_docs)
+            tn = _block_nbytes(bits_tf, n_docs)
+            dm1 = bitunpack(docs_bytes[dpos:dpos + dn], bits_doc, n_docs)
+            tm1 = bitunpack(tfs_bytes[tpos:tpos + tn], bits_tf, n_docs)
             dpos += dn
             tpos += tn
         docs = np.cumsum(dm1.astype(np.int64) + 1) + prev_last
