@@ -96,3 +96,30 @@ def test_codec_bytes_are_format_pinned():
 
 
 PINNED_FORMAT_V1_DIGEST = "271fd2d3cd9f60400e75b1c24fdd39e6"
+
+
+def test_encode_decode_randomized_roundtrip():
+    """300 random posting lists (mixed lengths, with/without the BM25
+    block-max cache) survive encode->decode bit-exactly — covers the
+    bulk (per-distinct-width) encode/decode paths and the VInt tail."""
+    import numpy as np
+
+    from tantivy_spark.bm25 import tf_cache_f32
+    from tantivy_spark.index import codec
+
+    rng = np.random.default_rng(11)
+    cache = tf_cache_f32(40.0)
+    for trial in range(300):
+        n = int(rng.integers(1, 3000))
+        docs = np.cumsum(rng.integers(1, 60, n))
+        tfs = rng.integers(1, 300, n)
+        fns = rng.integers(0, 256, n).astype(np.uint8)
+        tc = cache if trial % 2 == 0 else None
+        db, tb, _fb, meta = codec.encode_postings(docs, tfs, fns, tc)
+        d2, t2 = codec.decode_postings(db, tb, meta)
+        assert np.array_equal(d2, docs) and np.array_equal(t2, tfs), trial
+        # the scalar fallback decodes the same bytes identically
+        rows = [(int(l), int(n_), int(bd), int(bt))
+                for l, n_, bd, bt, _f, _t in meta]
+        d3, t3 = codec._decode_postings_scalar(db, tb, rows)
+        assert np.array_equal(d3, docs) and np.array_equal(t3, tfs), trial
