@@ -115,6 +115,30 @@ def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16,
     return pairs
 
 
+def lsh_dropped_buckets(sigs: DataFrame, bands: int = 16,
+                        rows_per_band: int = 4,
+                        max_bucket: int = 200) -> DataFrame:
+    """Diagnostics for the max_bucket cap: one row per DROPPED (band,
+    bhash) bucket with its size.  The cap trades recall on degenerate
+    content (boilerplate) for bounded join fan-out — this makes the
+    trade visible instead of silent (count it alongside the candidate
+    join; an unexpectedly large drop list means the corpus needs
+    boilerplate stripping before dedup)."""
+    b, r = bands, rows_per_band
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)])
+                for i in range(b)
+            ])
+        ).alias("band", "bhash"),
+    )
+    return (banded.groupBy("band", "bhash")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(F.col("bucket_n") > max_bucket))
+
+
 def jaccard_verify(df: DataFrame, candidates: DataFrame,
                    text_col: str = "text", id_col: str = "doc_id",
                    shingle_k: int = 3) -> DataFrame:

@@ -221,3 +221,34 @@ def test_multi_default_fields_and_boosts(mf_searcher):
     for (_, _, b), (_, _, p) in zip(boosted, plain):
         # boosted run dispatches to WAND (f32); 2x the f64 plain score
         assert b == pytest.approx(2.0 * p, rel=1e-6)
+
+
+def test_multifield_term_pushdown_plan(mf_searcher):
+    """Field-qualified terms still reach the postings parquet scan as an
+    In() pushed filter — qualification must not break row-group pruning."""
+    plan = mf_searcher.flat_postings(
+        [f"title{FIELD_SEP}data", f"body{FIELD_SEP}data"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term" in plan
+
+
+def test_multifield_with_index_sorting(spark, tmp_path):
+    """sort_col composes with field_cols: doc ids follow the sort key,
+    per-field postings stay consistent."""
+    docs = spark.createDataFrame(
+        [("k1", 3, "alpha one", "alpha body one"),
+         ("k2", 1, "beta two", "beta body two"),
+         ("k3", 2, "gamma three", "gamma body three")],
+        "key STRING, pri INT, title STRING, body STRING")
+    out = str(tmp_path / "mf_sorted")
+    cfg = IndexConfig(key_col="key", n_segments=1, sort_col="pri",
+                      field_cols={"title": "title", "body": "body"})
+    build_index(spark, docs, out, cfg)
+    s = ExactSearcher(IndexReader(spark, out))
+    dm = {r["key"]: r["doc_id"]
+          for r in s.reader.docmap.collect()}
+    assert dm == {"k2": 0, "k3": 1, "k1": 2}   # ascending pri order
+    hits = s.search(TermQuery("beta", field="title"), k=5).collect()
+    assert [r["key"] for r in hits] == ["k2"]
+    hits = s.search(TermQuery("beta", field="body"), k=5).collect()
+    assert [r["key"] for r in hits] == ["k2"]

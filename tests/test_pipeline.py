@@ -249,3 +249,24 @@ def test_embedding_near_dups_bucket_cap(spark, emb):
     # the seeded normal pair survives; no pair touches the capped hot ids
     assert any(r["id_a"] == 7 and r["id_b"] == 99_999 for r in pairs)
     assert not any(r["id_a"] >= 100_000 or r["id_b"] >= 100_000 for r in pairs)
+
+
+def test_lsh_dropped_buckets_diagnostics(spark, docs):
+    """The max_bucket cap is visible, not silent: seeding 30 identical
+    docs creates hot buckets that lsh_dropped_buckets reports, and the
+    candidate join with that cap excludes exactly those buckets' pairs."""
+    from tantivy_spark.pipeline.dedup import (
+        lsh_dropped_buckets, minhash_lsh_candidates, minhash_signatures)
+
+    base = docs.select("doc_id", "text").limit(20)
+    boiler = spark.createDataFrame(
+        [(100_000 + i, "same boilerplate text repeated here")
+         for i in range(30)], "doc_id long, text string")
+    sigs = minhash_signatures(base.unionByName(boiler), num_hashes=32)
+    dropped = lsh_dropped_buckets(sigs, bands=8, rows_per_band=4,
+                                  max_bucket=10).collect()
+    assert dropped and all(r["bucket_n"] >= 30 for r in dropped)
+    pairs = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4,
+                                   max_bucket=10).collect()
+    assert not any(r["id_a"] >= 100_000 and r["id_b"] >= 100_000
+                   for r in pairs)
