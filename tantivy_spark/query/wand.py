@@ -53,49 +53,62 @@ class _TermBlocks:
                  "fns_buf", "bms", "chunk_of", "chunk_bufs")
 
     def __init__(self, rows: list, params: Bm25Params):
-        starts, ends, n_docs, bits_d, bits_t = [], [], [], [], []
-        doc_off, tf_off, fn_off = [], [], []
-        wand_fn, wand_tf = [], []
+        """Flatten chunk rows into block arrays — vectorized per chunk
+        (a hot term has thousands of blocks per chunk; a per-block Python
+        loop here would be measurable kernel-setup cost at scale)."""
+        parts = {k: [] for k in ("starts", "ends", "n_docs", "bits_d",
+                                 "bits_t", "d_off", "t_off", "f_off",
+                                 "wand_fn", "wand_tf", "chunk_of")}
         self.chunk_bufs = []
-        chunk_of = []
         for ci, row in enumerate(sorted(rows, key=lambda r: r.chunk_id)):
-            self.chunk_bufs.append((bytes(row.docs), bytes(row.tfs), bytes(row.fns)))
-            d_pos = t_pos = f_pos = 0
-            prev_last = -1
-            for b in range(len(row.last_docs)):
-                nd = int(row.n_docs[b])
-                bd, bt = int(row.bits_doc[b]), int(row.bits_tf[b])
-                starts.append(prev_last + 1)
-                ends.append(int(row.last_docs[b]))
-                n_docs.append(nd)
-                bits_d.append(bd)
-                bits_t.append(bt)
-                doc_off.append(d_pos)
-                tf_off.append(t_pos)
-                fn_off.append(f_pos)
-                wand_fn.append(int(row.wand_fn[b]))
-                wand_tf.append(int(row.wand_tf[b]))
-                chunk_of.append(ci)
-                if bd != codec.VINT_MARKER:
-                    d_pos += (nd * bd + 7) // 8
-                    t_pos += (nd * bt + 7) // 8
-                else:
-                    d_pos = len(self.chunk_bufs[ci][0])
-                    t_pos = len(self.chunk_bufs[ci][1])
-                f_pos += nd
-                prev_last = int(row.last_docs[b])
-        self.starts = np.array(starts, dtype=np.int64)
-        self.ends = np.array(ends, dtype=np.int64)
-        self.n_docs = np.array(n_docs, dtype=np.int64)
-        self.bits_doc = np.array(bits_d, dtype=np.int64)
-        self.bits_tf = np.array(bits_t, dtype=np.int64)
-        self.doc_off = np.array(doc_off, dtype=np.int64)
-        self.tf_off = np.array(tf_off, dtype=np.int64)
-        self.fn_off = np.array(fn_off, dtype=np.int64)
-        self.chunk_of = np.array(chunk_of, dtype=np.int64)
+            bufs = (bytes(row.docs), bytes(row.tfs), bytes(row.fns))
+            self.chunk_bufs.append(bufs)
+            last = np.asarray(row.last_docs, dtype=np.int64)
+            nb = len(last)
+            if nb == 0:
+                continue
+            nd = np.asarray(row.n_docs, dtype=np.int64)
+            bd = np.asarray(row.bits_doc, dtype=np.int64)
+            bt = np.asarray(row.bits_tf, dtype=np.int64)
+            starts = np.empty(nb, dtype=np.int64)
+            starts[0] = 0
+            starts[1:] = last[:-1] + 1
+            vint = bd == codec.VINT_MARKER
+            d_sizes = np.where(vint, 0, (nd * bd + 7) // 8)
+            t_sizes = np.where(vint, 0, (nd * bt + 7) // 8)
+            d_off = np.zeros(nb, dtype=np.int64)
+            t_off = np.zeros(nb, dtype=np.int64)
+            f_off = np.zeros(nb, dtype=np.int64)
+            d_off[1:] = np.cumsum(d_sizes)[:-1]
+            t_off[1:] = np.cumsum(t_sizes)[:-1]
+            f_off[1:] = np.cumsum(nd)[:-1]
+            parts["starts"].append(starts)
+            parts["ends"].append(last)
+            parts["n_docs"].append(nd)
+            parts["bits_d"].append(bd)
+            parts["bits_t"].append(bt)
+            parts["d_off"].append(d_off)
+            parts["t_off"].append(t_off)
+            parts["f_off"].append(f_off)
+            parts["wand_fn"].append(np.asarray(row.wand_fn, dtype=np.int64))
+            parts["wand_tf"].append(np.asarray(row.wand_tf, dtype=np.int64))
+            parts["chunk_of"].append(np.full(nb, ci, dtype=np.int64))
+
+        def cat(key):
+            return np.concatenate(parts[key]) if parts[key] \
+                else np.zeros(0, dtype=np.int64)
+
+        self.starts = cat("starts")
+        self.ends = cat("ends")
+        self.n_docs = cat("n_docs")
+        self.bits_doc = cat("bits_d")
+        self.bits_tf = cat("bits_t")
+        self.doc_off = cat("d_off")
+        self.tf_off = cat("t_off")
+        self.fn_off = cat("f_off")
+        self.chunk_of = cat("chunk_of")
         # block-max score from the stored (fieldnorm_id, capped tf) pair
-        self.bms = params.score(np.array(wand_fn, dtype=np.int64),
-                                np.array(wand_tf, dtype=np.int64))
+        self.bms = params.score(cat("wand_fn"), cat("wand_tf"))
 
     def decode_block(self, b: int):
         """-> (doc_ids int64, scores f32-inputs (tf, fn)) for block b."""
