@@ -196,6 +196,20 @@ def main() -> None:
                                  seed_threshold=True),
         }
 
+        # segment merge 32 -> 8 (the reference benches merge_segments too);
+        # chunk-level rebase, salted shuffle, vectorized codec both ways
+        from tantivy_spark.index.merge import merge_segments
+
+        def big_merge_once():
+            out_m = "/dev/shm/tantivy_bench_idx_merged"
+            shutil.rmtree(out_m, ignore_errors=True)
+            merge_segments(spark, out_big, out_m, n_target_segments=8)
+            shutil.rmtree(out_m, ignore_errors=True)
+
+        record("big_merge_sec", big_merge_once, trials=2)
+        timings["big_merge_docs_per_sec"] = round(
+            big_n / timings["big_merge_sec"], 1)
+
         # pipeline throughput over the big corpus (docs/sec)
         from tantivy_spark.pipeline.dedup import simhash64
         from tantivy_spark.pipeline.textstats import token_counts
