@@ -252,3 +252,16 @@ def test_multifield_with_index_sorting(spark, tmp_path):
     assert [r["key"] for r in hits] == ["k2"]
     hits = s.search(TermQuery("beta", field="body"), k=5).collect()
     assert [r["key"] for r in hits] == ["k2"]
+
+
+def test_multifield_phrase_equals_single_field(spark, tmp_path_factory,
+                                               mf_searcher):
+    """Positional queries are per-field too: a phrase against `body`
+    scores exactly like the same phrase on a single-field index over the
+    body column (positions are stored per qualified term)."""
+    single = _single_field_searcher(
+        spark, tmp_path_factory.mktemp("sf_phrase"), "body")
+    q_mf = PhraseQuery(["order", "sort"], field="body")
+    got = _hits(mf_searcher.search(q_mf, k=10))
+    want = _hits(single.search(PhraseQuery(["order", "sort"]), k=10))
+    assert got == want and got
