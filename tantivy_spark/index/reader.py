@@ -17,6 +17,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ReloadingReader:
+    """The reference's ReloadPolicy analogue (src/reader/mod.rs:7-44):
+    hands out an immutable IndexReader SNAPSHOT, refreshing it when the
+    manifest changed — ``delay_s`` rate-limits the mtime check like
+    OnCommitWithDelay; ``delay_s=None`` is Manual (only ``reload()``
+    refreshes)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 delay_s: float | None = 1.0):
+        import time
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.delay_s = delay_s
+        self._meta_path = os.path.join(index_dir, "meta.json")
+        self._snapshot: IndexReader | None = None
+        self._mtime = -1.0
+        self._checked = -float("inf")
+        self._time = time.monotonic
+
+    def reload(self) -> "IndexReader":
+        self._mtime = os.path.getmtime(self._meta_path)
+        self._snapshot = IndexReader(self.spark, self.index_dir)
+        self._checked = self._time()
+        return self._snapshot
+
+    def reader(self) -> "IndexReader":
+        if self._snapshot is None:
+            return self.reload()
+        if self.delay_s is not None and \
+                self._time() - self._checked >= self.delay_s:
+            self._checked = self._time()
+            if os.path.getmtime(self._meta_path) != self._mtime:
+                return self.reload()
+        return self._snapshot
+
+
 class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark

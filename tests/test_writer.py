@@ -70,3 +70,27 @@ def test_delete_only_commit_and_delete_query(spark, corpus, tmp_path):
     assert Searcher(w.reader()).count(q) == n_match   # not yet
     w.commit()                                        # delete-only commit
     assert Searcher(w.reader()).count(q) == 0
+
+
+def test_reloading_reader_sees_new_commits(spark, corpus, tmp_path):
+    """ReloadPolicy analogue: the handle refreshes its snapshot after a
+    commit changes the manifest; Manual mode only refreshes on reload()."""
+    from tantivy_spark.index.reader import ReloadingReader
+
+    out = str(tmp_path / "w4")
+    w = IndexWriter(spark, out, IndexConfig(key_col="url", text_col="text"),
+                    segments_per_batch=2)
+    w.add_documents(corpus.limit(50)).commit()
+
+    handle = ReloadingReader(spark, out, delay_s=0.0)
+    assert handle.reader().num_docs == 50
+    snap = handle.reader()
+    w.add_documents(corpus.limit(120).subtract(corpus.limit(50))).commit()
+    assert handle.reader().num_docs == 120       # auto-refresh
+    assert snap.num_docs == 50                   # old snapshot immutable
+
+    manual = ReloadingReader(spark, out, delay_s=None)
+    before = manual.reader()
+    w.add_documents(corpus.subtract(corpus.limit(120))).commit()
+    assert manual.reader() is before             # Manual: no auto refresh
+    assert manual.reload().num_docs == 300
