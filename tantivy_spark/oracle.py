@@ -52,9 +52,6 @@ class OracleBuilder:
     # ---------------------------------------------------------------- base
     def _base_ctes(self, need_positions: bool) -> list[str]:
         if self.fields:
-            if need_positions:
-                raise NotImplementedError(
-                    "multi-field oracle: positional queries not supported")
             tok_cols = ", ".join(
                 f"{self._toks_expr(expr)} AS toks_{f}"
                 for f, expr in self.fields.items())
@@ -76,6 +73,16 @@ class OracleBuilder:
                     f"AS avgfn FROM docs)")
                 ctes.append(
                     f"tok_{f} AS (SELECT did, unnest(toks_{f}) AS tk FROM docs)")
+            if need_positions:
+                for f, expr in self.fields.items():
+                    raw = f"regexp_extract_all({expr}, '{RE2_TOKEN_PATTERN}')"
+                    ctes.append(
+                        f"tokpos_{f} AS (SELECT did, lower(raw[i]) AS tk, "
+                        f"i - 1 AS pos FROM "
+                        f"(SELECT {self.id} AS did, {raw} AS raw "
+                        f"FROM {self.table}), "
+                        f"LATERAL (SELECT unnest(generate_series(1, len(raw)))"
+                        f" AS i) g WHERE strlen(raw[i]) < {MAX_TOKEN_BYTES})")
             return ctes
         toks = self._toks_expr(self.text)
         ctes = [
@@ -270,19 +277,31 @@ class OracleBuilder:
             out = anti
         return out
 
+    def _pos_source(self, term: str) -> str:
+        """tokpos CTE for a (possibly field-qualified) phrase term."""
+        if self.fields:
+            fld = term.split(FIELD_SEP, 1)[0] if FIELD_SEP in term \
+                else next(iter(self.fields))
+            return f"tokpos_{fld}"
+        return "tokpos"
+
     def _phrase(self, q: ast.PhraseQuery, boost: float, ctes: list[str]) -> str:
         terms = q.phrase_terms
+        # every term of one phrase shares a field; stats follow it
+        _b0, _tok0, stats_src, ntok_col = self._term_sources(terms[0])
+        tokpos_src = self._pos_source(terms[0])
         ph_names = []
         df_parts = []
         for i, t in enumerate(terms):
-            tt = t.replace("'", "''")
+            bare = self._term_sources(t)[0]
+            tt = bare.replace("'", "''")
             ph = self._name("ph")
             ctes.append(
-                f"{ph} AS (SELECT did, pos FROM tokpos WHERE tk = '{tt}')"
+                f"{ph} AS (SELECT did, pos FROM {tokpos_src} WHERE tk = '{tt}')"
             )
             ph_names.append(ph)
             df_parts.append(
-                f"ln(1.0 + ((SELECT nn FROM stats) - "
+                f"ln(1.0 + ((SELECT nn FROM {stats_src}) - "
                 f"(SELECT CAST(count(DISTINCT did) AS DOUBLE) FROM {ph}) + 0.5) / "
                 f"((SELECT CAST(count(DISTINCT did) AS DOUBLE) FROM {ph}) + 0.5))"
             )
@@ -315,11 +334,11 @@ class OracleBuilder:
         weight = f"(({idf_sum}) * {_W!r})"
         if boost != 1.0:
             weight = f"({weight} * {float(boost)!r})"
-        qn = sql_quantize_fieldnorm("d.ntok")
+        qn = sql_quantize_fieldnorm(ntok_col)
         sc = self._name("sc")
         ctes.append(
             f"{sc} AS (SELECT t.did, {weight} * t.tf / (t.tf + {_KB1!r} + "
-            f"({_KB!r} / (SELECT avgfn FROM stats)) * CAST({qn} AS DOUBLE)) AS score "
+            f"({_KB!r} / (SELECT avgfn FROM {stats_src})) * CAST({qn} AS DOUBLE)) AS score "
             f"FROM {joined} t JOIN docs d ON t.did = d.did)"
         )
         return sc
@@ -330,6 +349,9 @@ class OracleBuilder:
         the first max_expansions dictionary terms with the prefix in
         lexicographic order; each expansion forms a slop-0 phrase; a doc
         scores via its best expansion (DisjunctionMax, tie_breaker 0)."""
+        if self.fields:
+            raise NotImplementedError(
+                "multi-field oracle: phrase-prefix not supported")
         pre = q.prefix.replace("'", "''")
         exp = self._name("exp")
         ctes.append(
@@ -382,6 +404,9 @@ class OracleBuilder:
         a phrase start is an aligned position where every slot matched;
         scored with the summed per-slot idf (slot df = docs containing any
         slot term)."""
+        if self.fields:
+            raise NotImplementedError(
+                "multi-field oracle: regex-phrase not supported")
         pp_names, df_parts = [], []
         for i, pat in enumerate(q.patterns):
             p = pat.replace("'", "''")
