@@ -197,70 +197,144 @@ class QueryParser:
         return t
 
     # ------------------------------------------------------------- grammar
+    #
+    # The reference's clause-sequence semantics (query_grammar.rs vectors
+    # :1310-1348): a query is a SEQUENCE of occur-prefixed elements;
+    # AND/OR bind only their ADJACENT elements into chains (AND tighter
+    # than OR).  A bare element keeps its prefix (default SHOULD).  An
+    # AND chain coexisting with other clauses nests as one SHOULD clause
+    # ("a AND b aaa" -> (?(+a +b) *aaa)); an OR chain's operands flatten
+    # into the surrounding list ("a OR b +aaa" -> (?a ?b +aaa)); a chain
+    # that IS the whole query flattens either way ("a AND -b" -> (+a -b),
+    # "+a OR +b" -> (+a +b)).
+
     def _or_expr(self) -> ast.Query:
-        parts = [self._and_expr()]
-        while self._peek() == ("word", "OR"):
-            self._next()
-            parts.append(self._and_expr())
-        if len(parts) == 1:
-            return parts[0]
-        return ast.BooleanQuery([(ast.Occur.SHOULD, p) for p in parts])
+        return self._sequence()
 
-    def _and_expr(self) -> ast.Query:
-        parts = [self._clause_group()]
-        while self._peek() == ("word", "AND"):
+    def _element(self):
+        """(occur_token, node) — one occur-prefixed atom (+ boost)."""
+        kind, _val = self._peek()
+        occ = None
+        if kind == "plus":
             self._next()
-            parts.append(self._clause_group())
-        if len(parts) == 1:
-            return parts[0]
-        # "a AND NOT b" -> (+a -b): a pure-negative operand flattens into
-        # MUST_NOT clauses of the conjunction (the reference prints
-        # (+a +(-b)), query_grammar.rs:1329; the flattened form is the
-        # equivalent executable query)
-        clauses: list[tuple[ast.Occur, ast.Query]] = []
-        for p in parts:
-            if isinstance(p, ast.BooleanQuery) and p.clauses and \
-                    all(o == ast.Occur.MUST_NOT for o, _ in p.clauses):
-                clauses.extend(p.clauses)
-            else:
-                clauses.append((ast.Occur.MUST, p))
-        return ast.BooleanQuery(clauses)
+            occ = "+"
+        elif kind == "minus":
+            self._next()
+            occ = "-"
+        elif self._peek() == ("word", "NOT"):
+            # "NOT x" == "-x" in a clause run (query_grammar.rs:790,
+            # test vector "tata NOT toto" == "tata -toto" :1838)
+            self._next()
+            if self._peek()[0] is None:
+                raise QueryParserError("NOT must be followed by a clause")
+            occ = "not"
+        node = self._atom()
+        bk, bv = self._peek()
+        if bk == "boost":
+            self._next()
+            if node is not None:
+                node = ast.BoostQuery(node, float(bv))
+        return occ, node
 
-    def _clause_group(self) -> ast.Query:
-        """A run of +/-/bare clauses combined with default occurs."""
-        clauses: list[tuple[ast.Occur, ast.Query]] = []
+    def _sequence(self) -> ast.Query:
+        elements: list[tuple] = []
+        connectors: list[str | None] = []
         while True:
             kind, _val = self._peek()
-            if kind in (None, "rparen") or self._peek() in (
-                    ("word", "AND"), ("word", "OR")):
+            if kind in (None, "rparen"):
                 break
-            occur = self.default_occur
-            if kind == "plus":
+            if self._peek() in (("word", "AND"), ("word", "OR")):
+                raise QueryParserError(
+                    f"dangling {self._peek()[1]} operator")
+            elements.append(self._element())
+            if self._peek() == ("word", "AND"):
                 self._next()
-                occur = ast.Occur.MUST
-            elif kind == "minus":
+                connectors.append("AND")
+            elif self._peek() == ("word", "OR"):
                 self._next()
-                occur = ast.Occur.MUST_NOT
-            elif self._peek() == ("word", "NOT"):
-                # "NOT x" == "-x" in a clause run (query_grammar.rs:790,
-                # test vector "tata NOT toto" == "tata -toto" :1838)
-                self._next()
-                if self._peek()[0] is None:
-                    raise QueryParserError("NOT must be followed by a clause")
-                occur = ast.Occur.MUST_NOT
-            node = self._atom()
-            bk, bv = self._peek()
-            if bk == "boost":
-                self._next()
-                node = ast.BoostQuery(node, float(bv))
-            if node is not None:
-                clauses.append((occur, node))
+                connectors.append("OR")
+            elif self._peek()[0] in (None, "rparen"):
+                break
+            else:
+                connectors.append(None)
+        # drop atoms that analyzed to nothing, keeping connector alignment
+        keep = [i for i, (_o, n) in enumerate(elements) if n is not None]
+        if len(keep) != len(elements):
+            elements = [elements[i] for i in keep]
+            connectors = [connectors[keep[k]] if keep[k] < len(connectors)
+                          else None for k in range(len(elements) - 1)]
+        if not elements:
+            return ast.EmptyQuery()
+        return self._seq_to_query(elements, connectors)
+
+    @staticmethod
+    def _bare_clause(e):
+        occ, node = e
+        occur = {None: ast.Occur.SHOULD, "+": ast.Occur.MUST,
+                 "-": ast.Occur.MUST_NOT, "not": ast.Occur.MUST_NOT}[occ]
+        return occur, node
+
+    @staticmethod
+    def _and_clause(e):
+        # inside a conjunction, "-x"/"NOT x" flatten to MUST_NOT (the
+        # reference prints (+a +(-b)) for NOT, query_grammar.rs:1329;
+        # the flattened form is the equivalent executable query)
+        occ, node = e
+        occur = ast.Occur.MUST_NOT if occ in ("-", "not") else ast.Occur.MUST
+        return occur, node
+
+    @staticmethod
+    def _or_operand(e):
+        # "+a OR b" keeps the MUST ("+a OR +b" -> (+a +b), :1325);
+        # a negative operand nests as a pure-negative group
+        # ("a OR NOT b" -> (?a ?(-b)), :1337)
+        occ, node = e
+        if occ == "+":
+            return ast.Occur.MUST, node
+        if occ in ("-", "not"):
+            return (ast.Occur.SHOULD,
+                    ast.BooleanQuery([(ast.Occur.MUST_NOT, node)]))
+        return ast.Occur.SHOULD, node
+
+    def _seq_to_query(self, elements, connectors) -> ast.Query:
+        clauses: list[tuple[ast.Occur, ast.Query]] = []
+        n = len(elements)
+        i = 0
+        while i < n:
+            j = i
+            while j < n - 1 and connectors[j] is not None:
+                j += 1
+            if j == i:  # bare element
+                clauses.append(self._bare_clause(elements[i]))
+            else:       # chain elements[i..j]
+                whole = (i == 0 and j == n - 1)
+                # split by OR into AND-groups (AND binds tighter)
+                groups: list[list] = [[elements[i]]]
+                for k in range(i, j):
+                    if connectors[k] == "OR":
+                        groups.append([])
+                    groups[-1].append(elements[k + 1])
+                if len(groups) == 1:  # pure AND chain
+                    and_clauses = [self._and_clause(e) for e in groups[0]]
+                    if whole:
+                        clauses.extend(and_clauses)
+                    else:
+                        clauses.append((ast.Occur.SHOULD,
+                                        ast.BooleanQuery(and_clauses)))
+                else:                 # OR chain: operands flatten
+                    for g in groups:
+                        if len(g) == 1:
+                            clauses.append(self._or_operand(g[0]))
+                        else:
+                            clauses.append((ast.Occur.SHOULD,
+                                            ast.BooleanQuery(
+                                                [self._and_clause(e)
+                                                 for e in g])))
+            i = j + 1
         if not clauses:
             return ast.EmptyQuery()
-        if len(clauses) == 1 and clauses[0][0] == self.default_occur:
+        if len(clauses) == 1 and clauses[0][0] == ast.Occur.SHOULD:
             return clauses[0][1]
-        # all-bare or mixed run -> boolean; if any MUST present, bare
-        # clauses stay SHOULD (reference semantics)
         return ast.BooleanQuery(clauses)
 
     def _attach_field(self, node: ast.Query | None,

@@ -276,3 +276,49 @@ def test_fastfield_filter_execution(spark):
         (F.col("ts") >= datetime(2024, 1, 5))
         & (F.col("ts") < datetime(2024, 1, 20))).count()
     assert got == want > 0
+
+
+def test_mixed_bare_and_operator_runs(p):
+    """AND/OR bind only ADJACENT operands; bare elements separate out
+    (ported vectors, query_grammar.rs:1310-1348)."""
+    S, M, N = ast.Occur.SHOULD, ast.Occur.MUST, ast.Occur.MUST_NOT
+    t = ast.TermQuery
+    # "a OR b aaa" -> (?a ?b *aaa): OR operands flatten
+    assert p.parse("a OR b aaa") == ast.BooleanQuery(
+        [(S, t("a")), (S, t("b")), (S, t("aaa"))])
+    # "a AND b aaa" -> (?(+a +b) *aaa): AND chain nests
+    assert p.parse("a AND b aaa") == ast.BooleanQuery(
+        [(S, ast.BooleanQuery([(M, t("a")), (M, t("b"))])), (S, t("aaa"))])
+    # "aaa a AND b" -> (*aaa ?(+a +b))
+    assert p.parse("aaa a AND b") == ast.BooleanQuery(
+        [(S, t("aaa")), (S, ast.BooleanQuery([(M, t("a")), (M, t("b"))]))])
+    # "aaa ccc a OR b" -> (*aaa *ccc ?a ?b)
+    assert p.parse("aaa ccc a OR b") == ast.BooleanQuery(
+        [(S, t("aaa")), (S, t("ccc")), (S, t("a")), (S, t("b"))])
+    # "+a OR +b" -> (+a +b): explicit MUSTs survive the OR (:1325)
+    assert p.parse("+a OR +b") == ast.BooleanQuery(
+        [(M, t("a")), (M, t("b"))])
+    # "a OR b +aaa" -> (?a ?b +aaa)
+    assert p.parse("a OR b +aaa") == ast.BooleanQuery(
+        [(S, t("a")), (S, t("b")), (M, t("aaa"))])
+    # "a AND b -aaa" -> (?(+a +b) -aaa)
+    assert p.parse("a AND b -aaa") == ast.BooleanQuery(
+        [(S, ast.BooleanQuery([(M, t("a")), (M, t("b"))])), (N, t("aaa"))])
+    # "-a AND -b aaa" -> (?(-a -b) *aaa)
+    assert p.parse("-a AND -b aaa") == ast.BooleanQuery(
+        [(S, ast.BooleanQuery([(N, t("a")), (N, t("b"))])), (S, t("aaa"))])
+    # "-aaa +ccc -a OR b" -> (-aaa +ccc ?(-a) ?b)
+    assert p.parse("-aaa +ccc -a OR b") == ast.BooleanQuery(
+        [(N, t("aaa")), (M, t("ccc")),
+         (S, ast.BooleanQuery([(N, t("a"))])), (S, t("b"))])
+    # "a OR -b" -> (?a ?(-b)); "-a OR b" -> (?(-a) ?b)
+    assert p.parse("a OR -b") == ast.BooleanQuery(
+        [(S, t("a")), (S, ast.BooleanQuery([(N, t("b"))]))])
+    assert p.parse("-a OR b") == ast.BooleanQuery(
+        [(S, ast.BooleanQuery([(N, t("a"))])), (S, t("b"))])
+    # dangling operators fail loudly
+    import pytest as _pytest
+    with _pytest.raises(QueryParserError):
+        p.parse("OR a")
+    with _pytest.raises(QueryParserError):
+        p.parse("a AND OR b")
