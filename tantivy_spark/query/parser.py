@@ -374,6 +374,37 @@ class QueryParser:
             return replace(node, field=field)
         return node
 
+    _ELASTIC_OPS = (">=", "<=", ">", "<")
+
+    def _elastic_range(self, field: str | None, val: str) -> ast.Query | None:
+        """Elastic-style one-sided ranges: 'field:>=v', bare '<=42', and
+        the spaced form 'field: <= 70' (ported vectors,
+        query_grammar.rs test_parse_elastic_query_ranges)."""
+        op = next((o for o in self._ELASTIC_OPS if val.startswith(o)), None)
+        if op is None:
+            return None
+        v = val[len(op):]
+        if v == "":
+            nk, nv = self._next()
+            if nk != "word":
+                raise QueryParserError(f"range operator {op!r} without value")
+            v = nv
+        ftype = self.field_types.get(field) if field else None
+        lower = op in (">", ">=")
+        incl = op in (">=", "<=")
+        if ftype:
+            tv = _typed_value(v, ftype)
+            return ast.FastFieldRangeQuery(
+                field=field,
+                lower=tv if lower else None, upper=None if lower else tv,
+                lower_inclusive=incl if lower else True,
+                upper_inclusive=True if lower else incl)
+        v = v.lower()
+        return ast.TermRangeQuery(
+            lower=v if lower else None, upper=None if lower else v,
+            lower_inclusive=incl if lower else True,
+            upper_inclusive=True if lower else incl, field=field)
+
     def _atom(self) -> ast.Query | None:
         kind, val = self._next()
         if kind == "lparen":
@@ -434,6 +465,9 @@ class QueryParser:
             # searchers qualify terms per field (query_parser.rs:336-412),
             # single-field engines ignore it (every known field resolves
             # to the same postings).
+            if val.startswith(self._ELASTIC_OPS):
+                # bare elastic range over the default field ('>a', '<=42')
+                return self._elastic_range(None, val)
             field: str | None = None
             if ":" in val and not val.startswith(":"):
                 field, rest = val.split(":", 1)
@@ -442,14 +476,21 @@ class QueryParser:
                 if rest == "*":
                     return ast.ExistsQuery(field=field)
                 if rest == "":
-                    # 'field:' directly before a quoted phrase or a range
-                    # atom ('title:"a b"', 'ts:[a TO b]'): parse the next
+                    # 'field:' directly before a quoted phrase, a range
+                    # atom, or a spaced elastic range ('title:"a b"',
+                    # 'ts:[a TO b]', 'weight: <= 70'): parse the next
                     # atom and attach the field to it
-                    nk, _nv = self._peek()
+                    nk, nv = self._peek()
+                    if nk == "word" and nv.startswith(self._ELASTIC_OPS):
+                        self._next()
+                        return self._elastic_range(field, nv)
                     if nk in ("quoted", "lbrack", "lbrace"):
                         return self._attach_field(self._atom(), field)
                     raise QueryParserError(f"dangling field prefix {field!r}:")
                 val = rest
+                er = self._elastic_range(field, val)
+                if er is not None:
+                    return er
                 ftype = self.field_types.get(field)
                 if ftype:
                     # typed literal ('ts:2021-03-01T00:00:00Z', 'n:42'):

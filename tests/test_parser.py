@@ -322,3 +322,36 @@ def test_mixed_bare_and_operator_runs(p):
         p.parse("OR a")
     with _pytest.raises(QueryParserError):
         p.parse("a AND OR b")
+
+
+def test_elastic_range_vectors(p):
+    """Elastic one-sided ranges (ported vectors, query_grammar.rs
+    test_parse_elastic_query_ranges)."""
+    from datetime import datetime
+
+    T = ast.TermRangeQuery
+    assert p.parse("title:>a") == T("a", None, False, True, field="title")
+    assert p.parse("title:>=a") == T("a", None, True, True, field="title")
+    assert p.parse("title:<a") == T(None, "a", True, False, field="title")
+    assert p.parse("title:<=bsd") == T(None, "bsd", True, True, field="title")
+    assert p.parse(">a") == T("a", None, False, True)
+    assert p.parse("<=bsd") == T(None, "bsd", True, True)
+    assert p.parse("(<=42)") == T(None, "42", True, True)
+    # spaced form: 'weight: <= 70'
+    assert p.parse("weight: <= 70") == T(None, "70", True, True,
+                                         field="weight")
+    # typed fields lower to fast-field ranges
+    pt = QueryParser(field_types={"age": "i64", "ts": "date"})
+    assert pt.parse("age:>5") == ast.FastFieldRangeQuery(
+        "age", lower=5, upper=None, lower_inclusive=False)
+    assert pt.parse("age: <= 70") == ast.FastFieldRangeQuery(
+        "age", lower=None, upper=70, upper_inclusive=True)
+    assert pt.parse("ts:>=2024-01-05") == ast.FastFieldRangeQuery(
+        "ts", lower=datetime(2024, 1, 5), upper=None, lower_inclusive=True)
+    # composes inside booleans: '(title:bar AND age:>12)'
+    q = pt.parse("(bar AND age:>12)")
+    assert isinstance(q, ast.BooleanQuery)
+    assert q.clauses[1] == (ast.Occur.MUST, ast.FastFieldRangeQuery(
+        "age", lower=12, upper=None, lower_inclusive=False))
+    with pytest.raises(QueryParserError):
+        p.parse("title:>=")  # op without value
