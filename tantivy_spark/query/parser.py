@@ -42,6 +42,7 @@ _TOKEN_RE = re.compile(
       | (?P<lbrace>\{)
       | (?P<rbrace>\})
       | (?P<quoted>"(?P<qbody>[^"]*)"(?:~(?P<slop>\d+)|(?P<pprefix>\*))?)
+      | (?P<squoted>'(?P<sqbody>[^']*)'(?:~(?P<sslop>\d+)|(?P<spprefix>\*))?)
       | (?P<plus>\+)
       | (?P<minus>-)
       | (?P<boost>\^(?P<bval>\d+(?:\.\d+)?))
@@ -112,6 +113,14 @@ def _lex(q: str) -> list[tuple[str, str]]:
                 if m.group("slop"):
                     out.append(("slop", m.group("slop")))
                 elif m.group("pprefix"):
+                    out.append(("pprefix", "*"))
+            elif m.group("squoted") is not None:
+                # single-quoted phrases parse like double-quoted ones
+                # (query_grammar.rs vector 'www-form-encoded' :1276)
+                out.append(("quoted", m.group("sqbody")))
+                if m.group("sslop"):
+                    out.append(("slop", m.group("sslop")))
+                elif m.group("spprefix"):
                     out.append(("pprefix", "*"))
             elif m.group("boost"):
                 out.append(("boost", m.group("bval")))

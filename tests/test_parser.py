@@ -355,3 +355,14 @@ def test_elastic_range_vectors(p):
         "age", lower=12, upper=None, lower_inclusive=False))
     with pytest.raises(QueryParserError):
         p.parse("title:>=")  # op without value
+
+
+def test_single_quoted_phrase(p):
+    """'...' parses like a double-quoted phrase (vector :1276)."""
+    assert p.parse("'www-form-encoded'") == \
+        p.parse('"www-form-encoded"')
+    assert p.parse("'order sort'~2") == \
+        ast.PhraseQuery(["order", "sort"], slop=2)
+    # apostrophes INSIDE words stay part of the word
+    q = p.parse("don't stop")
+    assert isinstance(q, ast.BooleanQuery)
