@@ -276,10 +276,11 @@ class QueryParser:
             return ast.EmptyQuery()
         return self._seq_to_query(elements, connectors)
 
-    @staticmethod
-    def _bare_clause(e):
+    def _bare_clause(self, e):
+        # a bare element takes the parser's default occur — tantivy's
+        # set_conjunction_by_default makes it MUST
         occ, node = e
-        occur = {None: ast.Occur.SHOULD, "+": ast.Occur.MUST,
+        occur = {None: self.default_occur, "+": ast.Occur.MUST,
                  "-": ast.Occur.MUST_NOT, "not": ast.Occur.MUST_NOT}[occ]
         return occur, node
 
@@ -342,7 +343,7 @@ class QueryParser:
             i = j + 1
         if not clauses:
             return ast.EmptyQuery()
-        if len(clauses) == 1 and clauses[0][0] == ast.Occur.SHOULD:
+        if len(clauses) == 1 and clauses[0][0] == self.default_occur:
             return clauses[0][1]
         return ast.BooleanQuery(clauses)
 

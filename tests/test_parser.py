@@ -366,3 +366,16 @@ def test_single_quoted_phrase(p):
     # apostrophes INSIDE words stay part of the word
     q = p.parse("don't stop")
     assert isinstance(q, ast.BooleanQuery)
+
+
+def test_conjunction_by_default():
+    """QueryParser(default_occur=MUST) — the reference's
+    set_conjunction_by_default: bare terms become MUST clauses."""
+    pc = QueryParser(default_occur=ast.Occur.MUST)
+    assert pc.parse("fast slow") == ast.BooleanQuery(
+        [(ast.Occur.MUST, ast.TermQuery("fast")),
+         (ast.Occur.MUST, ast.TermQuery("slow"))])
+    assert pc.parse("fast") == ast.TermQuery("fast")
+    assert pc.parse("fast -slow") == ast.BooleanQuery(
+        [(ast.Occur.MUST, ast.TermQuery("fast")),
+         (ast.Occur.MUST_NOT, ast.TermQuery("slow"))])
