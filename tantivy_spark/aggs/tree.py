@@ -62,6 +62,32 @@ BUCKET_KINDS = ("terms", "histogram", "date_histogram", "range", "filter",
 METRIC_KINDS = ("avg", "min", "max", "sum", "value_count", "stats",
                 "extended_stats", "cardinality", "percentiles")
 
+#: global bucket budget per aggregation request — the reference enforces
+#: the same default via AggregationLimitsGuard (agg_limits.rs;
+#: DEFAULT_BUCKET_LIMIT = 65_000, mod.rs:152-155).  A fine-interval
+#: histogram over a wide range, or terms over a high-cardinality field,
+#: must fail loudly instead of collecting unbounded buckets to the driver.
+DEFAULT_BUCKET_LIMIT = 65_000
+
+
+class AggregationLimitsError(ValueError):
+    """Raised when an aggregation request exceeds its bucket budget
+    (reference: agg_limits.rs AggregationLimitsGuard)."""
+
+
+def _domain_guard(n_buckets: Column, max_buckets: int) -> Column:
+    """Lazy executor-side budget check: evaluates to NULL below budget,
+    raises (failing the job with a clear message) past it.  Used where the
+    PLAN itself would materialize the buckets (sequence/explode domains),
+    so the overrun never runs — no extra driver action, no extra job."""
+    return F.when(
+        n_buckets > F.lit(max_buckets),
+        F.raise_error(F.concat(
+            F.lit("aggregation bucket budget exceeded: "),
+            n_buckets.cast("string"),
+            F.lit(f" buckets > max_buckets={max_buckets} "
+                  "(reference: agg_limits.rs)"))))
+
 
 def _metric_cols(name: str, kind: str, body: dict) -> list[Column]:
     f = F.col(body["field"]) if "field" in body else None
@@ -237,7 +263,8 @@ def _level_metric_cols(levels: list[_Level], upto: int) -> list[Column]:
     return cols
 
 
-def _run_chain(df: DataFrame, name: str, kind: str, body: dict) -> DataFrame:
+def _run_chain(df: DataFrame, name: str, kind: str, body: dict,
+               max_buckets: int = DEFAULT_BUCKET_LIMIT) -> DataFrame:
     """Lower a bucket chain.  Key columns carry internal dot-free aliases
     (__k0, __k1, ...) while computing — joins by name are then unambiguous
     — and are renamed to their public ``{name}.key`` aliases at the end."""
@@ -346,7 +373,7 @@ def _run_chain(df: DataFrame, name: str, kind: str, body: dict) -> DataFrame:
 
     # ---- pass D: histogram gap filling at the leaf level ---------------
     if leaf.kind == "histogram" and int(leaf.body.get("min_doc_count", 1)) == 0:
-        grouped = _fill_histogram_gaps(grouped, leaf, ikeys)
+        grouped = _fill_histogram_gaps(grouped, leaf, ikeys, max_buckets)
     if leaf.kind == "histogram" and "hard_bounds" in leaf.body:
         hb = leaf.body["hard_bounds"]
         k = F.col(ikeys[-1])
@@ -369,8 +396,8 @@ def _run_chain(df: DataFrame, name: str, kind: str, body: dict) -> DataFrame:
     return _publish(grouped.orderBy(*ikeys))
 
 
-def _fill_histogram_gaps(grouped: DataFrame, leaf: _Level,
-                         ikeys: list[str]) -> DataFrame:
+def _fill_histogram_gaps(grouped: DataFrame, leaf: _Level, ikeys: list[str],
+                         max_buckets: int = DEFAULT_BUCKET_LIMIT) -> DataFrame:
     """min_doc_count=0: emit empty buckets across the bucket domain —
     [data min, data max] widened by extended_bounds (histogram.rs:63-129).
     The domain is generated per parent bucket with sequence/explode; no
@@ -396,6 +423,14 @@ def _fill_histogram_gaps(grouped: DataFrame, leaf: _Level,
         hi_col = F.greatest(hi_col, F.lit(int(math.floor((float(eb["max"]) - off) / interval))))
     bounds = (g2.groupBy(*parent_keys) if parent_keys else g2.groupBy()) \
         .agg(lo_col.alias("_lo"), hi_col.alias("_hi"))
+    # budget guard BEFORE the sequence materializes: a fine interval over a
+    # wide range would otherwise explode billions of empty buckets right
+    # here.  The guard is a lazy per-parent raise_error — evaluated on the
+    # executors inside the same job, no extra action.
+    n_dom = F.col("_hi") - F.col("_lo") + F.lit(1)
+    bounds = bounds.withColumn(
+        "_lo", F.coalesce(_domain_guard(n_dom, max_buckets).cast("long"),
+                          F.col("_lo")))
     domain = bounds.select(
         *parent_keys,
         F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_bi"))
@@ -447,10 +482,44 @@ def _run_composite(df: DataFrame, name: str, body: dict) -> DataFrame:
             .orderBy(*key_aliases).limit(size))
 
 
-def run_agg_tree(df: DataFrame, request: dict) -> dict[str, DataFrame]:
+def _validate_budget(request: dict, max_buckets: int) -> None:
+    """Static (request-shape) budget check: any explicitly requested
+    bucket count past budget fails at build time, before any job runs
+    (the reference's guard also rejects on the request, agg_limits.rs)."""
+    for name, body in request.items():
+        if not isinstance(body, dict):
+            continue
+        for kind in ("terms", "composite"):
+            size = body.get(kind, {}).get("size") if isinstance(
+                body.get(kind), dict) else None
+            if size is not None and int(size) > max_buckets:
+                raise AggregationLimitsError(
+                    f"{kind} agg {name!r} requests size={size} > "
+                    f"max_buckets={max_buckets}")
+        hist = body.get("histogram")
+        if isinstance(hist, dict) and "extended_bounds" in hist:
+            eb = hist["extended_bounds"]
+            n = (float(eb["max"]) - float(eb["min"])) / float(hist["interval"])
+            if n > max_buckets:
+                raise AggregationLimitsError(
+                    f"histogram agg {name!r} extended_bounds span "
+                    f"{int(n)} buckets > max_buckets={max_buckets}")
+        _validate_budget(body.get("aggs") or {}, max_buckets)
+
+
+def run_agg_tree(df: DataFrame, request: dict,
+                 max_buckets: int = DEFAULT_BUCKET_LIMIT) -> dict[str, DataFrame]:
     """Execute an ES-style aggregation request; returns one DataFrame per
     top-level aggregation name (flat leaf-bucket convention, see module
-    docstring)."""
+    docstring).
+
+    ``max_buckets`` is the per-request bucket budget (reference:
+    agg_limits.rs AggregationLimitsGuard, default 65k): requests whose
+    SHAPE already exceeds it raise here; data-dependent overruns (wide
+    gap-filled histogram domains) raise lazily on the executors via a
+    plan-embedded guard; and ``to_es_json`` re-checks the realized total
+    before collecting to the driver."""
+    _validate_budget(request, max_buckets)
     out: dict[str, DataFrame] = {}
     for name, body in request.items():
         kinds = [k for k in body if k in BUCKET_KINDS + METRIC_KINDS + ("top_hits",)]
@@ -475,14 +544,25 @@ def run_agg_tree(df: DataFrame, request: dict) -> dict[str, DataFrame]:
                     else df.filter(F.col(body[kind]["field"]).isNull()))
             out[name] = base.agg(F.count(F.lit(1)).alias("doc_count"))
             continue
-        out[name] = _run_chain(df, name, kind, body)
+        out[name] = _run_chain(df, name, kind, body, max_buckets)
     return out
 
 
-def to_es_json(results: dict[str, DataFrame]) -> dict:
-    """Fold flat bucket DataFrames into the nested ES response shape."""
+def to_es_json(results: dict[str, DataFrame],
+               max_buckets: int = DEFAULT_BUCKET_LIMIT) -> dict:
+    """Fold flat bucket DataFrames into the nested ES response shape.
+
+    Collect-time budget guard (agg_limits.rs): the realized bucket count
+    is bounded distributedly (``limit(max+1).count()`` — short-circuits,
+    never materializes more than budget+1 rows) BEFORE anything is
+    collected to the driver."""
     resp: dict = {}
     for name, df in results.items():
+        n = df.limit(max_buckets + 1).count()
+        if n > max_buckets:
+            raise AggregationLimitsError(
+                f"aggregation {name!r} produced > max_buckets="
+                f"{max_buckets} buckets; refusing to collect")
         rows = [r.asDict() for r in df.collect()]
         if rows and ("key" in rows[0] or "key_as_string" in rows[0]):
             resp[name] = {"buckets": rows}

@@ -98,7 +98,7 @@ class Searcher:
     def count(self, q) -> int:
         return self.exact.count(self._as_query(q))
 
-    def aggregate(self, q, request: dict):
+    def aggregate(self, q, request: dict, max_buckets: int | None = None):
         """ES-style aggregation request over the QUERY'S matching docs —
         the reference executes aggregations as collectors over a query's
         doc set (src/aggregation/: AggregationCollector runs inside the
@@ -107,12 +107,14 @@ class Searcher:
         join the columnar values segment-locally — no source-table join.
         Returns {name: DataFrame} like run_agg_tree."""
         from tantivy_spark.aggs import run_agg_tree
+        from tantivy_spark.aggs.tree import DEFAULT_BUCKET_LIMIT
 
         query = self._as_query(q)
         matches = self.exact.matching(query).select("segment_ord", "doc_id")
         docs = matches.join(self.reader.docmap, ["segment_ord", "doc_id"],
                             "inner")
-        return run_agg_tree(docs, request)
+        return run_agg_tree(docs, request,
+                            max_buckets=max_buckets or DEFAULT_BUCKET_LIMIT)
 
     def fetch_docs(self, topk: DataFrame, source: DataFrame,
                    key_col: str = "url") -> DataFrame:

@@ -282,3 +282,50 @@ def test_terms_missing_parameter(spark):
     out = {(r["key"], r["doc_count"], r["av.value"])
            for r in run_agg_tree(df, req)["t"].collect()}
     assert out == {("a", 1, 1.0), ("b", 1, 3.0), ("unknown", 2, 3.0)}
+
+
+class TestAggregationLimits:
+    """Bucket budget guard (ref: src/aggregation/agg_limits.rs
+    AggregationLimitsGuard; DEFAULT_BUCKET_LIMIT, mod.rs:152-155)."""
+
+    def test_gapfill_histogram_over_budget_raises(self, spark, events):
+        """A fine-interval gap-filled histogram over a wide range must
+        fail loudly instead of exploding the bucket domain."""
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import SparkRuntimeException
+
+        df = spark.createDataFrame([(0.0,), (1e9,)], "value DOUBLE")
+        req = {"h": {"histogram": {"field": "value", "interval": 0.001,
+                                   "min_doc_count": 0}}}
+        out = run_agg_tree(df, req, max_buckets=1000)["h"]
+        with pytest.raises((Py4JJavaError, SparkRuntimeException)) as ei:
+            out.collect()
+        assert "bucket budget exceeded" in str(ei.value)
+
+    def test_static_size_over_budget_raises(self, spark, events):
+        from tantivy_spark.aggs import AggregationLimitsError
+
+        req = {"t": {"terms": {"field": "event_type", "size": 10_000_000}}}
+        with pytest.raises(AggregationLimitsError):
+            run_agg_tree(events, req)
+        req = {"h": {"histogram": {
+            "field": "value", "interval": 0.001,
+            "extended_bounds": {"min": 0, "max": 1e9}}}}
+        with pytest.raises(AggregationLimitsError):
+            run_agg_tree(events, req)
+
+    def test_collect_guard_in_to_es_json(self, spark, events):
+        from tantivy_spark.aggs import AggregationLimitsError
+
+        req = {"u": {"terms": {"field": "user_id", "size": 400}}}
+        out = run_agg_tree(events, req, max_buckets=1_000_000)
+        with pytest.raises(AggregationLimitsError,
+                           match="refusing to collect"):
+            to_es_json(out, max_buckets=5)
+
+    def test_within_budget_unchanged(self, spark, events):
+        """Existing requests under budget are untouched by the guard."""
+        req = {"h": {"histogram": {"field": "value", "interval": 100,
+                                   "min_doc_count": 0}}}
+        rows = run_agg_tree(events, req)["h"].collect()
+        assert sum(r["doc_count"] for r in rows) == events.count()
