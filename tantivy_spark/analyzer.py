@@ -448,6 +448,22 @@ def sv_stem_tokens_col(text: Column) -> Column:
     return _stem_chain("tantivy_spark.functions.snowball:swedish_stem")(text)
 
 
+def ro_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball2:romanian_stem")(text)
+
+
+def fi_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball2:finnish_stem")(text)
+
+
+def hu_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball2:hungarian_stem")(text)
+
+
+def tr_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball2:turkish_stem")(text)
+
+
 ANALYZERS = {
     "default": tokens_col,
     "raw": raw_analyzer,
@@ -463,6 +479,10 @@ ANALYZERS = {
     "da_stem": da_stem_tokens_col,
     "no_stem": no_stem_tokens_col,
     "sv_stem": sv_stem_tokens_col,
+    "ro_stem": ro_stem_tokens_col,
+    "fi_stem": fi_stem_tokens_col,
+    "hu_stem": hu_stem_tokens_col,
+    "tr_stem": tr_stem_tokens_col,
 }
 
 #: python-side stemmer of each "{lang}_stem" chain (query-literal
@@ -479,6 +499,10 @@ _PY_STEMMERS = {
     "da_stem": "tantivy_spark.functions.snowball:danish_stem",
     "no_stem": "tantivy_spark.functions.snowball:norwegian_stem",
     "sv_stem": "tantivy_spark.functions.snowball:swedish_stem",
+    "ro_stem": "tantivy_spark.functions.snowball2:romanian_stem",
+    "fi_stem": "tantivy_spark.functions.snowball2:finnish_stem",
+    "hu_stem": "tantivy_spark.functions.snowball2:hungarian_stem",
+    "tr_stem": "tantivy_spark.functions.snowball2:turkish_stem",
 }
 
 

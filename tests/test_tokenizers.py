@@ -126,6 +126,28 @@ SNOWBALL_VECTORS = {
         "möjligheterna": "möj", "utbildningen": "utbildning",
         "svenska": "svensk", "klokkorna": "klokk", "betydelse": "betyd",
     },
+    # hand-traced through the published romanian/finnish/hungarian/
+    # turkish algorithm descriptions (r04)
+    "ro": {
+        "lucrurile": "lucrur", "frumoasă": "frumoas", "cântând": "cânt",
+        "românească": "român", "importante": "import",
+        # comma-below spellings normalize to the cedilla the published
+        # algorithm uses
+        "acțiune": "acţiun",
+    },
+    "fi": {
+        "taloissa": "talo", "autolla": "auto", "kirjat": "kirj",
+        "kirjassa": "kirj", "miehen": "miehe", "kaupungissa": "kaupung",
+    },
+    "hu": {
+        "házakban": "ház", "gépekkel": "gép", "almákat": "alma",
+        "házaim": "ház", "könyvek": "könyv", "emberek": "ember",
+    },
+    "tr": {
+        "kitaplar": "kitap", "kediler": "kedi", "arabaları": "araba",
+        "evlerinde": "ev", "kitabı": "kitap", "okuldaki": "okul",
+        "bahçede": "bahçe",
+    },
 }
 
 
@@ -135,10 +157,14 @@ def test_snowball_vectors():
         norwegian_stem, portuguese_stem, russian_stem, spanish_stem,
         swedish_stem)
 
+    from tantivy_spark.functions.snowball2 import (
+        finnish_stem, hungarian_stem, romanian_stem, turkish_stem)
+
     fns = {"de": german_stem, "es": spanish_stem, "fr": french_stem,
            "it": italian_stem, "pt": portuguese_stem, "nl": dutch_stem,
            "ru": russian_stem, "da": danish_stem, "no": norwegian_stem,
-           "sv": swedish_stem}
+           "sv": swedish_stem, "ro": romanian_stem, "fi": finnish_stem,
+           "hu": hungarian_stem, "tr": turkish_stem}
     for lang, vecs in SNOWBALL_VECTORS.items():
         for w, want in vecs.items():
             assert fns[lang](w) == want, (lang, w, fns[lang](w))
@@ -282,3 +308,24 @@ def test_ip_dirty_input_keys_to_null(spark):
                   ip_range_filter(df, "ip", "0.0.0.0", "255.255.255.255")
                   .collect())
     assert kept == ["10.0.0.1"]
+
+
+def test_snowball_r04_chains_distributed(spark):
+    """The {ro,fi,hu,tr}_stem analyzers run the same stems through the
+    Arrow-batched UDF path."""
+    from tantivy_spark.analyzer import (
+        fi_stem_tokens_col, hu_stem_tokens_col, ro_stem_tokens_col,
+        tr_stem_tokens_col)
+
+    got = list(_one(spark, ro_stem_tokens_col(F.col("t")),
+                    "lucrurile românească importante"))
+    assert got == ["lucrur", "român", "import"]
+    got = list(_one(spark, fi_stem_tokens_col(F.col("t")),
+                    "taloissa autolla kaupungissa"))
+    assert got == ["talo", "auto", "kaupung"]
+    got = list(_one(spark, hu_stem_tokens_col(F.col("t")),
+                    "házakban almákat könyvek"))
+    assert got == ["ház", "alma", "könyv"]
+    got = list(_one(spark, tr_stem_tokens_col(F.col("t")),
+                    "kitaplar evlerinde okuldaki"))
+    assert got == ["kitap", "ev", "okul"]
