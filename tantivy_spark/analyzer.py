@@ -325,6 +325,54 @@ def json_path_tokens_col(json_str: Column) -> Column:
     )
 
 
+def json_typed_tokens(json_str: Column) -> Column:
+    """TYPED arbitrary-depth JsonObject indexing (ref:
+    src/schema/term.rs:72-80 — JSON terms carry the path prefix AND a
+    value type tag): string leaves index as ``path=value`` like the
+    untyped scheme; numbers as ``path#n=<order-preserving hex16>`` and
+    bools as ``path#b=true|false`` (tantivy_spark.functions.jsonterm),
+    so numeric RANGE queries inside a json field lower to ordinary
+    TermRangeQuery dictionary walks.  Arrow-batched pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _flat(s: pd.Series) -> pd.Series:
+        import json
+
+        from tantivy_spark.functions.jsonterm import (
+            json_bool_term, json_num_term, json_str_term)
+
+        def flatten(obj, prefix=""):
+            out = []
+            if isinstance(obj, dict):
+                for k, v in obj.items():
+                    p = f"{prefix}.{k}" if prefix else k
+                    out.extend(flatten(v, p))
+            elif isinstance(obj, list):
+                for v in obj:
+                    out.extend(flatten(v, prefix))
+            elif isinstance(obj, bool):
+                out.append(json_bool_term(prefix, obj))
+            elif isinstance(obj, (int, float)):
+                out.append(json_num_term(prefix, obj))
+            elif isinstance(obj, str):
+                out.append(json_str_term(prefix, obj))
+            # null: not indexed (the reference indexes no term for null)
+            return out
+
+        def run(x):
+            if x is None:
+                return []
+            try:
+                return flatten(json.loads(x))
+            except Exception:
+                return []
+
+        return s.map(run)
+
+    return _flat(json_str)
+
+
 def _stem_chain(stem_import: str):
     """Build a "{lang}_stem" analyzer: default chain + an Arrow-batched
     pandas-UDF stemmer (ref: tokenizer_manager.rs registers en_stem etc;
@@ -483,6 +531,7 @@ ANALYZERS = {
     "fi_stem": fi_stem_tokens_col,
     "hu_stem": hu_stem_tokens_col,
     "tr_stem": tr_stem_tokens_col,
+    "json_typed": json_typed_tokens,
 }
 
 #: python-side stemmer of each "{lang}_stem" chain (query-literal

@@ -1,0 +1,74 @@
+"""Typed JSON terms (ref: src/schema/term.rs:72-80): order-preserving
+numeric encoding + range queries inside a json field."""
+
+import json
+import random
+
+from pyspark.sql import functions as F
+
+from tantivy_spark.functions.jsonterm import (
+    f64_sortable_hex, json_num_term, json_range_query,
+)
+
+
+def test_f64_hex_is_order_preserving():
+    rng = random.Random(42)
+    xs = ([0.0, -0.0, 1.0, -1.0, 1e-300, -1e-300, 1e300, -1e300, 0.5]
+          + [rng.uniform(-1e6, 1e6) for _ in range(2000)]
+          + [float(rng.randint(-10**12, 10**12)) for _ in range(2000)])
+    enc = sorted(xs, key=f64_sortable_hex)
+    assert enc == sorted(enc)  # hex order == numeric order
+    assert all(len(f64_sortable_hex(x)) == 16 for x in xs)
+    # hex chars only: the unbounded-upper sentinel "g" sorts above all
+    assert all(c in "0123456789abcdef" for x in xs
+               for c in f64_sortable_hex(x))
+
+
+def test_typed_tokens_shapes(spark):
+    from tantivy_spark.analyzer import json_typed_tokens
+
+    doc = json.dumps({"k": 42, "s": "hi", "b": True,
+                      "nest": {"x": -1.5}, "z": None})
+    toks = set(spark.createDataFrame([(doc,)], "j STRING")
+               .select(F.explode(json_typed_tokens(F.col("j"))).alias("t"))
+               .toPandas()["t"])
+    assert json_num_term("k", 42) in toks
+    assert "s=hi" in toks
+    assert "b#b=true" in toks
+    assert json_num_term("nest.x", -1.5) in toks
+    assert not any(t.startswith("z") for t in toks)  # null not indexed
+
+
+def test_json_range_end_to_end(spark, tmp_path):
+    """A numeric range inside a json field answers through the ordinary
+    index + TermRangeQuery path, including negatives and bounds."""
+    from tantivy_spark.index.build import IndexConfig, build_index
+    from tantivy_spark.index.reader import IndexReader
+    from tantivy_spark.query.exact import ExactSearcher
+
+    rows = [(str(i), i, json.dumps({"k": v, "tag": "t%d" % (i % 3)}))
+            for i, v in enumerate([-50, -1.5, 0, 3, 19.99, 20, 42, 59.9,
+                                   60, 1000])]
+    df = spark.createDataFrame(rows, "key STRING, i LONG, props STRING")
+    out = str(tmp_path / "jidx")
+    cfg = IndexConfig(key_col="key", field_cols={"props": "props"},
+                      field_analyzers={"props": "json_typed"},
+                      n_segments=2, segment_expr="pmod(i, 2)")
+    build_index(spark, df, out, cfg, resume=False)
+    s = ExactSearcher(IndexReader(spark, out))
+
+    vals = [-50, -1.5, 0, 3, 19.99, 20, 42, 59.9, 60, 1000]
+
+    def want(lo, hi, lo_in=True, hi_in=True):
+        return sum(1 for v in vals
+                   if (v > lo or (lo_in and v == lo))
+                   and (v < hi or (hi_in and v == hi)))
+
+    assert s.count(json_range_query("k", 20, 60, upper_inclusive=False,
+                                    field="props")) == want(20, 60, True, False)
+    assert s.count(json_range_query("k", -10, 5, field="props")) == \
+        want(-10, 5)
+    assert s.count(json_range_query("k", None, 0, field="props")) == \
+        sum(1 for v in vals if v <= 0)
+    assert s.count(json_range_query("k", 60, None, field="props")) == \
+        sum(1 for v in vals if v >= 60)
