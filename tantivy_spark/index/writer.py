@@ -70,13 +70,30 @@ class IndexWriter:
     # -------------------------------------------------------------- commit
     @property
     def _next_opstamp(self) -> int:
-        batches = self._indexer.manifest.get("batches", {})
-        return 1 + max((int(b) for b in batches), default=-1)
+        """Monotonic commit stamp from the manifest — EVERY commit
+        (including deletes-only) advances it, like the reference
+        IndexWriter's opstamps (index_writer.rs).  Initialized past the
+        highest published batch id for pre-counter manifests."""
+        m = self._indexer.manifest
+        batches = m.get("batches", {})
+        floor = 1 + max((int(b) for b in batches), default=-1)
+        return max(int(m.get("opstamp", 0)), floor)
+
+    def _publish_opstamp(self, opstamp: int) -> None:
+        """Persist the advanced counter.  For add-commits process_batch
+        already rewrote the manifest with the batch row; this extra write
+        also covers deletes-only commits, whose stamp would otherwise be
+        reused by the next commit."""
+        from tantivy_spark.streaming.ingest import _write_manifest
+
+        self._indexer.manifest["opstamp"] = opstamp + 1
+        _write_manifest(self._indexer.manifest_path, self._indexer.manifest)
 
     def commit(self) -> int:
         """Publish the buffered adds as one micro-batch (atomic manifest
-        swap), then apply the buffered deletes.  Returns the opstamp
-        (batch id).  A commit with ONLY deletes skips the ingest."""
+        swap), then apply the buffered deletes.  Returns the opstamp —
+        unique and monotonic across commits of every kind.  A commit with
+        ONLY deletes skips the ingest but still advances the stamp."""
         from functools import reduce
 
         from tantivy_spark.index import deletes as dl
@@ -96,6 +113,7 @@ class IndexWriter:
                 else:
                     dl.delete_by_query(self.spark, reader, arg)
             self._pending_deletes.clear()
+        self._publish_opstamp(opstamp)
         return opstamp
 
     # ------------------------------------------------------------- reading

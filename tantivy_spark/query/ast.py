@@ -307,6 +307,12 @@ def qualify(q: Query, default_field, sep: str = "\x1f",
         b = float(boosts.get(f, 1.0)) if f is not None else 1.0
         return BoostQuery(node, b) if b != 1.0 else node
 
+    # already-qualified nodes pass through UNCHANGED, as the idempotency
+    # docstring promises — re-resolving them would misapply the first
+    # default field's boost to terms a caller pre-qualified elsewhere
+    if isinstance(q, _TERM_NODES) and _is_qualified(q, sep):
+        return q
+
     # an UNQUALIFIED term-bearing node with several default fields:
     # one copy per default field, OR-combined
     if isinstance(q, _TERM_NODES) and getattr(q, "field", None) is None \

@@ -136,6 +136,27 @@ def analyze_literal(text: str) -> list[str]:
     return list(tokenize_series(pd.Series([text]))[0])
 
 
+def _split_field(val: str) -> tuple[str | None, str]:
+    """Split ``field:rest`` on the first UNESCAPED colon; ``(None, val)``
+    when there is none.  A backslash escapes the next character — the
+    reference grammar's field-name escaping (query-grammar
+    field_name rules: ``a\\.b:t`` names the literal field ``a.b``)."""
+    i, n = 0, len(val)
+    while i < n:
+        c = val[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == ":":
+            return val[:i], val[i + 1:]
+        i += 1
+    return None, val
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s)
+
+
 def _all_negative(q: ast.Query) -> bool:
     """True when every path of the tree is under a MUST_NOT — the
     reference's all_negative check (query_parser.rs:221-229)."""
@@ -195,6 +216,51 @@ class QueryParser:
                 node = ast.BooleanQuery(
                     node.clauses + [(ast.Occur.SHOULD, ast.AllQuery())])
         return node
+
+    def parse_lenient(self, q: str) -> tuple[ast.Query, list[str]]:
+        """Best-effort parse (ref: query-grammar/src/lib.rs
+        ``parse_query_lenient`` — never fails, returns the query plus the
+        errors encountered).  Strict parse first; on failure, apply
+        textual repairs (close unbalanced quotes, balance parentheses,
+        drop dangling operators) and retry, accumulating error messages;
+        as a last resort the bare words parse as a clause sequence."""
+        errors: list[str] = []
+        attempt = q
+        for _ in range(3):
+            try:
+                return self.parse(attempt), errors
+            except QueryParserError as e:
+                errors.append(str(e))
+            attempt = self._repair(attempt)
+        words = re.findall(r"[^\W_]+", attempt, re.UNICODE)
+        try:
+            return self.parse(" ".join(words)), errors
+        except QueryParserError as e:
+            errors.append(str(e))
+            return ast.EmptyQuery(), errors
+
+    @staticmethod
+    def _repair(q: str) -> str:
+        s = q
+        if s.count('"') % 2 == 1:
+            s += '"'
+        if s.count("'") % 2 == 1:
+            s += "'"
+        depth = 0
+        out = []
+        for c in s:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    continue            # drop unmatched closer
+                depth -= 1
+            out.append(c)
+        s = "".join(out) + ")" * depth
+        # dangling operators at either end
+        s = re.sub(r"^\s*(?:AND|OR)\b", "", s)
+        s = re.sub(r"\b(?:AND|OR)\s*$", "", s)
+        return s.strip()
 
     # --------------------------------------------------------------- lexer
     def _peek(self):
@@ -266,12 +332,19 @@ class QueryParser:
                 break
             else:
                 connectors.append(None)
-        # drop atoms that analyzed to nothing, keeping connector alignment
+        # drop atoms that analyzed to nothing, keeping connector alignment:
+        # the connector joining two SURVIVING neighbours is the last
+        # explicit AND/OR in the span they bridge (so 'a LONGTOKEN OR b'
+        # keeps b as an OR operand instead of silently tightening to the
+        # default occur)
         keep = [i for i, (_o, n) in enumerate(elements) if n is not None]
         if len(keep) != len(elements):
+            new_connectors = []
+            for a, b in zip(keep, keep[1:]):
+                span = [c for c in connectors[a:b] if c is not None]
+                new_connectors.append(span[-1] if span else None)
             elements = [elements[i] for i in keep]
-            connectors = [connectors[keep[k]] if keep[k] < len(connectors)
-                          else None for k in range(len(elements) - 1)]
+            connectors = new_connectors
         if not elements:
             return ast.EmptyQuery()
         return self._seq_to_query(elements, connectors)
@@ -346,6 +419,100 @@ class QueryParser:
         if len(clauses) == 1 and clauses[0][0] == self.default_occur:
             return clauses[0][1]
         return ast.BooleanQuery(clauses)
+
+    def _resolve_field(self, raw: str) -> tuple[str, str | None]:
+        """Resolve a (possibly escaped, possibly dotted) field prefix to
+        ``(field, json_path | None)``.  Longest registered dotted prefix
+        wins, the remainder addresses a path INSIDE that json field —
+        the reference's json-path field addressing (query_parser.rs
+        splits ``field.path`` on the first unescaped dot of a json
+        field; escaped dots stay field-name characters)."""
+        ph = raw.replace("\\.", "\x00")          # escaped dots are literal
+        full = _unescape(ph.replace("\x00", "."))
+        if self.fields is None or full in self.fields:
+            return full, None
+        parts = ph.split(".")
+        for cut in range(len(parts) - 1, 0, -1):
+            head = _unescape(".".join(parts[:cut]).replace("\x00", "."))
+            if head in self.fields:
+                path = _unescape(".".join(parts[cut:]).replace("\x00", "."))
+                return head, path
+        raise QueryParserError(f"field does not exist: {full!r}")
+
+    def _json_pathed(self, field: str, path: str, rest: str) -> ast.Query:
+        """Atom addressed INSIDE a json field: literals hit the typed
+        term dictionary (path=value / path#n=hex / path#b=bool,
+        functions/jsonterm.py; ref src/schema/term.rs:72-80), numeric
+        ranges lower to order-preserving term ranges."""
+        from tantivy_spark.functions.jsonterm import (
+            json_bool_term, json_num_term)
+
+        if rest == "*":
+            # exists-inside-json: every typed tag sorts within
+            # [path + '#', path + '>') — '#' < '=' < '>'
+            return ast.TermRangeQuery(lower=path + "#", upper=path + ">",
+                                      lower_inclusive=True,
+                                      upper_inclusive=False, field=field)
+        if rest == "":
+            nk, nv = self._peek()
+            if nk in ("lbrack", "lbrace"):
+                node = self._atom()      # TermRangeQuery, string bounds
+                return self._json_range(field, path, node)
+            if nk == "word" and nv.startswith(self._ELASTIC_OPS):
+                self._next()
+                return self._json_elastic(field, path, nv)
+            raise QueryParserError(
+                f"dangling json path prefix {field}.{path}:")
+        op = next((o for o in self._ELASTIC_OPS if rest.startswith(o)), None)
+        if op is not None:
+            return self._json_elastic(field, path, rest)
+        if rest in ("true", "false"):
+            return ast.TermQuery(json_bool_term(path, rest == "true"),
+                                 field=field)
+        try:
+            return ast.TermQuery(json_num_term(path, float(rest)),
+                                 field=field)
+        except ValueError:
+            return ast.TermQuery(f"{path}={rest}", field=field)
+
+    def _json_range(self, field: str, path: str,
+                    node: ast.Query) -> ast.Query:
+        from tantivy_spark.functions.jsonterm import json_range_query
+
+        assert isinstance(node, ast.TermRangeQuery)
+        lo, hi = node.lower, node.upper
+        try:
+            return json_range_query(
+                path,
+                None if lo is None else float(lo),
+                None if hi is None else float(hi),
+                node.lower_inclusive, node.upper_inclusive, field=field)
+        except ValueError:
+            # string-valued range: walk the untyped path=value span
+            return ast.TermRangeQuery(
+                lower=f"{path}=" if lo is None else f"{path}={lo}",
+                upper=f"{path}>" if hi is None else f"{path}={hi}",
+                lower_inclusive=False if lo is None
+                else node.lower_inclusive,
+                upper_inclusive=False if hi is None
+                else node.upper_inclusive, field=field)
+
+    def _json_elastic(self, field: str, path: str, val: str) -> ast.Query:
+        op = next(o for o in self._ELASTIC_OPS if val.startswith(o))
+        v = val[len(op):]
+        if v == "":
+            nk, nv = self._next()
+            if nk != "word":
+                raise QueryParserError(f"range operator {op!r} without value")
+            v = nv
+        lower = op in (">", ">=")
+        incl = op in (">=", "<=")
+        bounds = dict(lower=v if lower else None,
+                      upper=None if lower else v,
+                      lower_inclusive=incl if lower else True,
+                      upper_inclusive=True if lower else incl)
+        node = ast.TermRangeQuery(**bounds)
+        return self._json_range(field, path, node)
 
     def _attach_field(self, node: ast.Query | None,
                       field: str) -> ast.Query | None:
@@ -479,10 +646,12 @@ class QueryParser:
                 # bare elastic range over the default field ('>a', '<=42')
                 return self._elastic_range(None, val)
             field: str | None = None
-            if ":" in val and not val.startswith(":"):
-                field, rest = val.split(":", 1)
-                if self.fields is not None and field not in self.fields:
-                    raise QueryParserError(f"field does not exist: {field!r}")
+            raw_field, rest0 = _split_field(val)
+            if raw_field is not None and raw_field != "":
+                field, json_path = self._resolve_field(raw_field)
+                rest = rest0
+                if json_path is not None:
+                    return self._json_pathed(field, json_path, rest)
                 if rest == "*":
                     return ast.ExistsQuery(field=field)
                 if rest == "":
@@ -528,3 +697,9 @@ class QueryParser:
                 node = self._attach_field(node, field)
             return node
         raise QueryParserError(f"unexpected token {kind} {val!r}")
+
+
+def parse_query_lenient(q: str, **kwargs) -> tuple[ast.Query, list[str]]:
+    """Module-level convenience mirroring the reference's
+    ``parse_query_lenient`` (query-grammar/src/lib.rs): never raises."""
+    return QueryParser(**kwargs).parse_lenient(q)

@@ -379,3 +379,63 @@ def test_conjunction_by_default():
     assert pc.parse("fast -slow") == ast.BooleanQuery(
         [(ast.Occur.MUST, ast.TermQuery("fast")),
          (ast.Occur.MUST_NOT, ast.TermQuery("slow"))])
+
+
+def test_dropped_atom_keeps_following_connector(p):
+    """An atom that analyzes to nothing (40+-byte token) must not eat
+    the OR that joined its neighbours: 'a LONG OR b' keeps b as an OR
+    operand under conjunction-by-default."""
+    S, M = ast.Occur.SHOULD, ast.Occur.MUST
+    t = ast.TermQuery
+    long_tok = "x" * 45
+    pc = QueryParser(default_occur=M)
+    assert pc.parse(f"a {long_tok} OR b") == pc.parse("a OR b")
+    assert p.parse(f"a OR {long_tok} AND b") == ast.BooleanQuery(
+        [(S, t("a")), (S, ast.BooleanQuery([(M, t("b"))]))]) or \
+        p.parse(f"a OR {long_tok} AND b") == p.parse("a AND b")
+
+
+def test_escaped_and_dotted_field_names():
+    """query-grammar field-name escaping: 'a\\.b:t' names the literal
+    field 'a.b'; an unescaped dotted prefix of a registered json field
+    addresses a path INSIDE it (term.rs:72-80 json addressing)."""
+    from tantivy_spark.functions.jsonterm import json_num_term
+
+    pr = QueryParser(fields=["a.b", "props", "text"])
+    assert pr.parse(r"a\.b:data") == ast.TermQuery("data", field="a.b")
+    # dotted path under a registered field -> typed json term
+    assert pr.parse("props.k:42") == ast.TermQuery(
+        json_num_term("k", 42.0), field="props")
+    assert pr.parse("props.k.deep:hi") == ast.TermQuery(
+        "k.deep=hi", field="props")
+    assert pr.parse("props.flag:true") == ast.TermQuery(
+        "flag#b=true", field="props")
+    # numeric range inside the json field -> order-preserving term range
+    q = pr.parse("props.k:[20 TO 60}")
+    assert isinstance(q, ast.TermRangeQuery)
+    assert q.lower == json_num_term("k", 20.0) and q.lower_inclusive
+    assert q.upper == json_num_term("k", 60.0) and not q.upper_inclusive
+    assert q.field == "props"
+    # elastic form + exists-inside-json
+    q2 = pr.parse("props.k:>=20")
+    assert q2.lower == json_num_term("k", 20.0) and q2.upper == "k#n=g"
+    q3 = pr.parse("props.k:*")
+    assert (q3.lower, q3.upper) == ("k#", "k>")
+    # unknown dotted name with no registered prefix still errors
+    with pytest.raises(QueryParserError):
+        pr.parse("nope.k:1")
+
+
+def test_parse_lenient():
+    """parse_query_lenient (query-grammar/src/lib.rs): never raises,
+    returns best-effort query + error list."""
+    from tantivy_spark.query.parser import parse_query_lenient
+
+    q, errs = parse_query_lenient('"a b')           # unclosed quote
+    assert errs and q == QueryParser().parse('"a b"')
+    q, errs = parse_query_lenient("(a AND b")       # unbalanced paren
+    assert errs and q == QueryParser().parse("(a AND b)")
+    q, errs = parse_query_lenient("AND a")          # dangling operator
+    assert errs and q == ast.TermQuery("a")
+    q, errs = parse_query_lenient("a b")            # clean: no errors
+    assert errs == [] and q == QueryParser().parse("a b")

@@ -94,3 +94,22 @@ def test_reloading_reader_sees_new_commits(spark, corpus, tmp_path):
     w.add_documents(corpus.subtract(corpus.limit(120))).commit()
     assert manual.reader() is before             # Manual: no auto refresh
     assert manual.reload().num_docs == 300
+
+
+def test_opstamps_unique_and_monotonic(spark, corpus, tmp_path):
+    """A deletes-only commit advances the opstamp too — stamps are
+    unique/monotonic across commits of every kind, like the reference
+    IndexWriter's commit stamps (index_writer.rs)."""
+    out = str(tmp_path / "w_ops")
+    w = IndexWriter(spark, out, IndexConfig(key_col="url", text_col="text"),
+                    segments_per_batch=2)
+    s1 = w.add_documents(corpus).commit()
+    s2 = w.delete_term("the").commit()          # deletes-only
+    s3 = w.add_documents(corpus.limit(5)).commit()
+    assert s1 < s2 < s3
+    # a fresh writer over the same index resumes past the highest stamp
+    w2 = IndexWriter(spark, out,
+                     IndexConfig(key_col="url", text_col="text"),
+                     segments_per_batch=2)
+    s4 = w2.delete_term("of").commit()
+    assert s4 > s3
