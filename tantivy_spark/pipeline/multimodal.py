@@ -108,41 +108,47 @@ def media_binary_features(df: DataFrame, payload_col: str = "payload",
     before any decode (dedup by fingerprint, drop truncated/low-entropy
     payloads, route by container format).
 
-    Arrow-batched; the entropy histogram is one numpy bincount per
-    payload — no per-byte Python.
-    """
+    Execution split: format sniff, size, and header hex are PLAIN JVM
+    expressions (binary substring comparisons against the magic table,
+    octet_length, hex) — whole-stage-codegen'd, no Python.  Only what
+    genuinely needs the payload BYTES in Python — the blake2b
+    fingerprint (C-speed per call) and the numpy bincount entropy —
+    runs in an Arrow-batched pandas UDF, whose per-row loop touches
+    nothing else."""
     import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for rid, payload in zip(pdf["_id"], pdf["_payload"]):
-                b = bytes(payload) if payload is not None else b""
-                fmt = "unknown"
-                for sig, name in MAGIC_SIGNATURES:
-                    if b.startswith(sig):
-                        fmt = name
-                        break
-                if b:
-                    arr = np.frombuffer(b, dtype=np.uint8)
-                    counts = np.bincount(arr, minlength=256)
-                    p = counts[counts > 0] / len(arr)
-                    entropy = float(-(p * np.log2(p)).sum())
-                else:
-                    entropy = 0.0
-                import hashlib
-                fp = int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(),
-                                    "big", signed=False) - (1 << 63)
-                rows.append({
-                    "id": int(rid), "format": fmt, "n_bytes": len(b),
-                    "header_hex": b[:4].hex(),
-                    "fingerprint": fp,
-                    "entropy_r": round(entropy, 4),
-                })
-            yield pd.DataFrame(rows)
+    @pandas_udf("struct<fingerprint: bigint, entropy_r: double>")
+    def _payload_stats(payloads: pd.Series) -> pd.DataFrame:
+        import hashlib
 
-    src = df.select(F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload"))
-    return src.mapInPandas(
-        kernel,
-        schema="id BIGINT, format STRING, n_bytes BIGINT, header_hex STRING, "
-               "fingerprint BIGINT, entropy_r DOUBLE")
+        fps, ents = [], []
+        for payload in payloads:
+            b = bytes(payload) if payload is not None else b""
+            fps.append(int.from_bytes(
+                hashlib.blake2b(b, digest_size=8).digest(), "big",
+                signed=False) - (1 << 63))
+            if b:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256)
+                p = counts[counts > 0] / len(arr)
+                ents.append(round(float(-(p * np.log2(p)).sum()), 4))
+            else:
+                ents.append(0.0)
+        return pd.DataFrame({"fingerprint": fps, "entropy_r": ents})
+
+    payload = F.coalesce(F.col(payload_col), F.lit(b""))
+    fmt = F.lit("unknown")
+    # build the when-chain innermost-last so earlier signatures win,
+    # matching the MAGIC_SIGNATURES priority order
+    for sig, name in reversed(MAGIC_SIGNATURES):
+        fmt = F.when(F.substring(payload, 1, len(sig)) == F.lit(sig),
+                     F.lit(name)).otherwise(fmt)
+    stats = _payload_stats(payload)
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        fmt.alias("format"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.lower(F.hex(F.substring(payload, 1, 4))).alias("header_hex"),
+        stats["fingerprint"].alias("fingerprint"),
+        stats["entropy_r"].alias("entropy_r"))

@@ -93,11 +93,71 @@ def cosine_pairs_udf():
     return _cos
 
 
+def _table_seed(seed: int, t: int) -> int:
+    return seed + 7919 * t
+
+
+def build_lsh_tables(df: DataFrame, dim: int, n_bits: int = 6,
+                     n_tables: int = 4, seed: int = 13,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(table, id, bucket) for ALL hyperplane tables in ONE scan: the
+    per-table planes stack into one (dim, n_tables*n_bits) matrix, so a
+    single matmul per Arrow batch buckets every table at once.  Persist
+    the (narrow) result and hand it to :func:`lsh_cosine_topk` as
+    ``bucket_tables`` — repeated queries then skip the n_tables full
+    scans entirely, mirroring the IVF path's prebuilt
+    (centroids, assignments) reuse."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.hstack([
+        np.random.default_rng(_table_seed(seed, t))
+        .standard_normal((n_bits, dim)).T
+        for t in range(n_tables)
+    ]).copy()                                     # (dim, n_tables*n_bits)
+    weights = (1 << np.arange(n_bits, dtype=np.uint64))
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (m @ planes) > 0                   # (batch, T*b)
+        per_t = bits.reshape(len(m), -1, len(weights))  # (batch, T, b)
+        out = (per_t.astype(np.uint64) * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(out))
+
+    with_b = df.select(F.col(id_col).alias("id"),
+                       _buckets(F.col(vec_col)).alias("_bs"))
+    return with_b.select(
+        "id", F.posexplode(F.col("_bs")).alias("table", "bucket"))
+
+
+def lsh_query_probes(query_vec, n_bits: int = 6, n_tables: int = 4,
+                     seed: int = 13, multiprobe_bits: int = 1
+                     ) -> dict[int, list[int]]:
+    """{table -> probe buckets} for a query vector: its bucket per table
+    plus all buckets within ``multiprobe_bits`` Hamming distance."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    out: dict[int, list[int]] = {}
+    for t in range(n_tables):
+        rng = np.random.default_rng(_table_seed(seed, t))
+        planes = rng.standard_normal((n_bits, len(q)))
+        qb = int(((planes @ q > 0).astype(np.uint64)
+                  * (1 << np.arange(n_bits, dtype=np.uint64))).sum())
+        probes = {qb}
+        if multiprobe_bits >= 1:
+            probes |= {qb ^ (1 << j) for j in range(n_bits)}
+        out[t] = sorted(probes)
+    return out
+
+
 def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                     n_bits: int = 6, n_tables: int = 4, seed: int = 13,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     exclude_id: int | None = None,
-                    multiprobe_bits: int = 1) -> DataFrame:
+                    multiprobe_bits: int = 1,
+                    bucket_tables: DataFrame | None = None) -> DataFrame:
     """Approximate cosine top-k: OR-amplified multi-table hyperplane LSH.
 
     Each of ``n_tables`` independent tables hashes vectors to ``n_bits``
@@ -106,26 +166,22 @@ def lsh_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     exact scorer ranks the candidate set.  Recall per true neighbour at
     angular similarity p is 1-(1-p^b)^L — tune (b, L) to the corpus; more
     tables buy recall, more bits buy selectivity.
-    """
-    import numpy as np
 
-    q = np.asarray(query_vec, dtype=np.float64)
-    cand_ids = None
-    for t in range(n_tables):
-        tseed = seed + 7919 * t
-        rng = np.random.default_rng(tseed)
-        planes = rng.standard_normal((n_bits, len(q)))
-        qb = 0
-        for j in range(n_bits):
-            if float(planes[j] @ q) > 0:
-                qb |= 1 << j
-        probes = {qb}
-        if multiprobe_bits >= 1:
-            probes |= {qb ^ (1 << j) for j in range(n_bits)}
-        buckets = hyperplane_lsh_buckets(df, len(q), n_bits, tseed, id_col, vec_col)
-        ids = buckets.filter(F.col("bucket").isin(list(probes))).select("id")
-        cand_ids = ids if cand_ids is None else cand_ids.unionByName(ids)
-    cand_ids = cand_ids.distinct()
+    ``bucket_tables``: a prebuilt (table, id, bucket) frame from
+    :func:`build_lsh_tables` (same n_bits/n_tables/seed).  With it, a
+    query is one filter over the narrow bucket table — no embedding
+    scan until the exact rescoring of the candidate set.  Without it,
+    the tables are built inline (still ONE embedding scan for all
+    tables)."""
+    probes = lsh_query_probes(query_vec, n_bits, n_tables, seed,
+                              multiprobe_bits)
+    bt = bucket_tables if bucket_tables is not None else build_lsh_tables(
+        df, len(query_vec), n_bits, n_tables, seed, id_col, vec_col)
+    pred = None
+    for t, bks in probes.items():
+        c = (F.col("table") == t) & F.col("bucket").isin(bks)
+        pred = c if pred is None else (pred | c)
+    cand_ids = bt.filter(pred).select("id").distinct()
     cand = df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
     return brute_force_cosine_topk(cand, query_vec, k=k, id_col=id_col,
                                    vec_col=vec_col, exclude_id=exclude_id)

@@ -102,6 +102,28 @@ def test_lsh_ann_recall(spark, emb):
     assert recall >= 0.5, (recall, exact, approx)
 
 
+def test_lsh_prebuilt_tables_identical(spark, emb):
+    """A prebuilt (table, id, bucket) frame gives bit-identical results
+    to the inline path — repeated queries reuse it and skip the
+    embedding scans (the IVF prebuilt-quantizer pattern)."""
+    from tantivy_spark.pipeline.similarity import (
+        build_lsh_tables, lsh_cosine_topk)
+
+    bt = build_lsh_tables(emb, 64, n_bits=6, n_tables=6).cache()
+    try:
+        for qid in (0, 3):
+            q = [float(x) for x in emb.filter(
+                F.col("vec_id") == qid).collect()[0]["embedding"]]
+            inline = [(r["id"], r["cos_r"]) for r in lsh_cosine_topk(
+                emb, q, k=10, n_bits=6, n_tables=6, exclude_id=qid).collect()]
+            prebuilt = [(r["id"], r["cos_r"]) for r in lsh_cosine_topk(
+                emb, q, k=10, n_bits=6, n_tables=6, exclude_id=qid,
+                bucket_tables=bt).collect()]
+            assert inline == prebuilt
+    finally:
+        bt.unpersist()
+
+
 def test_lsh_buckets_deterministic(spark, emb):
     from tantivy_spark.pipeline.similarity import hyperplane_lsh_buckets
 
@@ -169,6 +191,12 @@ def test_media_binary_features(spark):
     fps = {r["id"]: r["fingerprint"]
            for r in media_binary_features(df2).collect()}
     assert fps[10] == fps[11] != fps[12]
+    # plan split: sniff/size/header are JVM expressions (codegen), only
+    # the entropy+fingerprint struct goes through the Arrow UDF
+    plan = media_binary_features(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "octet_length" in plan and "substring" in plan
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_ivf_ann_recall(spark):
