@@ -143,6 +143,19 @@ def main() -> None:
         "ann_cosine": lambda: e.ann_cosine_topk(spark, sf_dir).collect(),
         "token_counts": lambda: e.token_counts_docs(spark, sf_dir).count(),
     }
+    # hyperplane-LSH ANN: per-query cost with vs without prebuilt bucket
+    # tables (build_lsh_tables) — the prebuilt path must skip the
+    # embedding scans
+    from tantivy_spark.pipeline.similarity import (
+        build_lsh_tables, lsh_cosine_topk)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    lsh_bt = build_lsh_tables(emb, len(qv), n_bits=6, n_tables=4).cache()
+    lsh_bt.count()  # materialize outside the timed region
+    suite["ann_lsh_inline"] = lambda: lsh_cosine_topk(
+        emb, qv, k=10, n_bits=6, n_tables=4).collect()
+    suite["ann_lsh_prebuilt"] = lambda: lsh_cosine_topk(
+        emb, qv, k=10, n_bits=6, n_tables=4, bucket_tables=lsh_bt).collect()
     for name, fn in suite.items():
         record(name, fn, trials=3)
     total = timings["index_build"] + sum(timings[n] for n in suite)

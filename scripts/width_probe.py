@@ -5,7 +5,8 @@ d, "load_before": [...], "load_after": [...]}.
 Run by bench.py as a subprocess so the width probe gets its own Spark
 master (one JVM cannot change local[N] after startup).
 
-Usage: python scripts/width_probe.py <corpus_parquet_path> <cpus> [n_segments]
+Usage: python scripts/width_probe.py <corpus_parquet_path> <cpus>
+       [n_segments] [trials]
 
 ``n_segments`` defaults to 32 and should match the main bench's big
 build, so the probe varies ONLY executor-thread width — the produced
@@ -28,6 +29,7 @@ sys.path.insert(0, REPO)
 def main() -> None:
     corpus_path, cpus = sys.argv[1], sys.argv[2]
     n_segments = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n_trials = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     os.makedirs("/dev/shm/spark_local", exist_ok=True)
     os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark_local")
 
@@ -42,7 +44,7 @@ def main() -> None:
     out = f"/dev/shm/tantivy_width_probe_idx_{cpus}"
     load_before = [round(x, 2) for x in os.getloadavg()]
     trials = []
-    for _ in range(2):  # best-of-2, same discipline as the main bench
+    for _ in range(n_trials):  # best-of-N, same discipline as the bench
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         build_index(spark, docs, out, IndexConfig(

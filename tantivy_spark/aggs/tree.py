@@ -40,14 +40,18 @@ aggregation/mod.rs:119-128 — per-segment partial sketches merged
 upward): Spark's execution model provides exactly this WITHIN a query —
 ``percentile_approx`` (KLL) and ``approx_count_distinct`` (HLL++) build
 per-partition partial sketches that the final aggregation merges, which
-is the property that makes them correct at any partition count.  What
-this module does NOT offer is persisting partial sketches ACROSS queries
-(incremental aggregation over growing indexes); re-aggregation is one
-scan of the fast-field columns, which is the Spark-native cost model.
-The sketch ALGORITHMS also differ from the reference's (KLL vs DDSketch
-for percentiles, HLL++ vs DataSketches HLL for cardinality): compatible
-error envelopes, not bit-identical estimates — which is why the approx
-gate entries are rows-only.
+is the property that makes them correct at any partition count.
+ACROSS queries, aggs/sketches.py persists the partial sketches
+themselves: ``hll_sketch_agg`` emits binary DataSketches HLL sketches —
+the SAME sketch family the reference's cardinality agg uses
+(metric/cardinality.rs) — that store next to index batches and merge
+later with ``hll_union_agg``, so re-estimating a growing index never
+rescans the data; a cardinality request opts in with
+``{"sketch": true}``.  Percentile sketches (KLL here, DDSketch there)
+expose no serialized form in Spark, so cross-query percentile merging
+is documented-out: re-aggregation is one fast-field column scan.
+Estimates are approximate-compatible, not bit-identical — which is why
+the approx gate entries are rows-only.
 """
 
 from __future__ import annotations
@@ -102,8 +106,13 @@ def _metric_cols(name: str, kind: str, body: dict) -> list[Column]:
     if kind == "value_count":
         return [F.count(f).alias(f"{name}.value")]
     if kind == "cardinality":
-        # HLL++ sketch (reference uses DataSketches HLL: approximate-
-        # compatible, not bit-identical)
+        if body.get("sketch"):
+            # DataSketches HLL — the reference's exact sketch family
+            # (metric/cardinality.rs); partial sketches also persist and
+            # merge ACROSS queries via aggs/sketches.py
+            from tantivy_spark.aggs.sketches import hll_estimate
+            return [hll_estimate(f).alias(f"{name}.value")]
+        # default: HLL++ (approximate-compatible with the reference)
         return [F.approx_count_distinct(f).alias(f"{name}.value")]
     if kind == "stats":
         return [F.count(f).alias(f"{name}.count"),

@@ -2,6 +2,7 @@
 style: request JSON in, exact results out, checked against direct SQL)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from tantivy_spark.aggs import run_agg_tree
 from tantivy_spark.aggs.tree import to_es_json
@@ -329,3 +330,43 @@ class TestAggregationLimits:
                                    "min_doc_count": 0}}}
         rows = run_agg_tree(events, req)["h"].collect()
         assert sum(r["doc_count"] for r in rows) == events.count()
+
+
+class TestMergeableSketches:
+    """Cross-query mergeable sketches (ref: IntermediateAggregationResults,
+    mod.rs:119-128; DataSketches HLL like metric/cardinality.rs)."""
+
+    def test_partition_invariance_within_query(self, spark, events):
+        """The within-query merge property: sketch estimates are
+        identical at any partition count (partials merge exactly)."""
+        a = events.repartition(2).agg(
+            F.approx_count_distinct("user_id")).collect()[0][0]
+        b = events.repartition(13).agg(
+            F.approx_count_distinct("user_id")).collect()[0][0]
+        assert a == b
+
+    def test_incremental_union_equals_whole(self, spark, events):
+        """Partial sketches per batch union to the SAME estimate as one
+        sketch over everything — the incremental-aggregation property."""
+        from tantivy_spark.aggs.sketches import (
+            cardinality_sketch, merge_cardinality)
+
+        whole = cardinality_sketch(events, "user_id")
+        whole_est = merge_cardinality(whole).collect()[0]["estimate"]
+        b1 = cardinality_sketch(events.filter("event_id % 3 = 0"), "user_id")
+        b2 = cardinality_sketch(events.filter("event_id % 3 = 1"), "user_id")
+        b3 = cardinality_sketch(events.filter("event_id % 3 = 2"), "user_id")
+        merged = merge_cardinality(b1.unionAll(b2).unionAll(b3)) \
+            .collect()[0]["estimate"]
+        assert merged == whole_est
+        exact = events.select("user_id").distinct().count()
+        assert abs(merged - exact) / exact < 0.05
+
+    def test_tree_sketch_cardinality(self, spark, events):
+        from tantivy_spark.aggs import run_agg_tree
+
+        out = run_agg_tree(events, {
+            "n": {"cardinality": {"field": "user_id", "sketch": True}}})
+        est = out["n"].collect()[0]["n.value"]
+        exact = events.select("user_id").distinct().count()
+        assert abs(est - exact) / exact < 0.05
