@@ -475,14 +475,14 @@ class ExactSearcher:
             .agg(F.count("*").alias("tf"))
         )
         # per-slot doc freq = docs containing any of the slot's terms; the
-        # summed-idf multi-term weight, like PhraseQuery (bm25.rs:120-128)
-        slot_dfs = []
-        for terms in slot_terms:
-            n = (self.flat_postings(terms)
-                 .filter(F.col("term").isin(terms))
-                 .select("segment_ord", "doc_id").distinct().count())
-            slot_dfs.append(n)
-        idf_sum = sum(idf64(df_, self.N) for df_ in slot_dfs)
+        # summed-idf multi-term weight, like PhraseQuery (bm25.rs:120-128).
+        # ONE grouped job over the already-built slot frame instead of a
+        # serial count() per slot.
+        df_rows = (allp.select("slot", "segment_ord", "doc_id").distinct()
+                   .groupBy("slot").agg(F.count("*").alias("df")).collect())
+        slot_dfs = {int(r["slot"]): int(r["df"]) for r in df_rows}
+        idf_sum = sum(idf64(slot_dfs.get(i, 0), self.N)
+                      for i in range(len(slot_terms)))
         w = idf_sum * (1.0 + K1) * boost
         avg = self.reader.avg_fieldnorm_for_term(slot_terms[0][0])
         return hits.select("segment_ord", "doc_id",
