@@ -18,6 +18,12 @@ so no collision with text terms):
 - string leaf:  ``{path}={value}``       (unchanged from the untyped scheme)
 - number leaf:  ``{path}#n={hex16}``     (order-preserving encoding)
 - bool leaf:    ``{path}#b=true|false``
+
+Precision note: all numbers route through the f64 encoding (one tag
+instead of the reference's separate i64/u64/f64 tags, term.rs:72-80) —
+integers are exact up to 2^53; beyond that adjacent integers may share
+an encoding.  Web-page json payloads rarely carry >2^53 integers; if a
+corpus does, add an ``#i=`` offset-binary i64 tag alongside.
 """
 
 from __future__ import annotations

@@ -72,3 +72,26 @@ def test_json_range_end_to_end(spark, tmp_path):
         sum(1 for v in vals if v <= 0)
     assert s.count(json_range_query("k", 60, None, field="props")) == \
         sum(1 for v in vals if v >= 60)
+
+
+def test_json_range_pushes_to_postings_scan(spark, tmp_path):
+    """The typed-json range is an ordinary term range: its bounds reach
+    the postings parquet scan as pushed filters (the FST-range walk's
+    work done by row-group min/max pruning)."""
+    from tantivy_spark.index.build import IndexConfig, build_index
+    from tantivy_spark.index.reader import IndexReader
+    from tantivy_spark.query.exact import ExactSearcher
+
+    rows = [(str(i), i, json.dumps({"k": i * 10})) for i in range(20)]
+    df = spark.createDataFrame(rows, "key STRING, i LONG, props STRING")
+    out = str(tmp_path / "jidx2")
+    build_index(spark, df, out, IndexConfig(
+        key_col="key", field_cols={"props": "props"},
+        field_analyzers={"props": "json_typed"},
+        n_segments=2, segment_expr="pmod(i, 2)"), resume=False)
+    s = ExactSearcher(IndexReader(spark, out))
+    q = json_range_query("k", 30, 120, field="props")
+    plan = s.matching(q)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    # the range bounds appear among the pushed filters on `term`
+    assert "GreaterThanOrEqual(term" in plan and "LessThanOrEqual(term" in plan
