@@ -328,19 +328,27 @@ def json_path_tokens_col(json_str: Column) -> Column:
 def json_typed_tokens(json_str: Column) -> Column:
     """TYPED arbitrary-depth JsonObject indexing (ref:
     src/schema/term.rs:72-80 — JSON terms carry the path prefix AND a
-    value type tag): string leaves index as ``path=value`` like the
-    untyped scheme; numbers as ``path#n=<order-preserving hex16>`` and
-    bools as ``path#b=true|false`` (tantivy_spark.functions.jsonterm),
-    so numeric RANGE queries inside a json field lower to ordinary
-    TermRangeQuery dictionary walks.  Arrow-batched pandas UDF."""
+    value type tag): string leaves TOKENIZE with the default text
+    analyzer into ``path=tok`` terms IN ORDER (so term queries are
+    case-folded and PhraseQuery works inside json values — positions
+    are the emitted token indices, and since phrase terms all carry the
+    same path prefix, tokens of other paths never match into a phrase,
+    exactly the reference's json-field phrase behaviour); numbers index
+    as ``path#n=<order-preserving hex16>`` and bools as
+    ``path#b=true|false`` (tantivy_spark.functions.jsonterm), so
+    numeric RANGE queries lower to ordinary TermRangeQuery dictionary
+    walks.  Arrow-batched pandas UDF."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
     def _flat(s: pd.Series) -> pd.Series:
         import json
+        import re as _re
 
         from tantivy_spark.functions.jsonterm import (
             json_bool_term, json_num_term, json_str_term)
+
+        word_re = _re.compile(r"[^\W_]+", _re.UNICODE)
 
         def flatten(obj, prefix=""):
             out = []
@@ -356,7 +364,10 @@ def json_typed_tokens(json_str: Column) -> Column:
             elif isinstance(obj, (int, float)):
                 out.append(json_num_term(prefix, obj))
             elif isinstance(obj, str):
-                out.append(json_str_term(prefix, obj))
+                # default-analyzer tail: lowercase alnum runs, 40-byte cap
+                out.extend(json_str_term(prefix, t.lower())
+                           for t in word_re.findall(obj)
+                           if len(t.encode("utf-8")) < 40)
             # null: not indexed (the reference indexes no term for null)
             return out
 

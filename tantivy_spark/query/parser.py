@@ -461,19 +461,48 @@ class QueryParser:
             if nk == "word" and nv.startswith(self._ELASTIC_OPS):
                 self._next()
                 return self._json_elastic(field, path, nv)
+            if nk == "quoted":
+                # phrase INSIDE a json value: every term carries the
+                # path prefix, so only that path's positions participate
+                node = self._atom()
+                if isinstance(node, ast.TermQuery):
+                    return ast.TermQuery(f"{path}={node.term}", field=field)
+                if isinstance(node, ast.PhraseQuery):
+                    return ast.PhraseQuery(
+                        [f"{path}={t}" for t in node.phrase_terms],
+                        slop=node.slop, field=field)
+                return ast.EmptyQuery()
             raise QueryParserError(
                 f"dangling json path prefix {field}.{path}:")
         op = next((o for o in self._ELASTIC_OPS if rest.startswith(o)), None)
         if op is not None:
             return self._json_elastic(field, path, rest)
+        # literal: like the reference, try EVERY value interpretation —
+        # the typed (number/bool) term OR the analyzed string tokens —
+        # so `k:42` matches {"k": 42} and {"k": "42"} alike
+        str_terms = [f"{path}={t}" for t in analyze_literal(rest)]
+        if not str_terms:
+            str_node: ast.Query = ast.EmptyQuery()
+        elif len(str_terms) == 1:
+            str_node = ast.TermQuery(str_terms[0], field=field)
+        else:
+            str_node = ast.PhraseQuery(str_terms, field=field)
+        typed_node = None
         if rest in ("true", "false"):
-            return ast.TermQuery(json_bool_term(path, rest == "true"),
-                                 field=field)
-        try:
-            return ast.TermQuery(json_num_term(path, float(rest)),
-                                 field=field)
-        except ValueError:
-            return ast.TermQuery(f"{path}={rest}", field=field)
+            typed_node = ast.TermQuery(json_bool_term(path, rest == "true"),
+                                       field=field)
+        else:
+            try:
+                typed_node = ast.TermQuery(json_num_term(path, float(rest)),
+                                           field=field)
+            except ValueError:
+                pass
+        if typed_node is None:
+            return str_node
+        if isinstance(str_node, ast.EmptyQuery):
+            return typed_node
+        return ast.BooleanQuery([(ast.Occur.SHOULD, typed_node),
+                                 (ast.Occur.SHOULD, str_node)])
 
     def _json_range(self, field: str, path: str,
                     node: ast.Query) -> ast.Query:

@@ -95,3 +95,41 @@ def test_json_range_pushes_to_postings_scan(spark, tmp_path):
     assert "PushedFilters: [" in plan
     # the range bounds appear among the pushed filters on `term`
     assert "GreaterThanOrEqual(term" in plan and "LessThanOrEqual(term" in plan
+
+
+def test_json_string_tokenization_and_phrase(spark, tmp_path):
+    """String leaves tokenize with the default analyzer (path=tok terms
+    in order), so case-folded terms AND phrases work inside json values
+    — the reference's json text behaviour (string values run through
+    the field's tokenizer, positions per path)."""
+    from tantivy_spark.index.build import IndexConfig, build_index
+    from tantivy_spark.index.reader import IndexReader
+    from tantivy_spark.query import ast
+    from tantivy_spark.query.exact import ExactSearcher
+    from tantivy_spark.query.parser import QueryParser
+
+    rows = [
+        ("0", 0, json.dumps({"t": "The Quick Brown Fox", "k": 42})),
+        ("1", 1, json.dumps({"t": "brown quick", "k": "42"})),
+        ("2", 2, json.dumps({"t": "nothing here", "other": "quick brown"})),
+    ]
+    df = spark.createDataFrame(rows, "key STRING, i LONG, props STRING")
+    out = str(tmp_path / "jidx3")
+    build_index(spark, df, out, IndexConfig(
+        key_col="key", field_cols={"props": "props"},
+        field_analyzers={"props": "json_typed"},
+        n_segments=2, segment_expr="pmod(i, 2)"), resume=False)
+    s = ExactSearcher(IndexReader(spark, out))
+    pr = QueryParser(fields=["props"])
+
+    # case-folded term inside the json value
+    assert s.count(pr.parse("props.t:QUICK")) == 2
+    # phrase inside a json value: order matters, and the path prefix
+    # keeps other paths' tokens out (doc 2 has "quick brown" under
+    # `other`, not `t`)
+    assert s.count(pr.parse('props.t:"quick brown"')) == 1
+    assert s.count(pr.parse('props.other:"quick brown"')) == 1
+    # number-or-string union: k:42 matches the number AND the string
+    assert s.count(pr.parse("props.k:42")) == 2
+    # but the range hits only the NUMBER-typed doc
+    assert s.count(pr.parse("props.k:[40 TO 45]")) == 1

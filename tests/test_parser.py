@@ -401,15 +401,26 @@ def test_escaped_and_dotted_field_names():
     addresses a path INSIDE it (term.rs:72-80 json addressing)."""
     from tantivy_spark.functions.jsonterm import json_num_term
 
+    S = ast.Occur.SHOULD
     pr = QueryParser(fields=["a.b", "props", "text"])
     assert pr.parse(r"a\.b:data") == ast.TermQuery("data", field="a.b")
-    # dotted path under a registered field -> typed json term
-    assert pr.parse("props.k:42") == ast.TermQuery(
-        json_num_term("k", 42.0), field="props")
+    # dotted path under a registered field: like the reference, a json
+    # literal tries EVERY value interpretation — typed term OR analyzed
+    # string tokens
+    assert pr.parse("props.k:42") == ast.BooleanQuery([
+        (S, ast.TermQuery(json_num_term("k", 42.0), field="props")),
+        (S, ast.TermQuery("k=42", field="props"))])
     assert pr.parse("props.k.deep:hi") == ast.TermQuery(
         "k.deep=hi", field="props")
-    assert pr.parse("props.flag:true") == ast.TermQuery(
-        "flag#b=true", field="props")
+    assert pr.parse("props.flag:true") == ast.BooleanQuery([
+        (S, ast.TermQuery("flag#b=true", field="props")),
+        (S, ast.TermQuery("flag=true", field="props"))])
+    # analyzed string literals: case folds, multi-token becomes a
+    # path-prefixed phrase; quoted phrases attach the path per term
+    assert pr.parse("props.t:QUICK") == ast.TermQuery("t=quick",
+                                                      field="props")
+    assert pr.parse('props.t:"quick brown"') == ast.PhraseQuery(
+        ["t=quick", "t=brown"], field="props")
     # numeric range inside the json field -> order-preserving term range
     q = pr.parse("props.k:[20 TO 60}")
     assert isinstance(q, ast.TermRangeQuery)
