@@ -19,7 +19,9 @@ attached to intermediate levels join on as ``{name}.{stat}`` columns
 response shape.
 
 Bucket features vs the reference:
-- terms: ``size`` (top-N per parent bucket), ``min_doc_count``.
+- terms: ``size`` (top-N per parent bucket), ``min_doc_count``, and
+  ``order`` by ``_count`` / ``_key`` / a metric sub-agg (asc|desc) —
+  selection AND output ordering honor it (bucket/terms.rs order).
 - histogram: ``interval``/``offset``, ``min_doc_count: 0`` gap filling
   with ``extended_bounds`` / ``hard_bounds`` (histogram.rs:63-129) — the
   empty-bucket domain is generated distributedly per parent bucket
@@ -170,6 +172,33 @@ def _bucket_key(kind: str, body: dict) -> tuple[Column, str]:
                     "hour": "yyyy-MM-dd HH"}
         return F.date_format(F.col(field), unit_map[unit]), "key_as_string"
     raise ValueError(kind)
+
+
+def _terms_sort_cols(order: dict | None, key_col: str, count_col: str,
+                     lvl: "_Level") -> list[Column]:
+    """ES terms ``order`` -> sort columns (ref: bucket/terms.rs custom
+    order): ``{"_count": dir}``, ``{"_key": dir}``, or
+    ``{"<metric sub-agg>[.stat]": dir}``.  Default _count desc; the key
+    always tie-breaks ascending for determinism."""
+    if not order:
+        return [F.desc(count_col), F.asc(key_col)]
+    ((target, direction),) = order.items()
+    if direction not in ("asc", "desc"):
+        raise ValueError(f"terms order direction {direction!r}")
+    if target == "_count":
+        col = F.col(count_col)
+    elif target == "_key":
+        col = F.col(key_col)
+    else:
+        sname = target.split(".")[0]
+        if sname not in lvl.metrics:
+            raise ValueError(
+                f"terms order target {target!r} is not a metric sub-agg "
+                f"of this level (have {sorted(lvl.metrics)})")
+        alias = target if "." in target else f"{target}.value"
+        col = F.col(f"`{alias}`")
+    col = col.desc() if direction == "desc" else col.asc()
+    return [col, F.asc(key_col)]
 
 
 def _filter_pred(body: dict) -> Column:
@@ -366,15 +395,21 @@ def _run_chain(df: DataFrame, name: str, kind: str, body: dict,
         keys = ikeys[:upto]
         size = lvl.body.get("size")
         min_dc = int(lvl.body.get("min_doc_count", 1))
+        order = lvl.body.get("order")
         if size is None and min_dc <= 1:
             continue
-        counts = work.groupBy(*keys).agg(F.count(F.lit(1)).alias("_dc"))
+        sel_aggs = [F.count(F.lit(1)).alias("_dc")]
+        if order and next(iter(order)) not in ("_count", "_key"):
+            # order-by-sub-metric: the selection frame computes the
+            # metric per candidate bucket (bucket/terms.rs order path)
+            sel_aggs += _level_metric_cols(levels, i)
+        counts = work.groupBy(*keys).agg(*sel_aggs)
         if min_dc > 1:
             counts = counts.filter(F.col("_dc") >= min_dc)
         if size is not None:
             parents = keys[:-1]
             w = (Window.partitionBy(*parents) if parents else Window) \
-                .orderBy(F.desc("_dc"), F.asc(keys[-1]))
+                .orderBy(*_terms_sort_cols(order, keys[-1], "_dc", lvl))
             counts = (counts.withColumn("_rk", F.row_number().over(w))
                       .filter(F.col("_rk") <= int(size)))
         grouped = grouped.join(F.broadcast(counts.select(*keys)),
@@ -383,6 +418,9 @@ def _run_chain(df: DataFrame, name: str, kind: str, body: dict,
     # ---- pass D: histogram gap filling at the leaf level ---------------
     if leaf.kind == "histogram" and int(leaf.body.get("min_doc_count", 1)) == 0:
         grouped = _fill_histogram_gaps(grouped, leaf, ikeys, max_buckets)
+    if leaf.kind == "date_histogram" and "fixed_interval" in leaf.body \
+            and int(leaf.body.get("min_doc_count", 1)) == 0:
+        grouped = _fill_date_histogram_gaps(grouped, leaf, ikeys, max_buckets)
     if leaf.kind == "histogram" and "hard_bounds" in leaf.body:
         hb = leaf.body["hard_bounds"]
         k = F.col(ikeys[-1])
@@ -400,8 +438,9 @@ def _run_chain(df: DataFrame, name: str, kind: str, body: dict,
     # single-level terms keeps the ES bucket ordering in the flat frame
     if len(levels) == 1 and leaf.kind == "terms":
         size = int(leaf.body.get("size", 10))
-        return _publish(grouped.orderBy(F.desc("doc_count"),
-                                        F.asc(ikeys[0])).limit(size))
+        sort_cols = _terms_sort_cols(leaf.body.get("order"), ikeys[0],
+                                     "doc_count", leaf)
+        return _publish(grouped.orderBy(*sort_cols).limit(size))
     return _publish(grouped.orderBy(*ikeys))
 
 
@@ -448,6 +487,60 @@ def _fill_histogram_gaps(grouped: DataFrame, leaf: _Level, ikeys: list[str],
     return filled.select(
         *parent_keys,
         (F.col("_bi").cast("double") * interval + off).alias(leaf_key),
+        *[F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c) if c == "doc_count"
+          else F.col(f"`{c}`") for c in metric_cols])
+
+
+def _fill_date_histogram_gaps(grouped: DataFrame, leaf: _Level,
+                              ikeys: list[str],
+                              max_buckets: int = DEFAULT_BUCKET_LIMIT
+                              ) -> DataFrame:
+    """date_histogram(fixed_interval) min_doc_count=0: emit empty
+    buckets across the time domain, widened by ``extended_bounds``
+    (epoch seconds or 'yyyy-MM-dd[ HH:mm:ss]' strings) — the same
+    distributed sequence/explode shape as the numeric filler, in
+    bucket-index space over epoch seconds.  Budget-guarded identically
+    (a 1-second interval over a year is 31M buckets — raise, don't
+    explode)."""
+    secs = _fixed_interval_seconds(leaf.body["fixed_interval"])
+    if secs != int(secs):
+        raise ValueError("min_doc_count=0 gap filling requires a "
+                         "whole-second fixed_interval")
+    leaf_key = ikeys[-1]
+    parent_keys = ikeys[:-1]
+
+    def _bound_epoch(v) -> int:
+        if isinstance(v, (int, float)):
+            return int(v)
+        from datetime import datetime
+        s = str(v)
+        fmt = "%Y-%m-%d %H:%M:%S" if " " in s or ":" in s else "%Y-%m-%d"
+        return int(datetime.strptime(s, fmt).timestamp())
+
+    g2 = grouped.withColumn(
+        "_bi", (F.unix_timestamp(F.col(leaf_key), "yyyy-MM-dd HH:mm:ss")
+                / F.lit(secs)).cast("long"))
+    lo_col, hi_col = F.min("_bi"), F.max("_bi")
+    eb = leaf.body.get("extended_bounds")
+    if eb is not None:
+        lo_col = F.least(lo_col, F.lit(int(_bound_epoch(eb["min"]) // secs)))
+        hi_col = F.greatest(hi_col,
+                            F.lit(int(_bound_epoch(eb["max"]) // secs)))
+    bounds = (g2.groupBy(*parent_keys) if parent_keys else g2.groupBy()) \
+        .agg(lo_col.alias("_lo"), hi_col.alias("_hi"))
+    n_dom = F.col("_hi") - F.col("_lo") + F.lit(1)
+    bounds = bounds.withColumn(
+        "_lo", F.coalesce(_domain_guard(n_dom, max_buckets).cast("long"),
+                          F.col("_lo")))
+    domain = bounds.select(
+        *parent_keys,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_bi"))
+    filled = domain.join(g2.drop(leaf_key), parent_keys + ["_bi"], "left")
+    metric_cols = [c for c in grouped.columns if c not in ikeys]
+    return filled.select(
+        *parent_keys,
+        F.from_unixtime(F.col("_bi") * int(secs),
+                        "yyyy-MM-dd HH:mm:ss").alias(leaf_key),
         *[F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c) if c == "doc_count"
           else F.col(f"`{c}`") for c in metric_cols])
 

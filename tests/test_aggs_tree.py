@@ -370,3 +370,78 @@ class TestMergeableSketches:
         est = out["n"].collect()[0]["n.value"]
         exact = events.select("user_id").distinct().count()
         assert abs(est - exact) / exact < 0.05
+
+
+class TestTermsOrder:
+    """terms `order` by _key/_count/metric sub-agg (bucket/terms.rs)."""
+
+    def test_order_by_key_and_metric(self, spark, events):
+        req = {"t": {"terms": {"field": "event_type", "size": 100,
+                               "order": {"_key": "asc"}}}}
+        keys = [r["key"] for r in run_agg_tree(events, req)["t"].collect()]
+        assert keys == sorted(keys)
+
+        req = {"t": {"terms": {"field": "event_type", "size": 3,
+                               "order": {"av": "desc"}},
+                     "aggs": {"av": {"avg": {"field": "value"}}}}}
+        rows = run_agg_tree(events, req)["t"].collect()
+        want = spark.sql("""
+            SELECT event_type AS key, avg(value) AS a FROM {e}
+            GROUP BY 1 ORDER BY a DESC, key ASC LIMIT 3
+        """, e=events).collect()
+        assert [r["key"] for r in rows] == [r["key"] for r in want]
+        avs = [r["av.value"] for r in rows]
+        assert avs == sorted(avs, reverse=True)
+
+    def test_order_selects_per_parent(self, spark, events):
+        """order-by-metric drives the per-parent top-N selection too."""
+        req = {"u": {"terms": {"field": "event_type"},
+                     "aggs": {"top_users": {
+                         "terms": {"field": "user_id", "size": 1,
+                                   "order": {"mv": "desc"}},
+                         "aggs": {"mv": {"max": {"field": "value"}}}}}}}
+        rows = run_agg_tree(events, req)["u"].collect()
+        want = {r["event_type"]: r["u"] for r in spark.sql("""
+            SELECT event_type, user_id AS u FROM (
+              SELECT event_type, user_id,
+                     row_number() OVER (PARTITION BY event_type
+                         ORDER BY max(value) DESC, user_id ASC) AS rk
+              FROM {e} GROUP BY 1, 2) WHERE rk = 1
+        """, e=events).collect()}
+        got = {r["key"]: r["top_users.key"] for r in rows}
+        assert got == want
+
+    def test_bad_order_target_raises(self, spark, events):
+        req = {"t": {"terms": {"field": "event_type",
+                               "order": {"nope": "desc"}}}}
+        with pytest.raises(ValueError, match="not a metric sub-agg"):
+            run_agg_tree(events, req)["t"].collect()
+
+
+def test_date_histogram_gap_fill(spark):
+    """date_histogram(fixed_interval) min_doc_count=0 emits empty
+    buckets across the span, widened by extended_bounds."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", 1.0), ("2024-01-01 03:40:00", 2.0)],
+        "ts STRING, v DOUBLE").select(
+        F.to_timestamp("ts").alias("ts"), "v")
+    req = {"h": {"date_histogram": {"field": "ts", "fixed_interval": "1h",
+                                    "min_doc_count": 0}}}
+    rows = run_agg_tree(df, req)["h"].collect()
+    keys = [r["key_as_string"] for r in rows]
+    assert len(keys) == 4                       # 00,01,02,03 — gaps filled
+    assert sorted(keys) == keys
+    counts = {r["key_as_string"][:13]: r["doc_count"] for r in rows}
+    assert counts["2024-01-01 00"] == 1 and counts["2024-01-01 03"] == 1
+    assert counts["2024-01-01 01"] == 0 and counts["2024-01-01 02"] == 0
+
+    # extended_bounds widen the domain; the budget guard still applies
+    req["h"]["date_histogram"]["extended_bounds"] = {
+        "min": "2023-12-31 22:00:00", "max": "2024-01-01 05:00:00"}
+    rows = run_agg_tree(df, req)["h"].collect()
+    assert len(rows) == 8                       # 22..05 inclusive
+    from pyspark.errors import SparkRuntimeException
+    req["h"]["date_histogram"]["fixed_interval"] = "1s"
+    with pytest.raises(Exception) as ei:
+        run_agg_tree(df, req, max_buckets=1000)["h"].collect()
+    assert "bucket budget" in str(ei.value) or "max_buckets" in str(ei.value)
