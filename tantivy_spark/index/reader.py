@@ -149,6 +149,33 @@ class IndexReader:
         out.update({r["term"]: int(r["doc_freq"]) for r in rows})
         return out
 
+    def space_usage(self) -> dict:
+        """On-disk byte accounting per index component — the analogue of
+        ``SegmentReader::space_usage`` (ref: src/space_usage/mod.rs),
+        reported per TABLE rather than per segment (segments share
+        columnar parquet files here; the per-segment split the reference
+        reports falls out of its file-per-segment layout, not of the
+        information content).  Walks file metadata only — no data read,
+        no Spark job."""
+        import os
+
+        out: dict = {"tables": {}, "total_bytes": 0, "n_files": 0}
+        for entry in sorted(os.listdir(self.index_dir)):
+            path = os.path.join(self.index_dir, entry)
+            if os.path.isfile(path):
+                sz = os.path.getsize(path)
+                out["tables"][entry] = {"bytes": sz, "n_files": 1}
+            else:
+                sz = nf = 0
+                for root, _dirs, files in os.walk(path):
+                    for f in files:
+                        sz += os.path.getsize(os.path.join(root, f))
+                        nf += 1
+                out["tables"][entry] = {"bytes": sz, "n_files": nf}
+            out["total_bytes"] += out["tables"][entry]["bytes"]
+            out["n_files"] += out["tables"][entry]["n_files"]
+        return out
+
     def warm(self, include_postings: bool = False) -> "IndexReader":
         """Pin the hot index tables in executor memory — the analogue of
         the reference's Warmer API (src/reader/warming.rs): repeated

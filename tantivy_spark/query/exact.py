@@ -602,3 +602,63 @@ class ExactSearcher:
         if isinstance(q, ast.TermQuery) and self.reader.deletes is None:
             return self.reader.doc_freqs([q.term])[q.term]
         return self.matching(q).count()
+
+    def explain(self, q: ast.Query, segment_ord: int, doc_id: int) -> dict:
+        """Score explanation for ONE document — the analogue of
+        Query::explain (ref: src/query/explanation.rs; bm25.rs:195-215
+        produces the per-term idf/tf/fieldnorm breakdown).
+
+        Returns ``{"value", "description", "details"}``: ``value`` is
+        the doc's f64 score from the SAME plan ``search`` uses
+        (bit-identical), ``details`` one entry per query term present
+        in the doc with its BM25 components (doc_freq, idf, weight,
+        tf, fieldnorm, norm, partial score).  Raises ValueError if the
+        doc does not match the query."""
+        if self.reader.field_cols:
+            q = ast.qualify(q, self.reader.default_field)
+        row = (self.matching(q)
+               .filter((F.col("segment_ord") == segment_ord)
+                       & (F.col("doc_id") == doc_id)).collect())
+        if not row:
+            raise ValueError(
+                f"doc (segment_ord={segment_ord}, doc_id={doc_id}) "
+                f"does not match the query")
+        total = float(row[0]["score"])
+
+        terms = q.terms()
+        dfs = self.reader.doc_freqs(terms)
+        details = []
+        if terms:
+            prows = (self.flat_postings(terms)
+                     .filter((F.col("segment_ord") == segment_ord)
+                             & (F.col("doc_id") == doc_id)).collect())
+            by_term = {r["term"]: r for r in prows}
+            for t in terms:
+                r = by_term.get(t)
+                if r is None:
+                    continue        # term absent from this doc
+                df_ = dfs.get(t, 0)
+                idf = idf64(df_, self.N)
+                w = idf * (1.0 + K1)
+                avg = self.reader.avg_fieldnorm_for_term(t)
+                fn_id = int(r["fieldnorm_id"])
+                fieldnorm = int(FIELD_NORMS_TABLE[fn_id])
+                tf = float(r["tf"])
+                norm = K1 * (1.0 - B) + (K1 * B / avg) * fieldnorm
+                details.append({
+                    "term": t,
+                    "doc_freq": df_,
+                    "idf": idf,
+                    "weight": w,
+                    "tf": int(tf),
+                    "fieldnorm_id": fn_id,
+                    "fieldnorm": fieldnorm,
+                    "norm": norm,
+                    "value": w * tf / (tf + norm),
+                })
+        return {
+            "value": total,
+            "description": f"{type(q).__name__}, BM25 "
+                           f"(k1={K1}, b={B}, N={self.N})",
+            "details": details,
+        }

@@ -98,6 +98,11 @@ class Searcher:
     def count(self, q) -> int:
         return self.exact.count(self._as_query(q))
 
+    def explain(self, q, segment_ord: int, doc_id: int) -> dict:
+        """Per-doc score explanation (Query::explain analogue) — see
+        ExactSearcher.explain."""
+        return self.exact.explain(self._as_query(q), segment_ord, doc_id)
+
     def aggregate(self, q, request: dict, max_buckets: int | None = None):
         """ES-style aggregation request over the QUERY'S matching docs —
         the reference executes aggregations as collectors over a query's

@@ -202,3 +202,44 @@ def test_custom_query_plugin(searcher, tiny_index):
     assert both and all(
         r["doc_id"] % 2 == 0 and (r["segment_ord"], r["doc_id"]) in data_docs
         for r in both)
+
+
+def test_explain_matches_search_scores(tiny_index):
+    """Query::explain analogue (explanation.rs): the explanation's value
+    is the SAME f64 score search produces, and the per-term BM25
+    components recompose it."""
+    import pytest as _pt
+
+    from tantivy_spark.query import BooleanQuery, Occur, TermQuery
+    from tantivy_spark.query.exact import ExactSearcher
+
+    s = ExactSearcher(tiny_index)
+    top = s.search(TermQuery("data"), k=3).collect()
+    for r in top:
+        ex = s.explain(TermQuery("data"), r["segment_ord"], r["doc_id"])
+        assert ex["value"] == r["score"]            # bit-identical f64
+        (d,) = ex["details"]
+        assert d["term"] == "data" and d["tf"] >= 1
+        assert d["value"] == _pt.approx(ex["value"], rel=1e-12)
+        assert d["doc_freq"] > 0 and d["idf"] > 0
+
+    q = BooleanQuery([(Occur.SHOULD, TermQuery("fast")),
+                      (Occur.SHOULD, TermQuery("scan"))])
+    r = s.search(q, k=1).collect()[0]
+    ex = s.explain(q, r["segment_ord"], r["doc_id"])
+    assert ex["value"] == r["score"]
+    assert sum(d["value"] for d in ex["details"]) == \
+        _pt.approx(ex["value"], rel=1e-12)
+
+    with _pt.raises(ValueError, match="does not match"):
+        s.explain(TermQuery("data"), 10_000, 10_000)
+
+
+def test_space_usage(tiny_index):
+    """SegmentReader::space_usage analogue: per-table on-disk bytes."""
+    su = tiny_index.space_usage()
+    assert {"postings", "docmap", "term_stats", "meta.json"} <= set(su["tables"])
+    assert su["total_bytes"] == sum(
+        t["bytes"] for t in su["tables"].values()) > 0
+    assert su["tables"]["postings"]["bytes"] > 0
+    assert su["n_files"] >= 4
