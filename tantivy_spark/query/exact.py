@@ -57,6 +57,28 @@ def _damerau_levenshtein(a: str, b: str) -> int:
     return prev[lb]
 
 
+def _prefix_edit_distance(t: str, q: str, transpositions: bool) -> int:
+    """min over prefixes p of ``t`` of edit(q, p) — the reference's
+    prefix DFA semantics (fuzzy_query.rs new_prefix / build_prefix_dfa):
+    'jap' matches 'japan' at prefix distance 0.  ``transpositions``
+    selects restricted Damerau-Levenshtein."""
+    lq, lt = len(q), len(t)
+    prev2 = None
+    prev = list(range(lt + 1))      # edit(q[:0], t[:j]) = j
+    if lq == 0:
+        return 0
+    for i in range(1, lq + 1):
+        cur = [i] + [0] * lt
+        for j in range(1, lt + 1):
+            cost = 0 if q[i - 1] == t[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (transpositions and i > 1 and j > 1
+                    and q[i - 1] == t[j - 2] and q[i - 2] == t[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return min(prev)                # best prefix of t
+
+
 def fastfield_filter(df: DataFrame, q: "ast.FastFieldRangeQuery") -> DataFrame:
     """Rows of a columnar (fast-field) table satisfying a
     FastFieldRangeQuery — the predicate pushes into the parquet scan
@@ -547,23 +569,52 @@ class ExactSearcher:
             base = base.filter(
                 F.col("term").startswith(term.split(FIELD_SEP, 1)[0] + FIELD_SEP))
         if prefix:
-            base = base.filter(F.col("term").startswith(term[: max(len(term) - distance, 1)]))
-        coarse = 2 * distance if transposition_cost_one else distance
-        base = base.filter((F.length("term") >= len(term) - distance)
-                           & (F.length("term") <= len(term) + distance)
-                           & (F.levenshtein(F.col("term"), F.lit(term)) <= coarse))
-        if transposition_cost_one:
+            # reference new_prefix semantics (build_prefix_dfa): a
+            # dictionary term matches if SOME PREFIX of it is within
+            # `distance` — longer terms qualify ('jap'~1-prefix matches
+            # 'japan' at prefix distance 0).  Only the first
+            # len(q)+distance chars of a candidate matter (any longer
+            # prefix is already > distance edits by length alone), and
+            # lev(q, t[:len(q)+d]) <= 3d holds for every true match, so
+            # that codegen'd filter is a cheap superset; the exact
+            # prefix-(Damerau-)Levenshtein check runs DISTRIBUTED.
             from pyspark.sql.functions import pandas_udf
 
             qterm, dmax = term, int(distance)
+            trans = bool(transposition_cost_one)
+            base = base.filter(
+                (F.length("term") >= len(term) - distance)
+                & (F.levenshtein(
+                    F.substring(F.col("term"), 1, len(term) + distance),
+                    F.lit(term)) <= 3 * distance))
 
             @pandas_udf("boolean")
-            def _dl_ok(terms_s: pd.Series) -> pd.Series:
-                from tantivy_spark.query.exact import _damerau_levenshtein
+            def _ped_ok(terms_s: pd.Series) -> pd.Series:
+                from tantivy_spark.query.exact import _prefix_edit_distance
+                cut = len(qterm) + dmax
                 return terms_s.map(
-                    lambda t: _damerau_levenshtein(t, qterm) <= dmax)
+                    lambda t: _prefix_edit_distance(t[:cut], qterm,
+                                                    trans) <= dmax)
 
-            base = base.filter(_dl_ok(F.col("term")))
+            base = base.filter(_ped_ok(F.col("term")))
+        else:
+            coarse = 2 * distance if transposition_cost_one else distance
+            base = base.filter(
+                (F.length("term") >= len(term) - distance)
+                & (F.length("term") <= len(term) + distance)
+                & (F.levenshtein(F.col("term"), F.lit(term)) <= coarse))
+            if transposition_cost_one:
+                from pyspark.sql.functions import pandas_udf
+
+                qterm, dmax = term, int(distance)
+
+                @pandas_udf("boolean")
+                def _dl_ok(terms_s: pd.Series) -> pd.Series:
+                    from tantivy_spark.query.exact import _damerau_levenshtein
+                    return terms_s.map(
+                        lambda t: _damerau_levenshtein(t, qterm) <= dmax)
+
+                base = base.filter(_dl_ok(F.col("term")))
         rows = base.select("term").orderBy("term").limit(cap + 1).collect()
         out = [r["term"] for r in rows]
         if len(out) > cap:

@@ -243,3 +243,52 @@ def test_space_usage(tiny_index):
         t["bytes"] for t in su["tables"].values()) > 0
     assert su["tables"]["postings"]["bytes"] > 0
     assert su["n_files"] >= 4
+
+
+def test_fuzzy_prefix_reference_vectors(spark, tmp_path):
+    """Ported from the reference's own fuzzy tests (fuzzy_query.rs
+    test_fuzzy_term): 'japon'~1 matches japan; 'jap'~1 does NOT
+    (non-prefix distance 2); 'jap'~1 PREFIX does (prefix distance 0)."""
+    from tantivy_spark.index.build import IndexConfig, build_index
+    from tantivy_spark.index.reader import IndexReader
+    from tantivy_spark.query import ast
+    from tantivy_spark.query.exact import ExactSearcher
+
+    df = spark.createDataFrame([("0", 0, "japan"), ("1", 1, "korea")],
+                               "key STRING, i LONG, text STRING")
+    out = str(tmp_path / "fidx")
+    build_index(spark, df, out, IndexConfig(
+        key_col="key", text_col="text", n_segments=1,
+        segment_expr="0"), resume=False)
+    s = ExactSearcher(IndexReader(spark, out))
+
+    hits = s.search(ast.FuzzyTermQuery(
+        "japon", distance=1, transposition_cost_one=True), k=2).collect()
+    assert [r["key"] for r in hits] == ["0"]
+
+    assert s.search(ast.FuzzyTermQuery(
+        "jap", distance=1, transposition_cost_one=True), k=2).count() == 0
+
+    hits = s.search(ast.FuzzyTermQuery(
+        "jap", distance=1, transposition_cost_one=True,
+        prefix=True), k=2).collect()
+    assert [r["key"] for r in hits] == ["0"]
+
+    # prefix distance 1 reaches both stems sharing no prefix? no:
+    # 'kore'~0 prefix matches korea only
+    hits = s.search(ast.FuzzyTermQuery(
+        "kore", distance=0, prefix=True), k=2).collect()
+    assert [r["key"] for r in hits] == ["1"]
+
+
+def test_prefix_edit_distance_unit():
+    from tantivy_spark.query.exact import _prefix_edit_distance as ped
+
+    assert ped("japan", "jap", False) == 0       # prefix hit
+    assert ped("japan", "japon", False) == 1     # substitute within prefix
+    assert ped("korea", "jap", False) == 3
+    assert ped("abcd", "acb", True) == 1         # transposed prefix
+    assert ped("abcd", "acb", False) == 1        # edit("acb","ab"): del c
+    assert ped("abcd", "axcz", False) == 2
+    assert ped("abcd", "axc", False) == 1        # edit("axc","abc")
+    assert ped("x", "", False) == 0              # empty query matches all
