@@ -120,6 +120,10 @@ class IndexConfig:
     #: assigned in (sort_col, key) order instead of key order.  Must be a
     #: column of the input DataFrame; "desc:<col>" for descending.
     sort_col: str | None = None
+    #: parquet compression codec for every index table (zstd reads as
+    #: fast as snappy here and writes ~26% smaller postings — measured
+    #: on the 800k-doc bench index; at 100 TB that is the storage bill)
+    compression: str = "zstd"
     #: max postings (and sentinel docs) per chunk row; overridable mainly
     #: for tests — readers pick it up from the manifest
     chunk_docs: int = CHUNK_DOCS
@@ -445,7 +449,9 @@ def _build_index_inner(spark: SparkSession, df: DataFrame, out_dir: str,
         docmap = narrow \
             .withColumn("doc_id", (F.row_number().over(w) - 1).cast("int")) \
             .select("segment_ord", "doc_id", "key", *ffs)
-        docmap.write.mode("overwrite").parquet(os.path.join(out_dir, "docmap"))
+        docmap.write.mode("overwrite").option(
+            "compression", cfg.compression).parquet(
+            os.path.join(out_dir, "docmap"))
         return time.time() - t0
 
     def _postings_job():
@@ -455,7 +461,9 @@ def _build_index_inner(spark: SparkSession, df: DataFrame, out_dir: str,
             .groupBy("segment_ord")
             .applyInArrow(_segment_kernel(cfg), schema=POSTINGS_SCHEMA)
         )
-        postings.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+        postings.write.mode("overwrite").option(
+            "compression", cfg.compression).parquet(
+            os.path.join(out_dir, "postings"))
         return time.time() - t0
 
     jobs = {}
@@ -481,7 +489,8 @@ def _build_index_inner(spark: SparkSession, df: DataFrame, out_dir: str,
         (postings.filter(~F.col("term").startswith(FIELDNORM_SENTINEL))
          .groupBy("term")
          .agg(F.sum("doc_freq").alias("doc_freq"), F.sum("total_tf").alias("total_tf"))
-         .write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats")))
+         .write.mode("overwrite").option("compression", cfg.compression)
+         .parquet(os.path.join(out_dir, "term_stats")))
         return time.time() - t0
 
     def _lineage_job():
@@ -498,7 +507,9 @@ def _build_index_inner(spark: SparkSession, df: DataFrame, out_dir: str,
              + F.sum(F.octet_length("fns"))
              + F.sum(F.coalesce(F.octet_length("pos"), F.lit(0)))).alias("bytes"),
         )
-        lin.write.mode("overwrite").parquet(os.path.join(out_dir, "lineage"))
+        lin.write.mode("overwrite").option(
+            "compression", cfg.compression).parquet(
+            os.path.join(out_dir, "lineage"))
         return time.time() - t0
 
     jobs = {}

@@ -226,7 +226,8 @@ def maybe_compact(spark: SparkSession, index_dir: str, out_dir: str,
 
 def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                    n_salts: int = 8, n_target_segments: int = 1,
-                   groups: dict[int, int] | None = None) -> dict:
+                   groups: dict[int, int] | None = None,
+                   compression: str = "zstd") -> dict:
     """Merge the segments of ``index_dir`` into ``n_target_segments``
     segments at ``out_dir`` (or into an explicit ``groups`` assignment,
     e.g. from :func:`log_merge_plan`).  Returns the new manifest."""
@@ -371,7 +372,8 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
     merged.unionByName(sent_merged) \
         .repartitionByRange(max(spark.sparkContext.defaultParallelism, 8), "term") \
         .sortWithinPartitions("term", "segment_ord", "chunk_id") \
-        .write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
+        .write.mode("overwrite").option("compression", compression)\
+        .parquet(os.path.join(out_dir, "postings"))
 
     # ---- docmap rebase (alive docs only, densely renumbered) --------------
     docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
@@ -392,14 +394,16 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
          (F.col("alive_rank") + off_expr[F.col("segment_ord")]).cast("int")
          .alias("doc_id"),
          *extra)
-     .write.mode("overwrite").parquet(os.path.join(out_dir, "docmap")))
+     .write.mode("overwrite").option("compression", compression)
+     .parquet(os.path.join(out_dir, "docmap")))
 
     # ---- term_stats / lineage / manifest ----------------------------------
     new_postings = spark.read.parquet(os.path.join(out_dir, "postings"))
     (new_postings.filter(~F.col("term").startswith(FIELDNORM_SENTINEL))
      .groupBy("term")
      .agg(F.sum("doc_freq").alias("doc_freq"), F.sum("total_tf").alias("total_tf"))
-     .write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats")))
+     .write.mode("overwrite").option("compression", compression)
+     .parquet(os.path.join(out_dir, "term_stats")))
 
     is_sent = F.col("term").startswith(FIELDNORM_SENTINEL)
     doc_sentinel = fieldnorm_sentinel(
@@ -413,7 +417,8 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         (F.sum(F.octet_length("docs")) + F.sum(F.octet_length("tfs"))
          + F.sum(F.octet_length("fns"))
          + F.sum(F.coalesce(F.octet_length("pos"), F.lit(0)))).alias("bytes"),
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "lineage")))
+    ).write.mode("overwrite").option("compression", compression)
+     .parquet(os.path.join(out_dir, "lineage")))
 
     new_manifest = dict(manifest)
     new_manifest["totals"] = {

@@ -136,7 +136,9 @@ class IncrementalIndexer:
         )
         # every write is an OVERWRITE of this batch's own subdirectory —
         # a retried batch rewrites the same paths byte-for-byte
-        postings.write.mode("overwrite").parquet(self._bdir("postings", bid))
+        postings.write.mode("overwrite").option(
+            "compression", self.cfg.compression).parquet(
+            self._bdir("postings", bid))
         self._fail("after_postings")
 
         from tantivy_spark.index.build import _segmented_docs
@@ -146,7 +148,9 @@ class IncrementalIndexer:
                   .select("segment_ord", "key", *ffs)
                   .withColumn("doc_id", (F.row_number().over(w) - 1).cast("int"))
                   .select("segment_ord", "doc_id", "key", *ffs))
-        docmap.write.mode("overwrite").parquet(self._bdir("docmap", bid))
+        docmap.write.mode("overwrite").option(
+            "compression", self.cfg.compression).parquet(
+            self._bdir("docmap", bid))
         self._fail("after_docmap")
 
         # per-batch stats from the freshly written sentinel rows (doc
