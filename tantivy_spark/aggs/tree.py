@@ -36,6 +36,11 @@ Bucket features vs the reference:
 - terms ``missing``: docs lacking the field bucket under the substitute
   value; without it they are dropped (ES semantics; the ``missing``
   BUCKET agg is the explicit collector for absent values).
+- SIBLING bucket sub-aggs: a level may carry several bucket children
+  (mod.rs:38-54 allows arbitrary siblings); each sibling forks its own
+  root->leaf chain, published as ``name`` (first path) and
+  ``name.<sibling>`` — one flat frame per path, shared ancestor metric
+  columns repeated on each.
 
 Mergeable-sketch semantics (ref: IntermediateAggregationResults,
 aggregation/mod.rs:119-128 — per-segment partial sketches merged
@@ -253,9 +258,9 @@ class _Level:
 
 def _split_sub_aggs(sub_aggs: dict | None):
     """-> (metric sub-aggs, top_hits sub-agg or None,
-           single nested bucket sub-agg or None)."""
+           list of nested bucket sub-aggs [(name, kind, body), ...])."""
     metrics: dict = {}
-    nested: tuple | None = None
+    nested: list[tuple] = []
     top_hits: tuple | None = None
     for sname, sbody in (sub_aggs or {}).items():
         if "top_hits" in sbody:
@@ -268,16 +273,21 @@ def _split_sub_aggs(sub_aggs: dict | None):
         if m:
             metrics[sname] = sbody
         elif b:
-            if nested is not None:
-                raise ValueError("at most one nested bucket agg per level")
-            nested = (sname, b[0], sbody)
+            nested.append((sname, b[0], sbody))
         else:
             raise ValueError(f"unrecognized sub-agg {sname}")
     return metrics, top_hits, nested
 
 
-def _chain_levels(name: str, kind: str, body: dict, depth: int) -> list[_Level]:
-    """Flatten a nested bucket request into its chain of levels."""
+def _chain_paths(name: str, kind: str, body: dict,
+                 depth: int = 0) -> list[tuple[str, list[_Level]]]:
+    """All root->leaf level chains of a (possibly sibling-forked) bucket
+    request.  A level may carry SEVERAL sibling bucket sub-aggs (ES and
+    the reference allow arbitrary siblings, aggregation/mod.rs:38-54);
+    each sibling forks its own chain.  Returns ``[(suffix, levels)]``:
+    the first path has suffix ``""`` (published under the request name,
+    the historical single-chain behaviour), later paths carry the
+    '.'-joined sibling-branch names (published as ``name.suffix``)."""
     metrics, top_hits, nested = _split_sub_aggs(body.get("aggs"))
     if kind in ("terms", "histogram", "date_histogram"):
         _key, key_name = _bucket_key(kind, body[kind])
@@ -287,10 +297,15 @@ def _chain_levels(name: str, kind: str, body: dict, depth: int) -> list[_Level]:
     else:  # filter / missing add no key column
         alias = None
     lvl = _Level(name, kind, body[kind], alias, metrics, top_hits)
-    if nested is None:
-        return [lvl]
-    n_name, n_kind, n_body = nested
-    return [lvl] + _chain_levels(n_name, n_kind, n_body, depth + 1)
+    if not nested:
+        return [("", [lvl])]
+    out: list[tuple[str, list[_Level]]] = []
+    for i, (n_name, n_kind, n_body) in enumerate(nested):
+        for suffix, sub in _chain_paths(n_name, n_kind, n_body, depth + 1):
+            tag = n_name if i > 0 else ""
+            joined = ".".join(x for x in (tag, suffix) if x)
+            out.append((joined, [lvl] + sub))
+    return out
 
 
 def _level_metric_cols(levels: list[_Level], upto: int) -> list[Column]:
@@ -302,11 +317,13 @@ def _level_metric_cols(levels: list[_Level], upto: int) -> list[Column]:
 
 
 def _run_chain(df: DataFrame, name: str, kind: str, body: dict,
-               max_buckets: int = DEFAULT_BUCKET_LIMIT) -> DataFrame:
-    """Lower a bucket chain.  Key columns carry internal dot-free aliases
+               max_buckets: int = DEFAULT_BUCKET_LIMIT,
+               levels: list[_Level] | None = None) -> DataFrame:
+    """Lower ONE bucket chain.  Key columns carry internal dot-free aliases
     (__k0, __k1, ...) while computing — joins by name are then unambiguous
     — and are renamed to their public ``{name}.key`` aliases at the end."""
-    levels = _chain_levels(name, kind, body, 0)
+    if levels is None:
+        levels = _chain_paths(name, kind, body)[0][1]
 
     # ---- pass A: one working frame carrying every level's key column ----
     work = df
@@ -573,7 +590,7 @@ def _run_composite(df: DataFrame, name: str, body: dict) -> DataFrame:
             eq_chain = eq_chain & (F.col(a) == F.lit(after[a]))
         work = work.filter(pred)
     metrics, top_hits, nested = _split_sub_aggs(body.get("aggs"))
-    if nested is not None or top_hits is not None:
+    if nested or top_hits is not None:
         raise ValueError("composite supports metric sub-aggs only")
     mcols: list[Column] = []
     for sname, sbody in metrics.items():
@@ -646,7 +663,10 @@ def run_agg_tree(df: DataFrame, request: dict,
                     else df.filter(F.col(body[kind]["field"]).isNull()))
             out[name] = base.agg(F.count(F.lit(1)).alias("doc_count"))
             continue
-        out[name] = _run_chain(df, name, kind, body, max_buckets)
+        for suffix, levels in _chain_paths(name, kind, body):
+            key = name if not suffix else f"{name}.{suffix}"
+            out[key] = _run_chain(df, name, kind, body, max_buckets,
+                                  levels=levels)
     return out
 
 

@@ -445,3 +445,29 @@ def test_date_histogram_gap_fill(spark):
     with pytest.raises(Exception) as ei:
         run_agg_tree(df, req, max_buckets=1000)["h"].collect()
     assert "bucket budget" in str(ei.value) or "max_buckets" in str(ei.value)
+
+
+def test_sibling_bucket_sub_aggs(spark, events):
+    """SEVERAL sibling bucket sub-aggs under one level (ES and the
+    reference allow arbitrary siblings, mod.rs:38-54): each sibling
+    forks its own chain, published as `name` / `name.<sibling>`."""
+    req = {"t": {"terms": {"field": "event_type"},
+                 "aggs": {
+                     "by_user": {"terms": {"field": "user_id", "size": 2}},
+                     "by_val": {"histogram": {"field": "value",
+                                              "interval": 100}},
+                     "av": {"avg": {"field": "value"}}}}}
+    out = run_agg_tree(events, req)
+    assert set(out) == {"t", "t.by_val"}
+    first = out["t"].collect()          # terms -> by_user path
+    assert {"key", "by_user.key", "doc_count", "av.value"} <= \
+        set(first[0].asDict())
+    second = out["t.by_val"].collect()  # terms -> by_val path
+    assert {"key", "by_val.key", "doc_count", "av.value"} <= \
+        set(second[0].asDict())
+    # per-path correctness: histogram counts per event_type
+    want = {(r["event_type"], r["k"]): r["c"] for r in spark.sql(
+        "SELECT event_type, floor(value/100)*100 AS k, count(*) AS c "
+        "FROM {e} GROUP BY 1, 2", e=events).collect()}
+    got = {(r["key"], r["by_val.key"]): r["doc_count"] for r in second}
+    assert got == want
