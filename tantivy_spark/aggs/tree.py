@@ -15,8 +15,11 @@ Flat result convention: one row per deepest bucket, ancestor keys as
 columns (``key`` for the top level, ``{name}.key`` below), ``doc_count``
 of the deepest bucket, metric columns ``{name}.{stat}``.  Metric sub-aggs
 attached to intermediate levels join on as ``{name}.{stat}`` columns
-(repeated per leaf row).  ``to_es_json`` refolds into the nested ES
-response shape.
+(repeated per leaf row).  ``to_es_json(results, request=...)`` refolds
+single-path key chains into the fully NESTED ES buckets shape —
+per-level doc_count (true ancestor counts via
+``run_agg_tree(nested=True)``), per-level metrics, child buckets under
+the child's name; without ``request`` the flat rows pass through.
 
 Bucket features vs the reference:
 - terms: ``size`` (top-N per parent bucket), ``min_doc_count``, and
@@ -318,7 +321,8 @@ def _level_metric_cols(levels: list[_Level], upto: int) -> list[Column]:
 
 def _run_chain(df: DataFrame, name: str, kind: str, body: dict,
                max_buckets: int = DEFAULT_BUCKET_LIMIT,
-               levels: list[_Level] | None = None) -> DataFrame:
+               levels: list[_Level] | None = None,
+               ancestor_counts: bool = False) -> DataFrame:
     """Lower ONE bucket chain.  Key columns carry internal dot-free aliases
     (__k0, __k1, ...) while computing — joins by name are then unambiguous
     — and are renamed to their public ``{name}.key`` aliases at the end."""
@@ -445,11 +449,17 @@ def _run_chain(df: DataFrame, name: str, kind: str, body: dict,
 
     # ---- pass E: intermediate-level metrics join on ancestor keys ------
     for i, lvl in enumerate(levels[:-1]):
-        if not lvl.metrics or i not in key_of_level:
+        if i not in key_of_level or not (lvl.metrics or ancestor_counts):
             continue
         upto = ikeys.index(key_of_level[i]) + 1
         keys = ikeys[:upto]
-        side = work.groupBy(*keys).agg(*_level_metric_cols(levels, i))
+        aggs = list(_level_metric_cols(levels, i))
+        if ancestor_counts:
+            # TRUE per-ancestor-bucket doc_count (ES nests one per
+            # level; summing children under-counts docs lacking the
+            # child field) — used by to_es_json's nested fold
+            aggs.append(F.count(F.lit(1)).alias(f"{lvl.name}.doc_count"))
+        side = work.groupBy(*keys).agg(*aggs)
         grouped = grouped.join(F.broadcast(side), keys, "left")
 
     # single-level terms keeps the ES bucket ordering in the flat frame
@@ -627,7 +637,8 @@ def _validate_budget(request: dict, max_buckets: int) -> None:
 
 
 def run_agg_tree(df: DataFrame, request: dict,
-                 max_buckets: int = DEFAULT_BUCKET_LIMIT) -> dict[str, DataFrame]:
+                 max_buckets: int = DEFAULT_BUCKET_LIMIT,
+                 nested: bool = False) -> dict[str, DataFrame]:
     """Execute an ES-style aggregation request; returns one DataFrame per
     top-level aggregation name (flat leaf-bucket convention, see module
     docstring).
@@ -637,7 +648,12 @@ def run_agg_tree(df: DataFrame, request: dict,
     SHAPE already exceeds it raise here; data-dependent overruns (wide
     gap-filled histogram domains) raise lazily on the executors via a
     plan-embedded guard; and ``to_es_json`` re-checks the realized total
-    before collecting to the driver."""
+    before collecting to the driver.
+
+    ``nested=True`` additionally attaches a TRUE per-ancestor-bucket
+    ``{level}.doc_count`` column at every intermediate key level (one
+    tiny broadcast join each), which ``to_es_json(..., request=...)``
+    folds into the fully nested ES response shape."""
     _validate_budget(request, max_buckets)
     out: dict[str, DataFrame] = {}
     for name, body in request.items():
@@ -666,13 +682,54 @@ def run_agg_tree(df: DataFrame, request: dict,
         for suffix, levels in _chain_paths(name, kind, body):
             key = name if not suffix else f"{name}.{suffix}"
             out[key] = _run_chain(df, name, kind, body, max_buckets,
-                                  levels=levels)
+                                  levels=levels, ancestor_counts=nested)
+    return out
+
+
+def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
+    """Recursive flat-rows -> nested-ES-buckets fold for one key chain.
+    Rows must arrive ordered by the ancestor keys (run_agg_tree output
+    order)."""
+    from itertools import groupby
+
+    lvl = levels[0]
+    key_alias = lvl.alias
+    key_name = "key_as_string" if "key_as_string" in key_alias else "key"
+    out = []
+    for kval, grp_it in groupby(rows, key=lambda r: r[key_alias]):
+        grp = list(grp_it)
+        b: dict = {key_name: kval}
+        if len(levels) == 1:
+            b["doc_count"] = grp[0].get("doc_count")
+        else:
+            cnt = grp[0].get(f"{lvl.name}.doc_count")
+            b["doc_count"] = cnt if cnt is not None else \
+                sum(r.get("doc_count", 0) for r in grp)
+        for mname in lvl.metrics:
+            stats = {c.split(".", 1)[1]: grp[0][c] for c in grp[0]
+                     if c.startswith(mname + ".")
+                     and c != f"{mname}.doc_count"}
+            if stats:
+                b[mname] = stats          # ES shape: {"value": v} / stats
+        if len(levels) > 1:
+            child = levels[1]
+            b[child.name] = {"buckets": _fold_nested(grp, levels[1:])}
+        out.append(b)
     return out
 
 
 def to_es_json(results: dict[str, DataFrame],
-               max_buckets: int = DEFAULT_BUCKET_LIMIT) -> dict:
-    """Fold flat bucket DataFrames into the nested ES response shape.
+               max_buckets: int = DEFAULT_BUCKET_LIMIT,
+               request: dict | None = None) -> dict:
+    """Fold flat bucket DataFrames into the ES response shape.
+
+    Without ``request``, multi-level chains stay FLAT (one row per
+    deepest bucket, ancestor keys as columns — the documented
+    convention).  WITH ``request`` (and frames produced by
+    ``run_agg_tree(..., nested=True)`` for true ancestor doc_counts),
+    single-path key chains fold into the fully NESTED ES buckets shape:
+    per-level doc_count, per-level metrics, child buckets under the
+    child's name.
 
     Collect-time budget guard (agg_limits.rs): the realized bucket count
     is bounded distributedly (``limit(max+1).count()`` — short-circuits,
@@ -686,7 +743,20 @@ def to_es_json(results: dict[str, DataFrame],
                 f"aggregation {name!r} produced > max_buckets="
                 f"{max_buckets} buckets; refusing to collect")
         rows = [r.asDict() for r in df.collect()]
-        if rows and ("key" in rows[0] or "key_as_string" in rows[0]):
+        levels = None
+        if request is not None and "." not in name and name in request:
+            body = request[name]
+            kinds = [k for k in body if k in BUCKET_KINDS]
+            if kinds and kinds[0] != "composite":
+                paths = _chain_paths(name, kinds[0], body)
+                only = paths[0][1] if len(paths) == 1 else None
+                # fold only pure key chains (every level adds a key)
+                if only is not None and all(lv.alias for lv in only) \
+                        and not any(lv.top_hits for lv in only):
+                    levels = only
+        if levels is not None and len(levels) > 1:
+            resp[name] = {"buckets": _fold_nested(rows, levels)}
+        elif rows and ("key" in rows[0] or "key_as_string" in rows[0]):
             resp[name] = {"buckets": rows}
         else:
             resp[name] = rows[0] if rows else {}

@@ -471,3 +471,31 @@ def test_sibling_bucket_sub_aggs(spark, events):
         "FROM {e} GROUP BY 1, 2", e=events).collect()}
     got = {(r["key"], r["by_val.key"]): r["doc_count"] for r in second}
     assert got == want
+
+
+def test_nested_es_fold(spark, events):
+    """to_es_json(..., request=...) folds multi-level chains into the
+    fully NESTED ES buckets shape, with TRUE per-ancestor doc_counts
+    (run_agg_tree(nested=True) attaches them per level)."""
+    req = {"types": {"terms": {"field": "event_type"},
+                     "aggs": {"av": {"avg": {"field": "value"}},
+                              "by_user": {"terms": {"field": "user_id",
+                                                    "size": 2}}}}}
+    res = run_agg_tree(events, req, nested=True)
+    js = to_es_json(res, request=req)
+    buckets = js["types"]["buckets"]
+    want = {r["event_type"]: (r["c"], r["a"]) for r in spark.sql(
+        "SELECT event_type, count(*) c, avg(value) a FROM {e} GROUP BY 1",
+        e=events).collect()}
+    assert {b["key"] for b in buckets} == set(want)
+    for b in buckets:
+        c, a = want[b["key"]]
+        assert b["doc_count"] == c                  # TRUE ancestor count
+        assert b["av"]["value"] == pytest.approx(a)
+        sub = b["by_user"]["buckets"]
+        assert 1 <= len(sub) <= 2
+        assert all({"key", "doc_count"} <= set(s) for s in sub)
+        assert sum(s["doc_count"] for s in sub) <= c
+    # without request: flat rows, unchanged historical behaviour
+    flat = to_es_json(run_agg_tree(events, req))
+    assert "by_user.key" in flat["types"]["buckets"][0]
