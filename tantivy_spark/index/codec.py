@@ -258,9 +258,30 @@ def encode_positions(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
     the per-doc list lengths.  Per-doc delta encoding (first position, then
     gaps), VInt'd as one stream.  Fully vectorized.
     """
-    p = np.asarray(flat_positions, dtype=np.int64)
-    if len(p) == 0:
+    n = len(flat_positions)
+    if n == 0:
         return b""
+    if n <= 64:
+        # scalar path for short position streams (the typical Zipf-term
+        # call) — byte-identical to the vectorized form, without numpy's
+        # fixed per-call overhead (same rationale as vint_encode)
+        pl = flat_positions.tolist() if hasattr(flat_positions, "tolist") \
+            else list(flat_positions)
+        tl = tfs.tolist() if hasattr(tfs, "tolist") else list(tfs)
+        out = bytearray()
+        i = 0
+        for tf in tl:
+            prev = 0
+            for j in range(i, i + int(tf)):
+                x = int(pl[j]) - prev if j > i else int(pl[j])
+                prev = int(pl[j])
+                while x >= 0x80:
+                    out.append((x & 0x7F) | 0x80)
+                    x >>= 7
+                out.append(x)
+            i += int(tf)
+        return bytes(out)
+    p = np.asarray(flat_positions, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     d = np.empty(len(p), dtype=np.int64)
     d[0] = p[0]
