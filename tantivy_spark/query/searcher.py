@@ -103,7 +103,8 @@ class Searcher:
         ExactSearcher.explain."""
         return self.exact.explain(self._as_query(q), segment_ord, doc_id)
 
-    def aggregate(self, q, request: dict, max_buckets: int | None = None):
+    def aggregate(self, q, request: dict, max_buckets: int | None = None,
+                  nested: bool = False):
         """ES-style aggregation request over the QUERY'S matching docs —
         the reference executes aggregations as collectors over a query's
         doc set (src/aggregation/: AggregationCollector runs inside the
@@ -119,7 +120,8 @@ class Searcher:
         docs = matches.join(self.reader.docmap, ["segment_ord", "doc_id"],
                             "inner")
         return run_agg_tree(docs, request,
-                            max_buckets=max_buckets or DEFAULT_BUCKET_LIMIT)
+                            max_buckets=max_buckets or DEFAULT_BUCKET_LIMIT,
+                            nested=nested)
 
     def fetch_docs(self, topk: DataFrame, source: DataFrame,
                    key_col: str = "url") -> DataFrame:
