@@ -131,10 +131,40 @@ def _metric_cols(name: str, kind: str, body: dict) -> list[Column]:
                 F.max(f).alias(f"{name}.max"),
                 F.avg(f).alias(f"{name}.avg")]
     if kind == "extended_stats":
+        # Full reference surface (extended_stats.rs:39-118): stats fields
+        # + sum_of_squares + population/sampling variance & std_deviation
+        # + std_deviation_bounds at avg ± sigma·std (sigma default 2.0,
+        # extended_stats.rs:41-44).  All partial-aggregatable (count/sum/
+        # sum-of-squares), so map-side combine holds at scale; the bound
+        # arithmetic is driver-free column math over the aggregates.
+        sigma = float(body.get("sigma", 2.0))
+        sd_pop = F.stddev_pop(f)
+        sd_samp = F.stddev_samp(f)
+        avg = F.avg(f)
         return [F.count(f).alias(f"{name}.count"),
-                F.avg(f).alias(f"{name}.avg"),
+                F.sum(f).alias(f"{name}.sum"),
+                F.min(f).alias(f"{name}.min"),
+                F.max(f).alias(f"{name}.max"),
+                avg.alias(f"{name}.avg"),
+                F.sum(f * f).alias(f"{name}.sum_of_squares"),
                 F.var_pop(f).alias(f"{name}.variance"),
-                F.stddev_pop(f).alias(f"{name}.std_deviation")]
+                F.var_pop(f).alias(f"{name}.variance_population"),
+                F.var_samp(f).alias(f"{name}.variance_sampling"),
+                sd_pop.alias(f"{name}.std_deviation"),
+                sd_pop.alias(f"{name}.std_deviation_population"),
+                sd_samp.alias(f"{name}.std_deviation_sampling"),
+                (avg + F.lit(sigma) * sd_pop)
+                .alias(f"{name}.std_deviation_bounds.upper"),
+                (avg - F.lit(sigma) * sd_pop)
+                .alias(f"{name}.std_deviation_bounds.lower"),
+                (avg + F.lit(sigma) * sd_pop)
+                .alias(f"{name}.std_deviation_bounds.upper_population"),
+                (avg - F.lit(sigma) * sd_pop)
+                .alias(f"{name}.std_deviation_bounds.lower_population"),
+                (avg + F.lit(sigma) * sd_samp)
+                .alias(f"{name}.std_deviation_bounds.upper_sampling"),
+                (avg - F.lit(sigma) * sd_samp)
+                .alias(f"{name}.std_deviation_bounds.lower_sampling")]
     if kind == "percentiles":
         pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
         # KLL/GK-family sketch via percentile_approx (reference uses
@@ -710,11 +740,25 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
                      if c.startswith(mname + ".")
                      and c != f"{mname}.doc_count"}
             if stats:
-                b[mname] = stats          # ES shape: {"value": v} / stats
+                b[mname] = _nest_dotted(stats)  # ES shape: {"value": v} / stats
         if len(levels) > 1:
             child = levels[1]
             b[child.name] = {"buckets": _fold_nested(grp, levels[1:])}
         out.append(b)
+    return out
+
+
+def _nest_dotted(flat: dict) -> dict:
+    """``{"std_deviation_bounds.upper": v}`` -> ``{"std_deviation_bounds":
+    {"upper": v}}`` — the ES sub-object shape for compound metric fields
+    (extended_stats.rs:103-118)."""
+    out: dict = {}
+    for k, v in flat.items():
+        if "." in k:
+            head, tail = k.split(".", 1)
+            out.setdefault(head, {})[tail] = v
+        else:
+            out[k] = v
     return out
 
 
@@ -754,10 +798,16 @@ def to_es_json(results: dict[str, DataFrame],
                 if only is not None and all(lv.alias for lv in only) \
                         and not any(lv.top_hits for lv in only):
                     levels = only
-        if levels is not None and len(levels) > 1:
+        if levels is not None:
             resp[name] = {"buckets": _fold_nested(rows, levels)}
         elif rows and ("key" in rows[0] or "key_as_string" in rows[0]):
             resp[name] = {"buckets": rows}
+        elif rows and all(c.startswith(name + ".") for c in rows[0]):
+            # top-level metric: strip the agg-name prefix and nest
+            # compound sub-fields — ES returns {"count": .., "avg": ..,
+            # "std_deviation_bounds": {"upper": ..}} under the agg name
+            resp[name] = _nest_dotted(
+                {c.split(".", 1)[1]: v for c, v in rows[0].items()})
         else:
             resp[name] = rows[0] if rows else {}
     return resp

@@ -499,3 +499,50 @@ def test_nested_es_fold(spark, events):
     # without request: flat rows, unchanged historical behaviour
     flat = to_es_json(run_agg_tree(events, req))
     assert "by_user.key" in flat["types"]["buckets"][0]
+
+
+def test_extended_stats_full_surface(spark, events):
+    """extended_stats returns the full reference surface
+    (extended_stats.rs:39-118): stats fields, sum_of_squares,
+    population/sampling variance & std_deviation, and sigma bounds
+    (default sigma=2) nested as std_deviation_bounds in the ES fold."""
+    import math
+
+    req = {"es": {"extended_stats": {"field": "value", "sigma": 3.0}}}
+    js = to_es_json(run_agg_tree(events, req))["es"]
+    vals = [r["value"] for r in events.select("value").collect()]
+    n = len(vals)
+    mean = sum(vals) / n
+    var_pop = sum((v - mean) ** 2 for v in vals) / n
+    var_samp = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    assert js["count"] == n
+    assert js["sum"] == pytest.approx(sum(vals))
+    assert js["min"] == pytest.approx(min(vals))
+    assert js["max"] == pytest.approx(max(vals))
+    assert js["avg"] == pytest.approx(mean)
+    assert js["sum_of_squares"] == pytest.approx(sum(v * v for v in vals))
+    assert js["variance"] == pytest.approx(var_pop)
+    assert js["variance_population"] == pytest.approx(var_pop)
+    assert js["variance_sampling"] == pytest.approx(var_samp)
+    assert js["std_deviation"] == pytest.approx(math.sqrt(var_pop))
+    assert js["std_deviation_sampling"] == pytest.approx(math.sqrt(var_samp))
+    b = js["std_deviation_bounds"]
+    assert b["upper"] == pytest.approx(mean + 3.0 * math.sqrt(var_pop))
+    assert b["lower"] == pytest.approx(mean - 3.0 * math.sqrt(var_pop))
+    assert b["upper_population"] == b["upper"] and b["lower_population"] == b["lower"]
+    assert b["upper_sampling"] == pytest.approx(mean + 3.0 * math.sqrt(var_samp))
+    assert b["lower_sampling"] == pytest.approx(mean - 3.0 * math.sqrt(var_samp))
+
+
+def test_extended_stats_under_terms_nested_bounds(spark, events):
+    """sigma bounds survive the nested ES fold under a bucket level."""
+    req = {"types": {"terms": {"field": "event_type"},
+                     "aggs": {"es": {"extended_stats": {"field": "value"}}}}}
+    res = run_agg_tree(events, req, nested=True)
+    js = to_es_json(res, request=req)
+    for b in js["types"]["buckets"]:
+        es = b["es"]
+        assert "std_deviation_bounds" in es
+        sb = es["std_deviation_bounds"]
+        assert sb["upper"] == pytest.approx(es["avg"] + 2.0 * es["std_deviation"])
+        assert sb["lower"] == pytest.approx(es["avg"] - 2.0 * es["std_deviation"])
