@@ -399,8 +399,19 @@ def _stem_chain(stem_import: str):
         import importlib
 
         fn = getattr(importlib.import_module(mod_name), fn_name)
+        # Vocabulary-level stemming: stem each UNIQUE token in the Arrow
+        # batch once, then map arrays through the dictionary.  Zipf token
+        # distributions make the unique set ~10-100x smaller than the
+        # token stream, so the per-token Python interpreter cost becomes
+        # per-unique-TERM cost — the batch output is byte-identical.
+        vocab: dict[str, str] = {}
+        for toks in tok_arrays:
+            if toks is not None:
+                for t in toks:
+                    if t not in vocab:
+                        vocab[t] = fn(t)
         return tok_arrays.map(
-            lambda toks: [fn(t) for t in toks] if toks is not None else [])
+            lambda toks: [vocab[t] for t in toks] if toks is not None else [])
 
     def chain(text: Column) -> Column:
         return _stem(tokens_col(text))
