@@ -534,6 +534,18 @@ def tr_stem_tokens_col(text: Column) -> Column:
     return _stem_chain("tantivy_spark.functions.snowball2:turkish_stem")(text)
 
 
+def ar_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball3:arabic_stem")(text)
+
+
+def el_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball3:greek_stem")(text)
+
+
+def ta_stem_tokens_col(text: Column) -> Column:
+    return _stem_chain("tantivy_spark.functions.snowball3:tamil_stem")(text)
+
+
 ANALYZERS = {
     "default": tokens_col,
     "raw": raw_analyzer,
@@ -553,6 +565,9 @@ ANALYZERS = {
     "fi_stem": fi_stem_tokens_col,
     "hu_stem": hu_stem_tokens_col,
     "tr_stem": tr_stem_tokens_col,
+    "ar_stem": ar_stem_tokens_col,
+    "el_stem": el_stem_tokens_col,
+    "ta_stem": ta_stem_tokens_col,
     "json_typed": json_typed_tokens,
 }
 
@@ -574,6 +589,9 @@ _PY_STEMMERS = {
     "fi_stem": "tantivy_spark.functions.snowball2:finnish_stem",
     "hu_stem": "tantivy_spark.functions.snowball2:hungarian_stem",
     "tr_stem": "tantivy_spark.functions.snowball2:turkish_stem",
+    "ar_stem": "tantivy_spark.functions.snowball3:arabic_stem",
+    "el_stem": "tantivy_spark.functions.snowball3:greek_stem",
+    "ta_stem": "tantivy_spark.functions.snowball3:tamil_stem",
 }
 
 

@@ -329,3 +329,72 @@ def test_snowball_r04_chains_distributed(spark):
     got = list(_one(spark, tr_stem_tokens_col(F.col("t")),
                     "kitaplar evlerinde okuldaki"))
     assert got == ["kitap", "ev", "okul"]
+
+
+# Arabic / Greek / Tamil vectors hand-traced through the published
+# snowballstem.org algorithm descriptions (r05 — completes the
+# reference's 18-language set, stemmer.rs:13,20,29)
+SNOWBALL3_VECTORS = {
+    "ar": {
+        "الكتاب": "كتاب",        # definite article stripped
+        "كتابهم": "كتاب",        # possessive pronoun suffix
+        "المكتبات": "مكتب",   # article + feminine plural
+        "والطلاب": "طلاب",     # conjunction + article
+        "يكتبون": "يكتب",        # verb subject suffix
+        "سيذهب": "يذهب",            # future marker
+        "مدرسة": "مدرس",            # teh marbuta
+        "بالقلم": "قلم",          # bi+al prefix
+        "يستخدم": "استخدم",   # yst- -> ast-
+    },
+    "el": {
+        "υπολογιστές": "υπολογιστ",   # -ες plural (step 6)
+        "ποδήλατα": "ποδηλατ",             # -α plural
+        "παιδιά": "παιδ",                         # step 3, consonant stem
+        "καλόγερος": "καλογερ",           # -ος
+        "αγαπούσε": "αγαπ",                     # step 5h imperfect
+        "γεγονότα": "γεγον",                   # step 1 irregular
+        "προβλήματα": "προβλημ",         # -ματα -> μα, then -α
+        "φώτα": "φω",                                   # step 1 irregular
+    },
+    "ta": {
+        "மரங்கள்": "மரம்",              # plural with sandhi reversal
+        "புத்தகங்கள்": "புத்தகம்",
+        "வீடுகள்": "வீடு",
+        "செய்கிறான்": "செய்",  # present tense + person
+        "மனிதர்கள்": "மனித",
+        "பள்ளியில்": "பள்ளிய",  # locative
+    },
+}
+
+
+def test_snowball3_vectors():
+    from tantivy_spark.functions.snowball3 import (
+        arabic_stem, greek_stem, tamil_stem)
+
+    fns = {"ar": arabic_stem, "el": greek_stem, "ta": tamil_stem}
+    for lang, vecs in SNOWBALL3_VECTORS.items():
+        for w, want in vecs.items():
+            assert fns[lang](w) == want, (lang, w, fns[lang](w))
+    # idempotence: stem(stem(w)) == stem(w) for every vector
+    for lang, vecs in SNOWBALL3_VECTORS.items():
+        for want in vecs.values():
+            assert fns[lang](fns[lang](want)) == fns[lang](want)
+    # non-native-script words pass through untouched
+    for fn in fns.values():
+        assert fn("database") == "database"
+
+
+def test_snowball3_chains_distributed(spark):
+    """The {ar,el}_stem analyzers run the same stems through the
+    Arrow-batched UDF path (Tamil splits at combining marks under the
+    simple tokenizer — reference parity: Rust char::is_alphanumeric
+    excludes marks — so its full-word path is covered above)."""
+    from tantivy_spark.analyzer import (
+        ar_stem_tokens_col, el_stem_tokens_col)
+
+    got = list(_one(spark, ar_stem_tokens_col(F.col("t")),
+                    "الكتاب مدرسة يكتبون"))
+    assert got == ["كتاب", "مدرس", "يكتب"]
+    got = list(_one(spark, el_stem_tokens_col(F.col("t")),
+                    "υπολογιστές παιδιά γεγονότα"))
+    assert got == ["υπολογιστ", "παιδ", "γεγον"]
