@@ -481,3 +481,108 @@ class OracleBuilder:
         final = self._lower(q, 1.0, ctes)
         body = ",\n".join(ctes)
         return f"WITH {body}\nSELECT CAST(count(*) AS BIGINT) AS cnt FROM {final}"
+
+
+def _esc_sql(expr: str) -> str:
+    """DuckDB expression: the snippet kernel's minimal HTML escaping
+    (snippet.py _escape; reference snippet/mod.rs to_html)."""
+    return ("replace(replace(replace(replace(replace(" + expr +
+            ", '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), "
+            "'\"', '&quot;'), chr(39), '&#x27;')")
+
+
+def snippet_sql(top_sql: str, term: str, table: str = "documents",
+                id_col: str = "doc_id", text_col: str = "text",
+                max_num_chars: int = 150) -> str:
+    """DuckDB oracle for SnippetGenerator output over a top-k frame
+    (reference: src/snippet/mod.rs — search_fragments greedy candidate
+    stream, select_best_fragment score-then-earliest ordering, to_html
+    highlighting).
+
+    The sequential pieces are recursive CTEs: token offsets replay the
+    tokenizer scan (the next alphanumeric run after the previous token's
+    end IS the next token, so a forward strpos is exact), and fragment
+    starts replay the greedy overflow walk.  Matches the Arrow kernel
+    byte-for-byte on ASCII corpora (offsets are chars in Python, bytes
+    in strpos — identical for single-byte text).
+
+    ``top_sql`` must yield (rank, doc_id, ...); output is
+    (rank BIGINT, doc_id BIGINT, snippet VARCHAR)."""
+    t = term.lower()
+    return f"""
+WITH topq AS ({top_sql}),
+toks0 AS (
+  SELECT t.rank, d.{id_col} AS doc_id, d.{text_col} AS text,
+         regexp_extract_all(d.{text_col}, '[\\p{{L}}\\p{{N}}]+') AS lst
+  FROM topq t JOIN {table} d ON t.doc_id = d.{id_col}
+),
+tokpos AS (
+  WITH RECURSIVE p(doc_id, i, tok, s0, e0) AS (
+    SELECT doc_id, 1, lst[1], strpos(text, lst[1]) - 1,
+           strpos(text, lst[1]) - 1 + length(lst[1])
+    FROM toks0 WHERE len(lst) >= 1
+    UNION ALL
+    SELECT p.doc_id, p.i + 1, t.lst[p.i + 1],
+           p.e0 + strpos(substr(t.text, p.e0 + 1), t.lst[p.i + 1]) - 1,
+           p.e0 + strpos(substr(t.text, p.e0 + 1), t.lst[p.i + 1]) - 1
+             + length(t.lst[p.i + 1])
+    FROM p JOIN toks0 t ON p.doc_id = t.doc_id
+    WHERE p.i + 1 <= len(t.lst)
+  ) SELECT * FROM p
+),
+frags AS (
+  WITH RECURSIVE f(doc_id, fs) AS (
+    SELECT DISTINCT doc_id, 0 FROM toks0
+    UNION ALL
+    SELECT f.doc_id,
+           (SELECT min(tp.s0) FROM tokpos tp
+            WHERE tp.doc_id = f.doc_id AND tp.s0 >= f.fs
+              AND tp.e0 - f.fs > {max_num_chars})
+    FROM f
+    WHERE (SELECT min(tp.s0) FROM tokpos tp
+           WHERE tp.doc_id = f.doc_id AND tp.s0 >= f.fs
+             AND tp.e0 - f.fs > {max_num_chars}) IS NOT NULL
+  ) SELECT * FROM f
+),
+scored AS (
+  SELECT fr.doc_id, fr.fs,
+         sum(CASE WHEN lower(tp.tok) = '{t}' THEN 1 ELSE 0 END) AS score,
+         max(tp.e0) AS stop
+  FROM frags fr JOIN tokpos tp
+    ON tp.doc_id = fr.doc_id AND tp.s0 >= fr.fs
+   AND tp.e0 - fr.fs <= {max_num_chars}
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, fs, stop FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY score DESC, fs ASC, stop ASC) AS rn
+    FROM scored WHERE score > 0) WHERE rn = 1
+),
+hl AS (
+  SELECT b.doc_id, b.fs, b.stop, t0.text, tp.s0, tp.e0,
+         lag(tp.e0) OVER (PARTITION BY b.doc_id ORDER BY tp.s0) AS prev_e,
+         row_number() OVER (PARTITION BY b.doc_id ORDER BY tp.s0 DESC)
+           AS rdesc
+  FROM best b
+  JOIN toks0 t0 ON t0.doc_id = b.doc_id
+  JOIN tokpos tp ON tp.doc_id = b.doc_id AND tp.s0 >= b.fs
+    AND tp.e0 - b.fs <= {max_num_chars} AND lower(tp.tok) = '{t}'
+),
+html AS (
+  SELECT doc_id,
+    string_agg(
+      {_esc_sql("substr(text, COALESCE(prev_e, fs) + 1, "
+                "s0 - COALESCE(prev_e, fs))")}
+      || '<b>' || {_esc_sql("substr(text, s0 + 1, e0 - s0)")} || '</b>'
+      || CASE WHEN rdesc = 1
+              THEN {_esc_sql("substr(text, e0 + 1, stop - e0)")}
+              ELSE '' END,
+      '' ORDER BY s0) AS snippet
+  FROM hl GROUP BY doc_id
+)
+SELECT t.rank, CAST(t.doc_id AS BIGINT) AS doc_id,
+       COALESCE(h.snippet, '') AS snippet
+FROM topq t LEFT JOIN html h ON t.doc_id = h.doc_id
+ORDER BY t.rank
+"""

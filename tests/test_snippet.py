@@ -121,3 +121,30 @@ def test_snippets_for_topk_end_to_end(spark, tiny_index):
     assert len(out) == 5
     assert all("<b>data</b>" in r["snippet"] for r in out)
     assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_snippet_oracle_matches_kernel():
+    """The DuckDB snippet oracle (oracle.snippet_sql) replays the greedy
+    fragment walk + highlight assembly byte-for-byte against the Arrow
+    kernel, including escaping and overflow boundaries."""
+    import duckdb
+
+    from tantivy_spark.oracle import snippet_sql
+
+    rows = [
+        (0, "data moves fast " * 20),                  # overflow fragments
+        (1, "no match here at all"),                   # empty snippet
+        (2, "x " * 80 + "data data end"),              # match in 2nd frag
+        (3, "a <tag> & \"data\" 'q' data"),            # escaping
+    ]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    top = ("SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) "
+           "AS rank, doc_id FROM documents")
+    got = con.sql(snippet_sql(top, "data")).df()
+    want = {doc_id: _best_fragment(text, {"data": 1.0}, 150)[0]
+            for doc_id, text in rows}
+    assert len(got) == len(rows)
+    for _, r in got.iterrows():
+        assert r["snippet"] == want[r["doc_id"]], r["doc_id"]
