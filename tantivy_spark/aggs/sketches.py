@@ -20,13 +20,17 @@ Spark provides the same property twice over:
   incremental-aggregation story of mod.rs:119-128.
 
 Percentiles: Spark's KLL-family ``percentile_approx`` does not expose
-its serialized sketch, so cross-query percentile merging is NOT offered
-— re-aggregation is one fast-field column scan (documented trade-off;
-the reference's DDSketch merge has no public Spark surface).
+its serialized sketch, so the repo carries its own mergeable t-digest
+(functions/tdigest.py, the published Dunning-Ertl merging variant):
+``percentile_partials`` builds per-partition partial digests map-side
+(no raw-value shuffle), ``merge_percentile_sketches`` unions the
+few-hundred-byte blobs, and the aggregation tree accepts
+``{"percentiles": {..., "sketch": true}}`` for the same digest inline.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -59,3 +63,93 @@ def hll_estimate(col: Column, lg_k: int = 12) -> Column:
     reference's cardinality agg algorithm family, usable in the
     aggregation tree via {"cardinality": {..., "sketch": true}}."""
     return F.hll_sketch_estimate(F.hll_sketch_agg(col, lg_k))
+
+
+# ---------------------------------------------------------------------------
+# Percentiles: mergeable t-digest (functions/tdigest.py)
+# ---------------------------------------------------------------------------
+
+def percentile_partials(df: DataFrame, field: str, *group_keys: str,
+                        delta: float = 200.0) -> DataFrame:
+    """Per-PARTITION per-group partial t-digests — the map-side combine
+    shape (one ~1.6KB blob per (partition, group), raw values never
+    shuffle).  Persist rows next to an index batch; merge later with
+    :func:`merge_percentile_sketches`."""
+    from pyspark.sql.types import (BinaryType, StructField, StructType)
+
+    fields = [df.schema[k] for k in group_keys]
+    out_schema = StructType(list(fields) + [StructField("sketch",
+                                                        BinaryType())])
+    cols = list(group_keys) + [field]
+
+    def gen(batches):
+        import pandas as pd
+
+        from tantivy_spark.functions import tdigest as td
+        for pdf in batches:
+            if group_keys:
+                grouped = pdf.groupby(list(group_keys), dropna=False)
+                rows = [tuple(k if isinstance(k, tuple) else (k,))
+                        + (td.build(g[field].to_numpy(), delta),)
+                        for k, g in grouped]
+            else:
+                rows = [(td.build(pdf[field].to_numpy(), delta),)]
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              out_schema.fields])
+
+    return df.select(*cols).mapInPandas(gen, out_schema)
+
+
+def merge_percentile_sketches(sketches: DataFrame,
+                              *group_keys: str) -> DataFrame:
+    """Merge partial digest rows (column ``sketch``) into ONE digest per
+    group — concatenate centroids + re-compress, associative like the
+    reference's IntermediateAggregationResults merge."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _merge(blobs: pd.Series) -> bytes:
+        from tantivy_spark.functions import tdigest as td
+        return td.merge(blobs.dropna().tolist())
+
+    agg = _merge(F.col("sketch")).alias("sketch")
+    if group_keys:
+        return sketches.groupBy(*group_keys).agg(agg)
+    return sketches.agg(agg)
+
+
+def percentile_estimate(sketches: DataFrame, percents: list[float],
+                        *group_keys: str) -> DataFrame:
+    """Quantile estimates from merged digests: one ``array<double>``
+    column ``values`` ordered like ``percents`` (0-100 scale)."""
+    from pyspark.sql.functions import pandas_udf
+
+    qs = [float(p) / 100.0 for p in percents]
+
+    @pandas_udf("array<double>")
+    def _q(blobs: pd.Series) -> pd.Series:
+        from tantivy_spark.functions import tdigest as td
+        return blobs.map(lambda b: [] if b is None
+                         else [float(x) for x in td.quantile(b, qs)])
+
+    return sketches.select(*group_keys, _q(F.col("sketch")).alias("values"))
+
+
+def tdigest_quantiles(col: Column, percents: list[float],
+                      delta: float = 200.0) -> Column:
+    """Grouped-agg t-digest quantile column for the aggregation tree
+    ({"percentiles": {..., "sketch": true}}): returns array<double>
+    ordered like ``percents`` — numerically the same digest family as
+    the persisted cross-batch path."""
+    from pyspark.sql.functions import pandas_udf
+
+    qs = [float(p) / 100.0 for p in percents]
+
+    @pandas_udf("array<double>")
+    def _q(v: pd.Series) -> list:
+        from tantivy_spark.functions import tdigest as td
+        return [float(x) for x in
+                td.quantile(td.build(v.to_numpy(), delta), qs)]
+
+    return _q(col)

@@ -122,8 +122,13 @@ def _metric_cols(name: str, kind: str, body: dict) -> list[Column]:
             # merge ACROSS queries via aggs/sketches.py
             from tantivy_spark.aggs.sketches import hll_estimate
             return [hll_estimate(f).alias(f"{name}.value")]
-        # default: HLL++ (approximate-compatible with the reference)
-        return [F.approx_count_distinct(f).alias(f"{name}.value")]
+        # default: HLL++ at rsd=0.01 (~2^14 registers).  The reference's
+        # DataSketches HLL (lg_k=11, cardinality.rs:20-21) is EXACT at
+        # small cardinalities via its coupon/sparse mode; Spark's HLL++
+        # has no sparse-exact mode, so a tighter rsd buys back the
+        # small-n exactness (agg_tests.rs pins exact counts at n=80)
+        # for ~16KB of per-bucket aggregation state.
+        return [F.approx_count_distinct(f, 0.01).alias(f"{name}.value")]
     if kind == "stats":
         return [F.count(f).alias(f"{name}.count"),
                 F.sum(f).alias(f"{name}.sum"),
@@ -167,6 +172,12 @@ def _metric_cols(name: str, kind: str, body: dict) -> list[Column]:
                 .alias(f"{name}.std_deviation_bounds.lower_sampling")]
     if kind == "percentiles":
         pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        if body.get("sketch"):
+            # mergeable t-digest (functions/tdigest.py) — the same
+            # digest family as the persisted cross-batch path
+            # (sketches.percentile_partials / merge_percentile_sketches)
+            from tantivy_spark.aggs.sketches import tdigest_quantiles
+            return [tdigest_quantiles(f, pcts).alias(f"{name}.values")]
         # KLL/GK-family sketch via percentile_approx (reference uses
         # DDSketch: approximate-compatible)
         return [F.percentile_approx(f, float(p) / 100.0, 10_000)
@@ -258,13 +269,56 @@ def _filter_pred(body: dict) -> Column:
     raise ValueError(f"unsupported filter {body}")
 
 
+def _fmt_bound(v) -> str:
+    """Range-bound display format (bucket/range.rs key strings — Rust's
+    f64 Display prints 3.0 as "3")."""
+    f = float(v)
+    return str(int(f)) if f == int(f) else str(f)
+
+
+def _range_label(r: dict) -> str:
+    lo, hi = r.get("from"), r.get("to")
+    return r.get("key",
+                 f"{_fmt_bound(lo) if lo is not None else '*'}-"
+                 f"{_fmt_bound(hi) if hi is not None else '*'}")
+
+
+def _extend_ranges(body: dict) -> list[dict]:
+    """The EFFECTIVE range set (bucket/range.rs extend_validate_ranges:
+    477-500): request ranges sorted by start, an implicit unbounded head
+    added when the first range has a `from`, an implicit unbounded tail
+    when the last has a `to`, and hole-filler ranges between
+    non-contiguous neighbours.  Overlaps are rejected like the
+    reference."""
+    rs = sorted(body["ranges"],
+                key=lambda r: (r.get("from") is not None,
+                               r.get("from") if r.get("from") is not None
+                               else 0.0))
+    out: list[dict] = []
+    if rs and rs[0].get("from") is not None:
+        out.append({"to": rs[0]["from"]})
+    for r in rs:
+        if out:
+            prev_to = out[-1].get("to")
+            cur_from = r.get("from")
+            if prev_to is not None and cur_from is not None:
+                if float(cur_from) < float(prev_to):
+                    raise ValueError(
+                        f"overlapping ranges at from={cur_from}")
+                if float(cur_from) > float(prev_to):   # hole filler
+                    out.append({"from": prev_to, "to": cur_from})
+        out.append(r)
+    if out and out[-1].get("to") is not None:
+        out.append({"from": out[-1]["to"]})
+    return out
+
+
 def _range_key(body: dict) -> Column:
     field = body["field"]
     whens = None
-    for r in body["ranges"]:
+    for r in _extend_ranges(body):
         lo, hi = r.get("from"), r.get("to")
-        label = r.get("key",
-                      f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}")
+        label = _range_label(r)
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col(field) >= lo)
@@ -272,6 +326,16 @@ def _range_key(body: dict) -> Column:
             cond = cond & (F.col(field) < hi)
         whens = F.when(cond, label) if whens is None else whens.when(cond, label)
     return whens
+
+
+def _range_order_col(body: dict, col: Column) -> Column:
+    """Maps a range label back to its EFFECTIVE-set index — the reference
+    returns range buckets in coverage order, not label-string order."""
+    expr = None
+    for i, r in enumerate(_extend_ranges(body)):
+        lbl = _range_label(r)
+        expr = F.when(col == lbl, i) if expr is None else expr.when(col == lbl, i)
+    return expr
 
 
 class _Level:
@@ -467,10 +531,12 @@ def _run_chain(df: DataFrame, name: str, kind: str, body: dict,
                                keys, "left_semi")
 
     # ---- pass D: histogram gap filling at the leaf level ---------------
-    if leaf.kind == "histogram" and int(leaf.body.get("min_doc_count", 1)) == 0:
+    # histogram min_doc_count DEFAULTS to 0 (histogram.rs:199-201):
+    # empty buckets materialize unless the request filters them
+    if leaf.kind == "histogram" and int(leaf.body.get("min_doc_count", 0)) == 0:
         grouped = _fill_histogram_gaps(grouped, leaf, ikeys, max_buckets)
     if leaf.kind == "date_histogram" and "fixed_interval" in leaf.body \
-            and int(leaf.body.get("min_doc_count", 1)) == 0:
+            and int(leaf.body.get("min_doc_count", 0)) == 0:
         grouped = _fill_date_histogram_gaps(grouped, leaf, ikeys, max_buckets)
     if leaf.kind == "histogram" and "hard_bounds" in leaf.body:
         hb = leaf.body["hard_bounds"]
@@ -498,7 +564,18 @@ def _run_chain(df: DataFrame, name: str, kind: str, body: dict,
         sort_cols = _terms_sort_cols(leaf.body.get("order"), ikeys[0],
                                      "doc_count", leaf)
         return _publish(grouped.orderBy(*sort_cols).limit(size))
-    return _publish(grouped.orderBy(*ikeys))
+    # range levels order by DEFINITION index (bucket/range.rs), other
+    # kinds by their key value
+    sort_cols = []
+    for i, lvl in enumerate(levels):
+        if i not in key_of_level:
+            continue
+        ik = key_of_level[i]
+        if lvl.kind == "range":
+            sort_cols.append(_range_order_col(lvl.body, F.col(ik)))
+        else:
+            sort_cols.append(F.col(ik))
+    return _publish(grouped.orderBy(*sort_cols))
 
 
 def _fill_histogram_gaps(grouped: DataFrame, leaf: _Level, ikeys: list[str],
@@ -716,6 +793,61 @@ def run_agg_tree(df: DataFrame, request: dict,
     return out
 
 
+def _terms_bucket_sort(buckets: list[dict], body: dict) -> list[dict]:
+    """ES terms bucket ordering (bucket/terms.rs): default _count desc
+    with _key asc tie-break; explicit _key / _count orders honoured.
+    Metric orders keep arrival order (already selection-sorted)."""
+    order = body.get("order") or {"_count": "desc"}
+    (tgt, direction), = order.items()
+    if tgt == "_key":
+        return sorted(buckets, key=lambda b: b.get("key"),
+                      reverse=(direction == "desc"))
+    if tgt == "_count":
+        return sorted(buckets,
+                      key=lambda b: (-b.get("doc_count", 0)
+                                     if direction == "desc"
+                                     else b.get("doc_count", 0),
+                                     str(b.get("key"))))
+    return buckets
+
+
+def _terms_container(buckets: list[dict], body: dict,
+                     parent_count: int | None) -> dict:
+    """The ES terms result object: ordered buckets + sum_other_doc_count
+    (docs in buckets beyond the returned set — parent total minus the
+    visible sum; exact for non-null fields, the reference counts the
+    same way per segment, bucket/terms.rs)."""
+    out: dict = {"buckets": _terms_bucket_sort(buckets, body)}
+    if parent_count is not None:
+        vis = sum(b.get("doc_count") or 0 for b in buckets)
+        out["sum_other_doc_count"] = max(0, parent_count - vis)
+    elif body.get("size") is None or len(buckets) < int(body["size"]):
+        # root-level terms: exact-count shape (bucket/terms.rs emits both
+        # counters; 0 when nothing was dropped by a size cap)
+        out["sum_other_doc_count"] = 0
+        out["doc_count_error_upper_bound"] = 0
+    return out
+
+
+def _range_fill(buckets: list[dict], body: dict) -> list[dict]:
+    """Every DEFINED range emits a bucket, empty ones with doc_count 0,
+    in definition order with their bounds (bucket/range.rs — the
+    reference materializes the full range set per parent)."""
+    by_key = {b.get("key"): b for b in buckets}
+    out = []
+    for r in _extend_ranges(body):
+        lbl = _range_label(r)
+        b = by_key.get(lbl)
+        if b is None:
+            b = {"key": lbl, "doc_count": 0}
+            if r.get("from") is not None:
+                b["from"] = float(r["from"])
+            if r.get("to") is not None:
+                b["to"] = float(r["to"])
+        out.append(b)
+    return out
+
+
 def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
     """Recursive flat-rows -> nested-ES-buckets fold for one key chain.
     Rows must arrive ordered by the ancestor keys (run_agg_tree output
@@ -735,6 +867,14 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
             cnt = grp[0].get(f"{lvl.name}.doc_count")
             b["doc_count"] = cnt if cnt is not None else \
                 sum(r.get("doc_count", 0) for r in grp)
+        if lvl.kind == "range":
+            spec = next((r for r in _extend_ranges(lvl.body)
+                         if _range_label(r) == kval), None)
+            if spec is not None:          # ES range buckets carry bounds
+                if spec.get("from") is not None:
+                    b["from"] = float(spec["from"])
+                if spec.get("to") is not None:
+                    b["to"] = float(spec["to"])
         for mname in lvl.metrics:
             stats = {c.split(".", 1)[1]: grp[0][c] for c in grp[0]
                      if c.startswith(mname + ".")
@@ -743,8 +883,17 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
                 b[mname] = _nest_dotted(stats)  # ES shape: {"value": v} / stats
         if len(levels) > 1:
             child = levels[1]
-            b[child.name] = {"buckets": _fold_nested(grp, levels[1:])}
+            sub = _fold_nested(grp, levels[1:])
+            if child.kind == "terms":
+                b[child.name] = _terms_container(sub, child.body,
+                                                 b.get("doc_count"))
+            elif child.kind == "range":
+                b[child.name] = {"buckets": _range_fill(sub, child.body)}
+            else:
+                b[child.name] = {"buckets": sub}
         out.append(b)
+    if lvl.kind == "terms":
+        out = _terms_bucket_sort(out, lvl.body)
     return out
 
 
@@ -799,7 +948,13 @@ def to_es_json(results: dict[str, DataFrame],
                         and not any(lv.top_hits for lv in only):
                     levels = only
         if levels is not None:
-            resp[name] = {"buckets": _fold_nested(rows, levels)}
+            folded = _fold_nested(rows, levels)
+            if levels[0].kind == "terms":
+                resp[name] = _terms_container(folded, levels[0].body, None)
+            elif levels[0].kind == "range":
+                resp[name] = {"buckets": _range_fill(folded, levels[0].body)}
+            else:
+                resp[name] = {"buckets": folded}
         elif rows and ("key" in rows[0] or "key_as_string" in rows[0]):
             resp[name] = {"buckets": rows}
         elif rows and all(c.startswith(name + ".") for c in rows[0]):

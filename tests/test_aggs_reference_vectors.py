@@ -1,0 +1,301 @@
+"""ES-JSON aggregation vectors ported from the reference's end-to-end
+suite (/root/reference/src/aggregation/agg_tests.rs) against
+``run_agg_tree(..., nested=True)`` + ``to_es_json(..., request=...)``.
+
+The fixture replays get_test_index_2_segments
+(/root/reference/src/aggregation/mod.rs:561-659): 9 docs of
+(text, date, score); expected JSON bodies are copied verbatim from the
+reference's assert_eq! blocks.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from tantivy_spark.aggs import run_agg_tree, to_es_json
+
+DAY = 86400
+
+
+@pytest.fixture(scope="module")
+def ref_docs(spark):
+    base = dt.datetime(2019, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        ("cool", base, 1.0),
+        ("cool", base + dt.timedelta(days=1), 3.0),
+        ("cool", base + dt.timedelta(days=1), 5.0),
+        ("nohit", base + dt.timedelta(days=1), 6.0),
+        ("cool", base + dt.timedelta(days=1), 7.0),
+        ("cool", base + dt.timedelta(days=1), 11.0),
+        ("cool", base + dt.timedelta(days=2), 14.0),
+        ("cool", base + dt.timedelta(days=2), 44.0),
+        ("nohit", base + dt.timedelta(days=2), 44.0),
+    ]
+    return spark.createDataFrame(rows, "text STRING, date TIMESTAMP, "
+                                       "score DOUBLE")
+
+
+def _run(docs, req):
+    return to_es_json(run_agg_tree(docs, req, nested=True), request=req)
+
+
+def test_range_parent_terms_child(spark, ref_docs):
+    """agg_tests.rs:25-103 case A — range(4) parent, terms(_key asc)
+    child; expected JSON copied verbatim."""
+    req = {"parent_range": {
+        "range": {"field": "score",
+                  "ranges": [{"to": 3.0}, {"from": 3.0, "to": 7.0},
+                             {"from": 7.0, "to": 20.0}, {"from": 20.0}]},
+        "aggs": {"child_terms": {"terms": {"field": "text",
+                                           "order": {"_key": "asc"}}}}}}
+    res = _run(ref_docs, req)
+    assert res["parent_range"]["buckets"] == [
+        {"key": "*-3", "doc_count": 1, "to": 3.0,
+         "child_terms": {"buckets": [{"doc_count": 1, "key": "cool"}],
+                         "sum_other_doc_count": 0}},
+        {"key": "3-7", "doc_count": 3, "from": 3.0, "to": 7.0,
+         "child_terms": {"buckets": [{"doc_count": 2, "key": "cool"},
+                                     {"doc_count": 1, "key": "nohit"}],
+                         "sum_other_doc_count": 0}},
+        {"key": "7-20", "doc_count": 3, "from": 7.0, "to": 20.0,
+         "child_terms": {"buckets": [{"doc_count": 3, "key": "cool"}],
+                         "sum_other_doc_count": 0}},
+        {"key": "20-*", "doc_count": 2, "from": 20.0,
+         "child_terms": {"buckets": [{"doc_count": 1, "key": "cool"},
+                                     {"doc_count": 1, "key": "nohit"}],
+                         "sum_other_doc_count": 0}},
+    ]
+
+
+def test_histogram_parent_terms_child(spark, ref_docs):
+    """agg_tests.rs:105-137 case B — histogram(100) parent, terms child."""
+    req = {"parent_hist": {
+        "histogram": {"field": "score", "interval": 100.0},
+        "aggs": {"child_terms": {"terms": {"field": "text",
+                                           "order": {"_key": "asc"}}}}}}
+    res = _run(ref_docs, req)
+    assert res["parent_hist"] == {
+        "buckets": [
+            {"key": 0.0, "doc_count": 9,
+             "child_terms": {"buckets": [{"doc_count": 7, "key": "cool"},
+                                         {"doc_count": 2, "key": "nohit"}],
+                             "sum_other_doc_count": 0}}]}
+
+
+def test_range_parent_range_child_empty_buckets(spark, ref_docs):
+    """agg_tests.rs:140-215 case A — range(5) parent, range child; every
+    DEFINED child range materializes (empties at doc_count 0, extended
+    with the implicit tail bucket: extend_validate_ranges)."""
+    req = {"parent_range": {
+        "range": {"field": "score",
+                  "ranges": [{"to": 3.0}, {"from": 3.0, "to": 7.0},
+                             {"from": 7.0, "to": 11.0},
+                             {"from": 11.0, "to": 20.0}, {"from": 20.0}]},
+        "aggs": {"child_range": {
+            "range": {"field": "score",
+                      "ranges": [{"to": 3.0}, {"from": 3.0, "to": 20.0}]}}}}}
+    res = _run(ref_docs, req)
+    assert res["parent_range"]["buckets"] == [
+        {"key": "*-3", "doc_count": 1, "to": 3.0,
+         "child_range": {"buckets": [
+             {"key": "*-3", "doc_count": 1, "to": 3.0},
+             {"key": "3-20", "doc_count": 0, "from": 3.0, "to": 20.0},
+             {"key": "20-*", "doc_count": 0, "from": 20.0}]}},
+        {"key": "3-7", "doc_count": 3, "from": 3.0, "to": 7.0,
+         "child_range": {"buckets": [
+             {"key": "*-3", "doc_count": 0, "to": 3.0},
+             {"key": "3-20", "doc_count": 3, "from": 3.0, "to": 20.0},
+             {"key": "20-*", "doc_count": 0, "from": 20.0}]}},
+        {"key": "7-11", "doc_count": 1, "from": 7.0, "to": 11.0,
+         "child_range": {"buckets": [
+             {"key": "*-3", "doc_count": 0, "to": 3.0},
+             {"key": "3-20", "doc_count": 1, "from": 3.0, "to": 20.0},
+             {"key": "20-*", "doc_count": 0, "from": 20.0}]}},
+        {"key": "11-20", "doc_count": 2, "from": 11.0, "to": 20.0,
+         "child_range": {"buckets": [
+             {"key": "*-3", "doc_count": 0, "to": 3.0},
+             {"key": "3-20", "doc_count": 2, "from": 3.0, "to": 20.0},
+             {"key": "20-*", "doc_count": 0, "from": 20.0}]}},
+        {"key": "20-*", "doc_count": 2, "from": 20.0,
+         "child_range": {"buckets": [
+             {"key": "*-3", "doc_count": 0, "to": 3.0},
+             {"key": "3-20", "doc_count": 0, "from": 3.0, "to": 20.0},
+             {"key": "20-*", "doc_count": 2, "from": 20.0}]}},
+    ]
+
+
+def test_terms_parent_range_child(spark, ref_docs):
+    """agg_tests.rs:216-272 case B — terms parent (count desc default),
+    range child extended with the implicit 20-* tail."""
+    req = {"parent_terms": {
+        "terms": {"field": "text"},
+        "aggs": {"child_range": {
+            "range": {"field": "score",
+                      "ranges": [{"to": 3.0}, {"from": 3.0, "to": 7.0},
+                                 {"from": 7.0, "to": 20.0}]}}}}}
+    res = _run(ref_docs, req)
+    assert res["parent_terms"]["sum_other_doc_count"] == 0
+    assert res["parent_terms"]["doc_count_error_upper_bound"] == 0
+    assert res["parent_terms"]["buckets"] == [
+        {"key": "cool", "doc_count": 7,
+         "child_range": {"buckets": [
+             {"key": "*-3", "doc_count": 1, "to": 3.0},
+             {"key": "3-7", "doc_count": 2, "from": 3.0, "to": 7.0},
+             {"key": "7-20", "doc_count": 3, "from": 7.0, "to": 20.0},
+             {"key": "20-*", "doc_count": 1, "from": 20.0}]}},
+        {"key": "nohit", "doc_count": 2,
+         "child_range": {"buckets": [
+             {"key": "*-3", "doc_count": 0, "to": 3.0},
+             {"key": "3-7", "doc_count": 1, "from": 3.0, "to": 7.0},
+             {"key": "7-20", "doc_count": 0, "from": 7.0, "to": 20.0},
+             {"key": "20-*", "doc_count": 1, "from": 20.0}]}},
+    ]
+
+
+def test_range_parent_histogram_child(spark, ref_docs):
+    """agg_tests.rs:278-321 case A — range(5) parent, histogram(100)
+    child: one child bucket per parent at key 0.0."""
+    req = {"parent_range": {
+        "range": {"field": "score",
+                  "ranges": [{"to": 3.0}, {"from": 3.0, "to": 7.0},
+                             {"from": 7.0, "to": 11.0},
+                             {"from": 11.0, "to": 20.0}, {"from": 20.0}]},
+        "aggs": {"child_hist": {
+            "histogram": {"field": "score", "interval": 100.0}}}}}
+    res = _run(ref_docs, req)
+    assert res["parent_range"]["buckets"] == [
+        {"key": "*-3", "doc_count": 1, "to": 3.0,
+         "child_hist": {"buckets": [{"key": 0.0, "doc_count": 1}]}},
+        {"key": "3-7", "doc_count": 3, "from": 3.0, "to": 7.0,
+         "child_hist": {"buckets": [{"key": 0.0, "doc_count": 3}]}},
+        {"key": "7-11", "doc_count": 1, "from": 7.0, "to": 11.0,
+         "child_hist": {"buckets": [{"key": 0.0, "doc_count": 1}]}},
+        {"key": "11-20", "doc_count": 2, "from": 11.0, "to": 20.0,
+         "child_hist": {"buckets": [{"key": 0.0, "doc_count": 2}]}},
+        {"key": "20-*", "doc_count": 2, "from": 20.0,
+         "child_hist": {"buckets": [{"key": 0.0, "doc_count": 2}]}},
+    ]
+
+
+def test_terms_parent_histogram_child_gapfill(spark, ref_docs):
+    """agg_tests.rs:322-379 case B — terms parent, histogram(10) child
+    gap-fills empties PER PARENT (min_doc_count defaults to 0,
+    histogram.rs:199-201)."""
+    req = {"parent_terms": {
+        "terms": {"field": "text"},
+        "aggs": {"child_hist": {
+            "histogram": {"field": "score", "interval": 10.0}}}}}
+    res = _run(ref_docs, req)
+    assert res["parent_terms"]["buckets"] == [
+        {"key": "cool", "doc_count": 7,
+         "child_hist": {"buckets": [
+             {"key": 0.0, "doc_count": 4}, {"key": 10.0, "doc_count": 2},
+             {"key": 20.0, "doc_count": 0}, {"key": 30.0, "doc_count": 0},
+             {"key": 40.0, "doc_count": 1}]}},
+        {"key": "nohit", "doc_count": 2,
+         "child_hist": {"buckets": [
+             {"key": 0.0, "doc_count": 1}, {"key": 10.0, "doc_count": 0},
+             {"key": 20.0, "doc_count": 0}, {"key": 30.0, "doc_count": 0},
+             {"key": 40.0, "doc_count": 1}]}},
+    ]
+
+
+def test_range_parent_date_histogram_child(spark, ref_docs):
+    """agg_tests.rs:382-419 case A — date_histogram(fixed 30d) child:
+    exactly one child bucket per parent, count matching the parent."""
+    req = {"parent_range": {
+        "range": {"field": "score",
+                  "ranges": [{"to": 3.0}, {"from": 3.0, "to": 7.0},
+                             {"from": 7.0, "to": 11.0},
+                             {"from": 11.0, "to": 20.0}, {"from": 20.0}]},
+        "aggs": {"child_date_hist": {
+            "date_histogram": {"field": "date", "fixed_interval": "30d"}}}}}
+    res = _run(ref_docs, req)
+    for bucket in res["parent_range"]["buckets"]:
+        child = bucket["child_date_hist"]["buckets"]
+        assert len(child) == 1
+        assert child[0]["doc_count"] == bucket["doc_count"]
+
+
+def test_terms_parent_date_histogram_child(spark, ref_docs):
+    """agg_tests.rs:420-440 case B — date_histogram(fixed 1d) child
+    per-day counts under each term bucket."""
+    req = {"parent_terms": {
+        "terms": {"field": "text"},
+        "aggs": {"child_date_hist": {
+            "date_histogram": {"field": "date", "fixed_interval": "1d"}}}}}
+    res = _run(ref_docs, req)
+    buckets = res["parent_terms"]["buckets"]
+    assert buckets[0]["key"] == "cool"
+    cool = buckets[0]["child_date_hist"]["buckets"]
+    assert [b["doc_count"] for b in cool] == [1, 4, 2]
+    assert buckets[1]["key"] == "nohit"
+    nohit = buckets[1]["child_date_hist"]["buckets"]
+    assert [b["doc_count"] for b in nohit] == [1, 1]
+
+
+@pytest.fixture(scope="module")
+def flushing_docs(spark):
+    """agg_tests.rs:445-470 — 80 docs (score 0..79), the last one
+    'termb', the rest 'terma'."""
+    rows = [(float(v), "termb" if v == 79 else "terma") for v in range(80)]
+    return spark.createDataFrame(rows, "score DOUBLE, string_id STRING")
+
+
+def test_flushing_range_in_range(spark, flushing_docs):
+    """agg_tests.rs:486-613 — bucketsL1 range(3) + bucketsL2 range(3)
+    doc_count assertions, copied verbatim."""
+    req = {"bucketsL1": {
+        "range": {"field": "score",
+                  "ranges": [{"to": 3.0}, {"from": 3.0, "to": 70.0},
+                             {"from": 70.0}]},
+        "aggs": {"bucketsL2": {
+            "range": {"field": "score",
+                      "ranges": [{"to": 30.0}, {"from": 30.0, "to": 70.0},
+                                 {"from": 70.0}]}}}}}
+    res = _run(flushing_docs, req)
+    b = res["bucketsL1"]["buckets"]
+    assert b[0]["doc_count"] == 3
+    assert b[0]["bucketsL2"]["buckets"][0]["doc_count"] == 3
+    assert b[1]["key"] == "3-70"
+    assert b[1]["doc_count"] == 70 - 3
+    assert b[1]["bucketsL2"]["buckets"][0]["doc_count"] == 27
+    assert b[1]["bucketsL2"]["buckets"][1]["doc_count"] == 40
+    assert b[1]["bucketsL2"]["buckets"][2]["doc_count"] == 0
+    assert b[2]["bucketsL2"]["buckets"][2]["doc_count"] == 80 - 70
+    assert b[2]["doc_count"] == 80 - 70
+
+
+def test_flushing_terms_histogram_exact_json(spark, flushing_docs):
+    """agg_tests.rs:616-654 — term_agg_test expected JSON verbatim:
+    terms(count desc default) + histogram(70) child, root terms carries
+    sum_other_doc_count and doc_count_error_upper_bound."""
+    req = {"term_agg_test": {
+        "terms": {"field": "string_id"},
+        "aggs": {"bucketsL2": {
+            "histogram": {"field": "score", "interval": 70.0}}}}}
+    res = _run(flushing_docs, req)
+    assert res["term_agg_test"] == {
+        "buckets": [
+            {"bucketsL2": {"buckets": [
+                {"doc_count": 70, "key": 0.0},
+                {"doc_count": 9, "key": 70.0}]},
+             "doc_count": 79, "key": "terma"},
+            {"bucketsL2": {"buckets": [
+                {"doc_count": 1, "key": 70.0}]},
+             "doc_count": 1, "key": "termb"},
+        ],
+        "doc_count_error_upper_bound": 0,
+        "sum_other_doc_count": 0,
+    }
+
+
+def test_flushing_cardinality(spark, flushing_docs):
+    """agg_tests.rs:656-657 — cardinality over string and numeric."""
+    req = {"cardinality_string_id": {"cardinality": {"field": "string_id"}},
+           "cardinality_score": {"cardinality": {"field": "score"}}}
+    res = to_es_json(run_agg_tree(flushing_docs, req), request=req)
+    assert res["cardinality_string_id"]["value"] == 2.0
+    assert res["cardinality_score"]["value"] == 80.0

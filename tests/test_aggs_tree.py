@@ -32,7 +32,8 @@ def test_terms_with_sub_metrics(spark, events):
 
 def test_histogram_and_range(spark, events):
     req = {
-        "hist": {"histogram": {"field": "value", "interval": 100}},
+        "hist": {"histogram": {"field": "value", "interval": 100,
+                       "min_doc_count": 1}},  # default 0 gap-fills
         "ranges": {"range": {"field": "value",
                              "ranges": [{"to": 50}, {"from": 50, "to": 150},
                                         {"from": 150}]},
@@ -75,7 +76,8 @@ def test_nested_bucket_depth2(spark, events):
     inner avg metric, lowered to one two-key groupBy."""
     req = {"by_type": {"terms": {"field": "event_type"},
                        "aggs": {"v_hist": {"histogram": {"field": "value",
-                                                         "interval": 100},
+                                                         "interval": 100,
+                                                         "min_doc_count": 1},
                                            "aggs": {"m": {"avg": {"field": "value"}}}}}}}
     out = run_agg_tree(events, req)["by_type"]
     rows = out.collect()
@@ -102,7 +104,8 @@ def test_nested_bucket_depth3(spark, events):
                            "date_histogram": {"field": "ts",
                                               "calendar_interval": "day"},
                            "aggs": {"vh": {
-                               "histogram": {"field": "value", "interval": 100},
+                               "histogram": {"field": "value", "interval": 100,
+                                             "min_doc_count": 1},
                                "aggs": {"m": {"avg": {"field": "value"}}}}}}}}}
     out = run_agg_tree(events, req)["by_type"]
     rows = out.collect()
@@ -546,3 +549,78 @@ def test_extended_stats_under_terms_nested_bounds(spark, events):
         sb = es["std_deviation_bounds"]
         assert sb["upper"] == pytest.approx(es["avg"] + 2.0 * es["std_deviation"])
         assert sb["lower"] == pytest.approx(es["avg"] - 2.0 * es["std_deviation"])
+
+
+class TestPercentileSketches:
+    """Mergeable t-digest percentiles (aggs/sketches.py + tdigest.py):
+    partials persist per batch, merge without rescanning — the
+    IntermediateAggregationResults story (aggregation/mod.rs:119-128)."""
+
+    def test_partials_persist_and_merge(self, spark, events):
+        from tantivy_spark.aggs.sketches import (
+            merge_percentile_sketches, percentile_estimate,
+            percentile_partials)
+
+        # two "batches" (repartition splits) build partials separately
+        parts_a = percentile_partials(events.filter("event_id % 2 = 0"),
+                                      "value")
+        parts_b = percentile_partials(events.filter("event_id % 2 = 1"),
+                                      "value")
+        partials = parts_a.unionByName(parts_b)
+        assert partials.schema["sketch"].dataType.typeName() == "binary"
+        merged = merge_percentile_sketches(partials)
+        assert merged.count() == 1
+        est = percentile_estimate(merged, [25, 50, 95]).collect()[0]["values"]
+        import numpy as np
+        vals = np.array([r["value"] for r in events.select("value").collect()])
+        exact = np.quantile(vals, [0.25, 0.5, 0.95])
+        for e, x in zip(est, exact):
+            assert abs(e - x) <= 0.02 * max(abs(x), 1.0), (e, x)
+
+    def test_grouped_partials(self, spark, events):
+        from tantivy_spark.aggs.sketches import (
+            merge_percentile_sketches, percentile_estimate,
+            percentile_partials)
+
+        partials = percentile_partials(events, "value", "event_type")
+        merged = merge_percentile_sketches(partials, "event_type")
+        est = {r["event_type"]: r["values"] for r in percentile_estimate(
+            merged, [50], "event_type").collect()}
+        want = {r["event_type"]: r["m"] for r in spark.sql(
+            "SELECT event_type, median(value) m FROM {e} GROUP BY 1",
+            e=events).collect()}
+        assert set(est) == set(want)
+        for k, v in want.items():
+            assert abs(est[k][0] - v) <= 0.03 * max(abs(v), 1.0)
+
+    def test_tree_sketch_flag(self, spark, events):
+        """{"percentiles": {..., "sketch": true}} runs the same digest
+        inline and lands in the ES fold as an ordered values array."""
+        req = {"p": {"percentiles": {"field": "value", "sketch": True,
+                                     "percents": [50, 95]}}}
+        js = to_es_json(run_agg_tree(events, req))["p"]
+        import numpy as np
+        vals = np.array([r["value"] for r in events.select("value").collect()])
+        exact = np.quantile(vals, [0.5, 0.95])
+        assert len(js["values"]) == 2
+        for e, x in zip(js["values"], exact):
+            assert abs(e - x) <= 0.02 * max(abs(x), 1.0)
+
+    def test_merge_associativity(self):
+        """merge(merge(a,b),c) ~= merge(a,b,c) ~= one-shot build."""
+        import numpy as np
+
+        from tantivy_spark.functions import tdigest as td
+        rng = np.random.default_rng(7)
+        data = rng.lognormal(3.0, 1.0, 30_000)
+        a, b, c = np.array_split(data, 3)
+        two_step = td.merge([td.merge([td.build(a), td.build(b)]),
+                             td.build(c)])
+        one_step = td.merge([td.build(a), td.build(b), td.build(c)])
+        single = td.build(data)
+        qs = [0.25, 0.5, 0.9, 0.99]
+        exact = np.quantile(data, qs)
+        for blob in (two_step, one_step, single):
+            est = td.quantile(blob, qs)
+            rel = np.max(np.abs(est - exact) / np.abs(exact))
+            assert rel < 0.02, rel
