@@ -105,6 +105,11 @@ def _domain_guard(n_buckets: Column, max_buckets: int) -> Column:
 
 def _metric_cols(name: str, kind: str, body: dict) -> list[Column]:
     f = F.col(body["field"]) if "field" in body else None
+    if f is not None and body.get("missing") is not None:
+        # every reference metric accepts `missing` (stats.rs:32-37,
+        # average.rs:24-29): docs lacking the field count as the
+        # substitute value instead of being skipped
+        f = F.coalesce(f, F.lit(float(body["missing"])))
     if kind == "avg":
         return [F.avg(f).alias(f"{name}.value")]
     if kind == "min":
@@ -867,6 +872,21 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
             cnt = grp[0].get(f"{lvl.name}.doc_count")
             b["doc_count"] = cnt if cnt is not None else \
                 sum(r.get("doc_count", 0) for r in grp)
+        if lvl.kind == "date_histogram" and isinstance(kval, str):
+            # ES date buckets carry BOTH key (epoch millis, f64) and
+            # key_as_string (date_histogram.rs:87: millisecond keys);
+            # the session timezone is pinned UTC (session.py), so the
+            # string parses back exactly
+            try:
+                from datetime import datetime, timezone
+                fmt = "%Y-%m-%d %H:%M:%S" if " " in kval else (
+                    "%Y-%m-%d" if kval.count("-") == 2 else None)
+                if fmt:
+                    ts = datetime.strptime(kval, fmt).replace(
+                        tzinfo=timezone.utc)
+                    b["key"] = ts.timestamp() * 1000.0
+            except ValueError:
+                pass
         if lvl.kind == "range":
             spec = next((r for r in _extend_ranges(lvl.body)
                          if _range_label(r) == kval), None)

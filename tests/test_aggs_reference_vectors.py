@@ -299,3 +299,81 @@ def test_flushing_cardinality(spark, flushing_docs):
     res = to_es_json(run_agg_tree(flushing_docs, req), request=req)
     assert res["cardinality_string_id"]["value"] == 2.0
     assert res["cardinality_score"]["value"] == 80.0
+
+
+def test_skewed_terms_sub_agg_exact(spark):
+    """agg_tests.rs:666-744 — the skewed-bucket regression: a dominant
+    term interleaved with 89 minority terms; per-term doc_count AND the
+    sum sub-agg must be exact for every bucket."""
+    NUM_MINORITY = 89
+    rows, truth = [], {}
+    minority_idx = 0
+    for i in range(5000):
+        if i % 25 == 0:
+            term = f"minority_{minority_idx % NUM_MINORITY:02d}"
+            minority_idx += 1
+            score = float(i % 13 + 1)
+        else:
+            term, score = "dominant", 7.0
+        rows.append((score, term))
+        c, s = truth.get(term, (0, 0.0))
+        truth[term] = (c + 1, s + score)
+    assert len(truth) == NUM_MINORITY + 1
+    df = spark.createDataFrame(rows, "score DOUBLE, string_id STRING")
+    req = {"my_terms": {"terms": {"field": "string_id", "size": 100},
+                        "aggs": {"sum_score": {"sum": {"field": "score"}}}}}
+    res = _run(df, req)
+    buckets = res["my_terms"]["buckets"]
+    assert len(buckets) == len(truth)
+    for b in buckets:
+        c, s = truth[b["key"]]
+        assert b["doc_count"] == c, b["key"]
+        assert b["sum_score"]["value"] == pytest.approx(s), b["key"]
+
+
+def test_level1_query_scoped(spark, ref_docs):
+    """agg_tests.rs:746-812 — query-scoped (TermQuery 'cool') top-level
+    avg + range; pinned averages and the extended range bucket set."""
+    cool = ref_docs.filter("text = 'cool'")
+    req = {"average": {"avg": {"field": "score"}},
+           "range": {"range": {"field": "score",
+                               "ranges": [{"from": 3.0, "to": 7.0},
+                                          {"from": 7.0, "to": 20.0}]}}}
+    res = to_es_json(run_agg_tree(cool, req, nested=True), request=req)
+    assert res["average"]["value"] == pytest.approx(12.142857142857142)
+    assert res["range"]["buckets"] == [
+        {"key": "*-3", "doc_count": 1, "to": 3.0},
+        {"key": "3-7", "doc_count": 2, "from": 3.0, "to": 7.0},
+        {"key": "7-20", "doc_count": 3, "from": 7.0, "to": 20.0},
+        {"key": "20-*", "doc_count": 1, "from": 20.0},
+    ]
+
+
+def test_metric_missing_parameter(spark):
+    """Metric aggs honour `missing` (stats.rs:32-37, average.rs:24-29):
+    null-field docs count as the substitute."""
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,), (None,)],
+                               "v DOUBLE")
+    req = {"a": {"avg": {"field": "v", "missing": 10.0}},
+           "s": {"sum": {"field": "v", "missing": 10.0}},
+           "es": {"extended_stats": {"field": "v", "missing": 10.0}}}
+    res = to_es_json(run_agg_tree(df, req), request=req)
+    assert res["a"]["value"] == pytest.approx(6.0)       # (1+10+3+10)/4
+    assert res["s"]["value"] == pytest.approx(24.0)
+    assert res["es"]["count"] == 4
+    assert res["es"]["sum"] == pytest.approx(24.0)
+
+
+def test_date_histogram_epoch_key(spark, ref_docs):
+    """ES date buckets carry both key (epoch millis, f64) and
+    key_as_string (date_histogram.rs:87)."""
+    req = {"days": {"date_histogram": {"field": "date",
+                                       "fixed_interval": "1d"}}}
+    res = _run(ref_docs, req)
+    buckets = res["days"]["buckets"]
+    base_ms = dt.datetime(2019, 1, 1,
+                          tzinfo=dt.timezone.utc).timestamp() * 1000.0
+    assert [b["key"] for b in buckets] == \
+        [base_ms, base_ms + DAY * 1000.0, base_ms + 2 * DAY * 1000.0]
+    assert [b["doc_count"] for b in buckets] == [1, 5, 3]
+    assert all("key_as_string" in b for b in buckets)
