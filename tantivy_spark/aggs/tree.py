@@ -957,6 +957,20 @@ def to_es_json(results: dict[str, DataFrame],
                 f"{max_buckets} buckets; refusing to collect")
         rows = [r.asDict() for r in df.collect()]
         levels = None
+        if request is not None and "." not in name and name in request \
+                and "composite" in request[name]:
+            # ES composite shape (bucket/composite/mod.rs): buckets carry
+            # a key STRUCT of the source values; after_key = the last
+            # bucket's key, the cursor for the next page
+            srcs = [next(iter(s)) for s in
+                    request[name]["composite"]["sources"]]
+            buckets = [{"key": {s: r[s] for s in srcs},
+                        **{c: r[c] for c in r if c not in srcs}}
+                       for r in rows]
+            resp[name] = {"buckets": buckets}
+            if buckets:
+                resp[name]["after_key"] = buckets[-1]["key"]
+            continue
         if request is not None and "." not in name and name in request:
             body = request[name]
             kinds = [k for k in body if k in BUCKET_KINDS]

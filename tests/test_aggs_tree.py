@@ -624,3 +624,27 @@ class TestPercentileSketches:
             est = td.quantile(blob, qs)
             rel = np.max(np.abs(est - exact) / np.abs(exact))
             assert rel < 0.02, rel
+
+
+def test_composite_es_fold(spark, events):
+    """to_es_json folds composite frames into the ES shape: key structs
+    per bucket + after_key cursor (bucket/composite/mod.rs)."""
+    req = {"pages": {"composite": {
+        "size": 3,
+        "sources": [{"t": {"terms": {"field": "event_type"}}},
+                    {"u": {"terms": {"field": "user_id"}}}]}}}
+    js = to_es_json(run_agg_tree(events, req), request=req)["pages"]
+    assert len(js["buckets"]) == 3
+    first = js["buckets"][0]
+    assert set(first["key"]) == {"t", "u"}
+    assert first["doc_count"] > 0
+    assert js["after_key"] == js["buckets"][-1]["key"]
+    # page 2 via the cursor: strictly after, no overlap
+    req2 = {"pages": {"composite": {
+        "size": 3, "after": js["after_key"],
+        "sources": req["pages"]["composite"]["sources"]}}}
+    js2 = to_es_json(run_agg_tree(events, req2), request=req2)["pages"]
+    keys1 = [(b["key"]["t"], b["key"]["u"]) for b in js["buckets"]]
+    keys2 = [(b["key"]["t"], b["key"]["u"]) for b in js2["buckets"]]
+    assert not set(keys1) & set(keys2)
+    assert all(k2 > keys1[-1] for k2 in keys2)
