@@ -346,7 +346,7 @@ def json_typed_tokens(json_str: Column) -> Column:
         import re as _re
 
         from tantivy_spark.functions.jsonterm import (
-            json_bool_term, json_num_term, json_str_term)
+            json_bool_term, json_int_term, json_num_term, json_str_term)
 
         word_re = _re.compile(r"[^\W_]+", _re.UNICODE)
 
@@ -363,6 +363,10 @@ def json_typed_tokens(json_str: Column) -> Column:
                 out.append(json_bool_term(prefix, obj))
             elif isinstance(obj, (int, float)):
                 out.append(json_num_term(prefix, obj))
+                if isinstance(obj, int):
+                    # exact i64 twin term (term.rs:72-80 i64 tag): keeps
+                    # >2^53 integers exact for #i= equality/ranges
+                    out.append(json_int_term(prefix, obj))
             elif isinstance(obj, str):
                 # default-analyzer tail: lowercase alnum runs, 40-byte cap
                 out.extend(json_str_term(prefix, t.lower())

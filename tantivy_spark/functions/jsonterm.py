@@ -19,11 +19,12 @@ so no collision with text terms):
 - number leaf:  ``{path}#n={hex16}``     (order-preserving encoding)
 - bool leaf:    ``{path}#b=true|false``
 
-Precision note: all numbers route through the f64 encoding (one tag
-instead of the reference's separate i64/u64/f64 tags, term.rs:72-80) —
-integers are exact up to 2^53; beyond that adjacent integers may share
-an encoding.  Web-page json payloads rarely carry >2^53 integers; if a
-corpus does, add an ``#i=`` offset-binary i64 tag alongside.
+Precision: numbers route through the f64 encoding (exact to 2^53);
+INTEGER leaves additionally index an exact ``{path}#i={hex16}`` term
+(offset-binary i64 — r05, mirroring the reference's separate i64 tag,
+term.rs:72-80), so equality and ranges over >2^53 integers stay exact
+via :func:`json_int_range_query` while float queries keep using the
+``#n=`` span.
 """
 
 from __future__ import annotations
@@ -35,6 +36,7 @@ from tantivy_spark.query.ast import TermRangeQuery
 #: type-tag markers after the JSON path (term.rs:72-80 value type tags)
 NUM_TAG = "#n="
 BOOL_TAG = "#b="
+INT_TAG = "#i="
 
 
 def f64_sortable_hex(x: float) -> str:
@@ -52,6 +54,20 @@ def f64_sortable_hex(x: float) -> str:
 
 def json_num_term(path: str, value: float) -> str:
     return f"{path}{NUM_TAG}{f64_sortable_hex(value)}"
+
+
+def i64_sortable_hex(v: int) -> str:
+    """Order-preserving EXACT encoding of an int64 as 16 hex chars:
+    offset binary (v + 2^63), so string order == numeric order with no
+    precision loss anywhere in the i64 domain."""
+    v = int(v)
+    if not (-(1 << 63) <= v < (1 << 63)):
+        raise ValueError(f"integer out of i64 range: {v}")
+    return format(v + (1 << 63), "016x")
+
+
+def json_int_term(path: str, value: int) -> str:
+    return f"{path}{INT_TAG}{i64_sortable_hex(value)}"
 
 
 def json_bool_term(path: str, value: bool) -> str:
@@ -82,4 +98,26 @@ def json_range_query(path: str, lower: float | None = None,
             upper_inclusive
     else:
         hi, hi_incl = f"{path}{NUM_TAG}g", False
+    return TermRangeQuery(lo, hi, lo_incl, hi_incl, field=field)
+
+
+def json_int_range_query(path: str, lower: int | None = None,
+                         upper: int | None = None,
+                         lower_inclusive: bool = True,
+                         upper_inclusive: bool = True,
+                         field: str | None = None) -> TermRangeQuery:
+    """EXACT integer range under a JSON path over the ``#i=`` terms —
+    no f64 rounding anywhere in the i64 domain (the reference's i64
+    type tag, term.rs:72-80).  Unbounded sides pin to the tag's prefix
+    span like :func:`json_range_query`."""
+    if lower is not None:
+        lo, lo_incl = f"{path}{INT_TAG}{i64_sortable_hex(lower)}", \
+            lower_inclusive
+    else:
+        lo, lo_incl = f"{path}{INT_TAG}", False
+    if upper is not None:
+        hi, hi_incl = f"{path}{INT_TAG}{i64_sortable_hex(upper)}", \
+            upper_inclusive
+    else:
+        hi, hi_incl = f"{path}{INT_TAG}g", False
     return TermRangeQuery(lo, hi, lo_incl, hi_incl, field=field)

@@ -133,3 +133,42 @@ def test_json_string_tokenization_and_phrase(spark, tmp_path):
     assert s.count(pr.parse("props.k:42")) == 2
     # but the range hits only the NUMBER-typed doc
     assert s.count(pr.parse("props.k:[40 TO 45]")) == 1
+
+
+def test_i64_exact_terms_beyond_2_53(spark):
+    """Integer JSON leaves index an EXACT #i= twin term: adjacent
+    integers beyond 2^53 (where f64 collapses them) stay distinct, and
+    json_int_range_query separates them (term.rs:72-80 i64 tag)."""
+    import json as _json
+
+    import pandas as pd
+
+    from tantivy_spark.analyzer import json_typed_tokens
+    from tantivy_spark.functions.jsonterm import (
+        i64_sortable_hex, f64_sortable_hex, json_int_range_query,
+        json_int_term)
+
+    big = 1 << 53                # 9007199254740992
+    nxt = big + 1                # f64-indistinguishable from big
+    assert float(big) == float(nxt)              # the collapse
+    assert f64_sortable_hex(big) == f64_sortable_hex(float(nxt))
+    assert i64_sortable_hex(big) != i64_sortable_hex(nxt)  # exact twin
+
+    # order preservation across the domain
+    vals = [-(1 << 63), -(1 << 53) - 3, -17, 0, 17, big, nxt,
+            (1 << 63) - 1]
+    hexes = [i64_sortable_hex(v) for v in vals]
+    assert hexes == sorted(hexes)
+
+    # analyzer emits the twin next to the #n= term
+    df = spark.createDataFrame(
+        [(_json.dumps({"id": big}),), (_json.dumps({"id": nxt}),)],
+        "j STRING")
+    rows = df.select(json_typed_tokens(F.col("j")).alias("t")).collect()
+    assert json_int_term("id", big) in rows[0]["t"]
+    assert json_int_term("id", nxt) in rows[1]["t"]
+
+    # exact range separates the f64-collapsed neighbours
+    q = json_int_range_query("id", lower=nxt, upper=None)
+    assert q.lower == json_int_term("id", nxt)
+    assert not (q.lower <= json_int_term("id", big))  # big excluded
