@@ -406,9 +406,16 @@ def _wand_plan(reader: IndexReader, terms: list[str], k: int, mode: str,
         if seed_threshold and mode == "or" and deleted_by_seg is None:
             seed = global_seed_threshold(reader, live_terms, params_by_term,
                                          k, min_blocks=min_seed_blocks)
-        rows = (reader.postings_for_terms(live_terms)
-                .drop("pos")
-                .repartition("segment_ord"))
+        rows = reader.postings_for_terms(live_terms).drop("pos")
+        if len(live_terms) > 1:
+            # multi-term kernels need ALL of a segment's lists co-located
+            # for document-at-a-time alignment
+            rows = rows.repartition("segment_ord")
+        # single term: every chunk row is independently top-k-able (the
+        # score needs only global stats), so the kernel maps straight
+        # over the scan partitions — NO shuffle, and parallelism is the
+        # chunk count instead of the segment count (a 4-segment index on
+        # 32 cores would otherwise run 4 tasks)
     return live_terms, params_by_term, deleted_by_seg, seed, rows
 
 
@@ -423,6 +430,38 @@ def _segment_kernel_fn(live_terms, params_by_term, k: int, mode: str,
     md = mode
 
     def kernel(batches):
+        if n_terms == 1:
+            # single-term per-CHUNK path (no shuffle upstream): each
+            # chunk row yields its own local top-k; the driver-side
+            # k-row merge keeps results identical to the sequential walk
+            t0 = live_terms[0]
+            prm = params_by_term[t0]
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    seg = int(row.segment_ord)
+                    dead = (deleted_by_seg or {}).get(seg)
+                    stats: dict | None = {} if emit_stats else None
+                    tb = _TermBlocks([row], prm)
+                    d, s = _segment_wand([tb], [prm], kk, md,
+                                         deleted=dead, seed=seed,
+                                         stats=stats)
+                    if emit_stats:
+                        yield pd.DataFrame({
+                            "segment_ord": [seg],
+                            "decoded_blocks": [stats.get(
+                                "decoded_blocks", 0)],
+                            "processed_strips": [stats.get(
+                                "processed_strips", 0)],
+                            "total_blocks": [len(tb.starts)],
+                        })
+                    elif len(d):
+                        yield pd.DataFrame({
+                            "segment_ord": np.full(len(d), seg,
+                                                   dtype=np.int32),
+                            "doc_id": d.astype(np.int32),
+                            "score": s,
+                        })
+            return
         # group rows per segment (repartition guarantees segment locality)
         by_seg: dict[int, dict[str, list]] = {}
         for pdf in batches:

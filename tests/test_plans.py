@@ -108,3 +108,17 @@ def test_warm_reader_keeps_postings_pushdown(spark, tiny_pages, tmp_path_factory
     finally:
         reader.docmap.unpersist()
         reader.term_stats.unpersist()
+
+
+def test_single_term_wand_has_no_repartition(spark, tiny_index):
+    """Single-term WAND maps straight over the postings scan: no
+    segment_ord exchange in the plan (parallelism = chunk count, not
+    segment count); multi-term keeps the co-locating repartition."""
+    from tantivy_spark.query.wand import wand_topk
+
+    single = wand_topk(tiny_index, ["data"], k=5)
+    multi = wand_topk(tiny_index, ["data", "fast"], k=5)
+    p1 = single._jdf.queryExecution().executedPlan().toString()
+    p2 = multi._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(segment_ord" not in p1
+    assert "hashpartitioning(segment_ord" in p2
