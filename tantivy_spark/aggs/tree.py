@@ -853,6 +853,43 @@ def _range_fill(buckets: list[dict], body: dict) -> list[dict]:
     return out
 
 
+def _hist_fill_folded(buckets: list[dict], lvl: _Level,
+                      child_name: str | None) -> list[dict]:
+    """INTERIOR-level histogram gap fill (histogram.rs:848 fills per
+    aggregation instance at EVERY level; the distributed filler
+    handles the leaf, this driver-side pass handles parents after the
+    fold): missing grid keys between the realized min/max (widened by
+    extended_bounds) materialize with doc_count 0 and an empty child
+    container.  Bounded by the same bucket budget as the leaf path."""
+    interval = float(lvl.body["interval"])
+    off = float(lvl.body.get("offset", 0.0))
+    keys = [float(b["key"]) for b in buckets]
+    lo, hi = min(keys), max(keys)
+    eb = lvl.body.get("extended_bounds")
+    if eb is not None:
+        import math
+        lo = min(lo, math.floor((float(eb["min"]) - off) / interval)
+                 * interval + off)
+        hi = max(hi, math.floor((float(eb["max"]) - off) / interval)
+                 * interval + off)
+    n = int(round((hi - lo) / interval)) + 1
+    if n > DEFAULT_BUCKET_LIMIT:
+        raise AggregationLimitsError(
+            f"histogram gap fill would create {n} buckets "
+            f"> max_buckets={DEFAULT_BUCKET_LIMIT}")
+    by_key = {float(b["key"]): b for b in buckets}
+    out = []
+    for i in range(n):
+        k = lo + i * interval
+        b = by_key.get(k)
+        if b is None:
+            b = {"key": k, "doc_count": 0}
+            if child_name is not None:
+                b[child_name] = {"buckets": []}
+        out.append(b)
+    return out
+
+
 def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
     """Recursive flat-rows -> nested-ES-buckets fold for one key chain.
     Rows must arrive ordered by the ancestor keys (run_agg_tree output
@@ -914,6 +951,11 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
         out.append(b)
     if lvl.kind == "terms":
         out = _terms_bucket_sort(out, lvl.body)
+    if lvl.kind == "histogram" and len(levels) > 1 and out \
+            and int(lvl.body.get("min_doc_count", 0)) == 0:
+        # parent histogram levels gap-fill here (leaf levels were
+        # filled distributively in pass D of _run_chain)
+        out = _hist_fill_folded(out, lvl, levels[1].name)
     return out
 
 

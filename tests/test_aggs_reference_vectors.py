@@ -377,3 +377,20 @@ def test_date_histogram_epoch_key(spark, ref_docs):
         [base_ms, base_ms + DAY * 1000.0, base_ms + 2 * DAY * 1000.0]
     assert [b["doc_count"] for b in buckets] == [1, 5, 3]
     assert all("key_as_string" in b for b in buckets)
+
+
+def test_interior_histogram_gap_fill(spark, ref_docs):
+    """Parent histogram levels gap-fill too (histogram.rs:848 fills per
+    aggregation instance at every level): a histogram(10) PARENT over
+    scores 1..44 materializes the empty 20/30 buckets with doc_count 0
+    and empty child containers."""
+    req = {"h": {"histogram": {"field": "score", "interval": 10.0},
+                 "aggs": {"t": {"terms": {"field": "text",
+                                          "order": {"_key": "asc"}}}}}}
+    res = _run(ref_docs, req)
+    buckets = res["h"]["buckets"]
+    assert [b["key"] for b in buckets] == [0.0, 10.0, 20.0, 30.0, 40.0]
+    assert [b["doc_count"] for b in buckets] == [5, 2, 0, 0, 2]
+    assert buckets[2]["t"] == {"buckets": []}       # synthetic empty
+    assert buckets[4]["t"]["buckets"] == [
+        {"key": "cool", "doc_count": 1}, {"key": "nohit", "doc_count": 1}]

@@ -265,3 +265,35 @@ def test_multifield_phrase_equals_single_field(spark, tmp_path_factory,
     got = _hits(mf_searcher.search(q_mf, k=10))
     want = _hits(single.search(PhraseQuery(["order", "sort"]), k=10))
     assert got == want and got
+
+
+def test_arabic_greek_field_analyzers_end_to_end(spark, tmp_path):
+    """r05 chains as field analyzers: an ar_stem field matches the
+    stemmed Arabic query literal (article stripped), an el_stem field
+    matches inflected Greek — the parser re-analyzes literals with the
+    field's chain, same as the en_stem path."""
+    from tantivy_spark.query.parser import QueryParser
+    from tantivy_spark.query.searcher import Searcher
+
+    docs = spark.createDataFrame(
+        [("k1", "الكتاب كبير", "υπολογιστές γρήγοροι"),
+         ("k2", "كتابهم جديد", "παιδιά παίζουν")],
+        "key STRING, ar STRING, el STRING")
+    out = str(tmp_path / "mf_ar_el")
+    cfg = IndexConfig(key_col="key",
+                      field_cols={"ar": "ar", "el": "el"},
+                      field_analyzers={"ar": "ar_stem", "el": "el_stem"},
+                      n_segments=1)
+    build_index(spark, docs, out, cfg)
+    r = IndexReader(spark, out)
+    dfs = r.doc_freqs([f"ar{FIELD_SEP}كتاب", f"el{FIELD_SEP}υπολογιστ"])
+    assert dfs[f"ar{FIELD_SEP}كتاب"] == 2     # both stem to كتاب
+    assert dfs[f"el{FIELD_SEP}υπολογιστ"] == 1
+
+    p = QueryParser(field_analyzers={"ar": "ar_stem", "el": "el_stem"})
+    s = Searcher(r)
+    q = p.parse("ar:الكتاب")                   # literal re-stems to كتاب
+    assert {row["key"] for row in s.search(q, k=10).collect()} == \
+        {"k1", "k2"}
+    q2 = p.parse("el:υπολογιστές")
+    assert {row["key"] for row in s.search(q2, k=10).collect()} == {"k1"}
