@@ -103,6 +103,38 @@ class Searcher:
         ExactSearcher.explain."""
         return self.exact.explain(self._as_query(q), segment_ord, doc_id)
 
+    def search_tweaked(self, q, tweak, k: int = 10,
+                       offset: int = 0) -> DataFrame:
+        """``TopDocs::tweak_score`` analogue (top_score_collector.rs:
+        332-420): re-rank matches by a fast-field-aware score
+        expression.  ``tweak(score_col, docs)`` receives the BM25 score
+        Column and the joined docmap frame (its indexed fast-field
+        columns addressable by name) and returns the new score Column —
+        e.g. ``lambda s, d: s * F.log1p(d["popularity"])``.  Fully
+        declarative: Catalyst fuses the segment-local docmap join and
+        the expression, and the top-k lowers to TakeOrderedAndProject
+        (per-partition partial top-k, k-row driver merge) — the same
+        shape the reference's tweaked collector has per segment."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        query = self._as_query(q)
+        scored = self.exact.matching(query)
+        docs = scored.join(self.reader.docmap,
+                           ["segment_ord", "doc_id"], "inner")
+        tweaked = docs.withColumn("tweaked_score",
+                                  tweak(F.col("score"), docs))
+        top = tweaked.orderBy(F.desc("tweaked_score"), F.asc("segment_ord"),
+                              F.asc("doc_id")).limit(k + offset)
+        w = Window.orderBy(F.desc("tweaked_score"), F.asc("segment_ord"),
+                           F.asc("doc_id"))
+        return (top.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") > offset)
+                .select("rank", "segment_ord", "doc_id",
+                        F.col("tweaked_score").alias("score"),
+                        F.col("score").alias("bm25_score"), "key")
+                .orderBy("rank"))
+
     def aggregate(self, q, request: dict, max_buckets: int | None = None,
                   nested: bool = False):
         """ES-style aggregation request over the QUERY'S matching docs —

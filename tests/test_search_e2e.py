@@ -292,3 +292,41 @@ def test_prefix_edit_distance_unit():
     assert ped("abcd", "axcz", False) == 2
     assert ped("abcd", "axc", False) == 1        # edit("axc","abc")
     assert ped("x", "", False) == 0              # empty query matches all
+
+
+def test_tweak_score_by_fast_field(spark, tmp_path):
+    """TopDocs::tweak_score analogue (top_score_collector.rs:332-420):
+    the reference's doc example — boost relevance by a popularity fast
+    field; ordering flips from pure BM25 to popularity-weighted."""
+    from pyspark.sql import functions as F
+
+    from tantivy_spark.index.build import IndexConfig, build_index
+    from tantivy_spark.index.reader import IndexReader
+    from tantivy_spark.query import TermQuery
+    from tantivy_spark.query.searcher import Searcher
+
+    docs = spark.createDataFrame(
+        [("p1", "the diary of muadib", 1),
+         ("p2", "a dairy cow", 10),
+         ("p3", "the diary of a young girl", 15)],
+        "key STRING, text STRING, popularity INT")
+    out = str(tmp_path / "tweak_idx")
+    build_index(spark, docs, out,
+                IndexConfig(key_col="key", text_col="text", n_segments=1,
+                            fast_field_cols=["popularity"]))
+    s = Searcher(IndexReader(spark, out))
+
+    plain = s.search(TermQuery("diary"), k=10).collect()
+    assert {r["key"] for r in plain} == {"p1", "p3"}
+
+    tweaked = s.search_tweaked(
+        TermQuery("diary"),
+        lambda score, d: score + F.col("popularity").cast("double"),
+        k=10).collect()
+    assert [r["key"] for r in tweaked] == ["p3", "p1"]   # popularity wins
+    # tweaked score decomposes exactly
+    by_key = {r["key"]: r for r in tweaked}
+    assert by_key["p3"]["score"] == pytest.approx(
+        by_key["p3"]["bm25_score"] + 15.0)
+    # rank/tie-break contract holds under the tweak
+    assert [r["rank"] for r in tweaked] == [1, 2]
