@@ -255,3 +255,58 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             .otherwise(F.lit(0).cast("long")) for j in range(64)]
     sig = reduce(lambda a, b: a.bitwiseOR(b), bits)
     return agg.select("id", sig.alias("simhash"))
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 max_iterations: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate PAIR list ->
+    (doc_id, cluster_id) with cluster_id = the component's minimum id —
+    the step that turns pairwise LSH/Jaccard hits into keep-one-per-
+    cluster training-data dedup decisions.
+
+    Algorithm: alternating min-label propagation (the classic
+    large-star/small-star simplification): every node repeatedly adopts
+    the minimum label among itself and its neighbours until a fixpoint.
+    Each iteration is one shuffle keyed by doc id; the iteration count
+    is bounded by the longest min-label chain (O(log n) rounds on the
+    short, clumpy chains duplicate graphs have — boilerplate clusters
+    are stars, which converge in 2).  Deterministic, loop checked by an
+    aggregate count, loud failure past ``max_iterations``.
+    """
+    edges = (pairs.select(F.col(id_a).cast("long").alias("a"),
+                          F.col(id_b).cast("long").alias("b"))
+             .filter(F.col("a") != F.col("b")))
+    # undirected: both directions once
+    sym = edges.union(edges.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b"))).distinct()
+    sym = sym.cache()
+    labels = (sym.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iterations):
+        # candidate labels: own + the min over neighbours' labels
+        nbr = (sym.join(labels.withColumnRenamed("node", "b")
+                        .withColumnRenamed("label", "nbr_label"), "b")
+               .groupBy("a").agg(F.min("nbr_label").alias("nbr_min")))
+        new_labels = (labels.join(nbr.withColumnRenamed("a", "node"),
+                                  "node", "left")
+                      .select("node",
+                              F.least("label", F.coalesce("nbr_min",
+                                                          "label"))
+                              .alias("label")))
+        new_labels = new_labels.cache()
+        changed = (labels.withColumnRenamed("label", "old")
+                   .join(new_labels, "node")
+                   .filter(F.col("old") != F.col("label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iterations} "
+            f"iterations — pathological chain structure; raise "
+            f"max_iterations or pre-bucket the pairs")
+    sym.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

@@ -298,3 +298,25 @@ def test_lsh_dropped_buckets_diagnostics(spark, docs):
                                    max_bucket=10).collect()
     assert not any(r["id_a"] >= 100_000 and r["id_b"] >= 100_000
                    for r in pairs)
+
+
+def test_dup_clusters_components(spark):
+    """dup_clusters: min-label propagation over near-dup pairs — long
+    chains (multi-round convergence), stars, and isolated pairs all
+    collapse to their component's minimum id."""
+    from tantivy_spark.pipeline.dedup import dup_clusters
+
+    pairs = [
+        # chain 1-2-3-4-5-6 presented worst-case (descending)
+        (6, 5), (5, 4), (4, 3), (3, 2), (2, 1),
+        # star centered at 10
+        (10, 11), (10, 12), (10, 13),
+        # isolated pair, reversed order + duplicate edge
+        (21, 20), (20, 21),
+    ]
+    df = spark.createDataFrame(pairs, "id_a LONG, id_b LONG")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_clusters(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
