@@ -310,3 +310,45 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     sym.unpersist()
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def doc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", window: int = 64,
+               stride: int = 64) -> DataFrame:
+    """Fixed-token-window chunking: (id, chunk_idx, chunk_text) — the
+    granularity training-data pipelines dedup at when whole-document
+    hashing is too coarse (boilerplate headers, quoted reposts).  Pure
+    JVM expressions: whitespace split, a per-doc ``sequence`` of window
+    starts, posexplode + slice — no Python, no UDF."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - F.lit(window), F.lit(0)),
+        F.lit(stride))
+    return (df.select(F.col(id_col), toks.alias("__toks"),
+                      F.posexplode(starts).alias("chunk_idx", "__start"))
+            .select(F.col(id_col), "chunk_idx",
+                    F.concat_ws(
+                        " ", F.slice(F.col("__toks"),
+                                     F.col("__start") + 1, window))
+                    .alias("chunk_text")))
+
+
+def chunk_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", window: int = 64,
+                       stride: int = 64) -> DataFrame:
+    """Chunk-level exact dedup: groups of identical token windows across
+    the corpus -> (chunk_hash, n_dupes, keep_id, keep_chunk_idx), one
+    hash-groupBy shuffle keyed by the chunk hash (same scale shape as
+    exact_dedup_groups; only >1-member groups return)."""
+    chunks = doc_chunks(df, text_col, id_col, window, stride)
+    return (chunks
+            .select(F.xxhash64("chunk_text").alias("chunk_hash"),
+                    F.col(id_col), "chunk_idx")
+            .groupBy("chunk_hash")
+            .agg(F.count(F.lit(1)).alias("n_dupes"),
+                 F.min(F.struct(id_col, "chunk_idx")).alias("keep"))
+            .filter(F.col("n_dupes") > 1)
+            .select("chunk_hash", "n_dupes",
+                    F.col(f"keep.{id_col}").alias("keep_id"),
+                    F.col("keep.chunk_idx").alias("keep_chunk_idx")))

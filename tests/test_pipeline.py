@@ -320,3 +320,25 @@ def test_dup_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
                    10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20}
+
+
+def test_chunk_dedup_groups(spark):
+    """Chunk-level dedup: identical 4-token windows across docs group;
+    short docs produce one whole-doc chunk; keep = min (id, idx)."""
+    from tantivy_spark.pipeline.dedup import chunk_dedup_groups, doc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"),          # chunks: "a b c d", "e f g h"
+         (2, "x y a b c d q r"),          # chunk "a b c d" at idx 1? no — windows are strided
+         (3, "a b c d e f g h"),          # exact dup of doc 1
+         (4, "tiny doc")],                # single short chunk
+        "doc_id LONG, text STRING")
+    chunks = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+              for r in doc_chunks(docs, window=4, stride=4).collect()}
+    assert chunks[(1, 0)] == "a b c d" and chunks[(1, 1)] == "e f g h"
+    assert chunks[(4, 0)] == "tiny doc"
+    groups = chunk_dedup_groups(docs, window=4, stride=4).collect()
+    got = {(r["keep_id"], r["keep_chunk_idx"]): r["n_dupes"]
+           for r in groups}
+    # docs 1 and 3 share both chunks; doc 2's strided windows differ
+    assert got == {(1, 0): 2, (1, 1): 2}
