@@ -152,3 +152,121 @@ def media_binary_features(df: DataFrame, payload_col: str = "payload",
         F.lower(F.hex(F.substring(payload, 1, 4))).alias("header_hex"),
         stats["fingerprint"].alias("fingerprint"),
         stats["entropy_r"].alias("entropy_r"))
+
+
+#: modality registries for the transform stubs (same pattern as
+#: DECODERS: register real implementations when codec libraries exist)
+RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {}
+FRAME_SAMPLERS: dict[str, Callable[[bytes, int], list[bytes]]] = {}
+
+RESIZE_SCHEMA = ("id BIGINT, n_bytes_in BIGINT, n_bytes_out BIGINT, "
+                 "width INT, height INT, payload BINARY, "
+                 "ok BOOLEAN, error STRING")
+
+FRAMES_SCHEMA = ("id BIGINT, frame_idx INT, ts_ms BIGINT, "
+                 "frame BINARY, ok BOOLEAN, error STRING")
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: a pseudo-bitmap whose bytes derive
+    from (payload digest, target dims) — stable across partitionings so
+    the plumbing (schema, batch shape, size accounting) is testable
+    without codec libraries."""
+    import hashlib
+    if len(payload) == 0:
+        raise ValueError("empty payload")
+    seed = hashlib.blake2b(payload, digest_size=8,
+                           person=b"resize__").digest()
+    n = max(1, (width * height) // 64)        # fake 1/64 byte-per-pixel
+    return (seed * ((n + 7) // 8))[:n]
+
+
+def resize_images(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "doc_id", width: int = 224,
+                  height: int = 224, modality: str = "image",
+                  use_fake: bool = True) -> DataFrame:
+    """Image resize plumbing: Arrow-batched mapInPandas, one output row
+    per input, per-row failure isolation (ok/error columns).  The
+    transform itself is a registry entry (RESIZERS) with a deterministic
+    fake default — the Spark-side shape is the real deliverable here."""
+    resizer = RESIZERS.get(modality)
+    if resizer is None:
+        if not use_fake:
+            raise NotImplementedError(
+                f"no resizer registered for {modality!r}; register one "
+                "in tantivy_spark.pipeline.multimodal.RESIZERS")
+        resizer = _fake_resize
+
+    w, h = int(width), int(height)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["_id"], pdf["_payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                row = {"id": int(rid), "n_bytes_in": len(payload),
+                       "n_bytes_out": 0, "width": w, "height": h,
+                       "payload": b"", "ok": False, "error": None}
+                try:
+                    out = resizer(payload, w, h)
+                    row.update(n_bytes_out=len(out), payload=out, ok=True)
+                except Exception as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(payload_col).alias("_payload"))
+    return src.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
+def _fake_sample_frames(payload: bytes, every_ms: int) -> list[bytes]:
+    """Deterministic frame-sampler stand-in: duration from the fake
+    decoder, one pseudo-frame per interval, frame bytes derived from
+    (payload digest, frame index)."""
+    import hashlib
+    meta = _deterministic_fake_decode(payload)
+    n = max(1, int(meta["duration_ms"]) // max(1, int(every_ms)))
+    seed = hashlib.blake2b(payload, digest_size=8,
+                           person=b"frames__").digest()
+    return [bytes(b ^ (i & 0xFF) for b in seed) for i in range(n)]
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "doc_id", every_ms: int = 1000,
+                  max_frames: int = 8, modality: str = "video",
+                  use_fake: bool = True) -> DataFrame:
+    """Video frame-sampling plumbing: mapInPandas with a 1->N batch
+    shape (one output row PER FRAME, capped at ``max_frames``), per-row
+    failure isolation.  Registry + deterministic fake like the other
+    media transforms."""
+    sampler = FRAME_SAMPLERS.get(modality)
+    if sampler is None:
+        if not use_fake:
+            raise NotImplementedError(
+                f"no frame sampler registered for {modality!r}; register "
+                "one in tantivy_spark.pipeline.multimodal.FRAME_SAMPLERS")
+        sampler = _fake_sample_frames
+
+    ev, cap = int(every_ms), int(max_frames)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["_id"], pdf["_payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    frames = sampler(payload, ev)[:cap]
+                    rows.extend(
+                        {"id": int(rid), "frame_idx": i, "ts_ms": i * ev,
+                         "frame": fr, "ok": True, "error": None}
+                        for i, fr in enumerate(frames))
+                except Exception as e:
+                    rows.append({"id": int(rid), "frame_idx": -1,
+                                 "ts_ms": -1, "frame": b"", "ok": False,
+                                 "error": f"{type(e).__name__}: {e}"})
+            yield pd.DataFrame(rows)
+
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(payload_col).alias("_payload"))
+    return src.mapInPandas(kernel, schema=FRAMES_SCHEMA)

@@ -342,3 +342,37 @@ def test_chunk_dedup_groups(spark):
            for r in groups}
     # docs 1 and 3 share both chunks; doc 2's strided windows differ
     assert got == {(1, 0): 2, (1, 1): 2}
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    """Media transform plumbing (resize 1->1, frame-sample 1->N):
+    schemas, determinism across partitionings, per-row error isolation,
+    and the frame cap — all with the registry's deterministic fakes."""
+    from tantivy_spark.pipeline.multimodal import (
+        _deterministic_fake_decode, resize_images, sample_frames)
+
+    rows = [(1, b"\x89PNG....payload-one"), (2, b"payload-two-bytes"),
+            (3, b"")]                                    # 3: decode error
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+
+    rs = {r["id"]: r for r in
+          resize_images(df, width=64, height=32).collect()}
+    assert rs[1]["ok"] and rs[2]["ok"] and not rs[3]["ok"]
+    assert rs[3]["error"].startswith("ValueError")
+    assert rs[1]["n_bytes_out"] == (64 * 32) // 64      # fake bitmap size
+    # determinism across partitionings
+    rs2 = {r["id"]: r for r in
+           resize_images(df.repartition(3), width=64, height=32).collect()}
+    assert bytes(rs2[1]["payload"]) == bytes(rs[1]["payload"])
+
+    fr = sample_frames(df, every_ms=1000, max_frames=5).collect()
+    by_id: dict = {}
+    for r in fr:
+        by_id.setdefault(r["id"], []).append(r)
+    dur1 = _deterministic_fake_decode(rows[0][1])["duration_ms"]
+    assert len(by_id[1]) == min(5, max(1, dur1 // 1000))
+    assert [r["frame_idx"] for r in sorted(by_id[1],
+                                           key=lambda r: r["frame_idx"])] \
+        == list(range(len(by_id[1])))
+    assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in by_id[1])
+    assert not by_id[3][0]["ok"]                        # error row, 1->1
