@@ -200,6 +200,18 @@ def _fixed_interval_seconds(spec: str) -> float:
     return int(m.group(1)) * _FIXED_UNITS[m.group(2)]
 
 
+def _offset_seconds(spec) -> float:
+    """date_histogram ``offset`` — a signed duration string like
+    '-4h' / '+30m' (date_histogram.rs:77, parse_offset_into_milliseconds
+    accepts a leading sign)."""
+    s = str(spec)
+    sign = 1.0
+    if s and s[0] in "+-":
+        sign = -1.0 if s[0] == "-" else 1.0
+        s = s[1:]
+    return sign * _fixed_interval_seconds(s)
+
+
 def _bucket_key(kind: str, body: dict) -> tuple[Column, str]:
     """(key column, ES key-name) for a bucket level."""
     field = body.get("field")
@@ -217,8 +229,11 @@ def _bucket_key(kind: str, body: dict) -> tuple[Column, str]:
     if kind == "date_histogram":
         if "fixed_interval" in body:
             secs = _fixed_interval_seconds(body["fixed_interval"])
+            off = _offset_seconds(body["offset"]) if "offset" in body \
+                else 0.0
             epoch = F.unix_timestamp(F.col(field)).cast("double")
-            bucket_start = F.floor(epoch / secs) * F.lit(secs)
+            bucket_start = (F.floor((epoch - F.lit(off)) / secs)
+                            * F.lit(secs) + F.lit(off))
             return (F.from_unixtime(bucket_start.cast("long"),
                                     "yyyy-MM-dd HH:mm:ss"), "key_as_string")
         unit = body.get("calendar_interval", "day")
@@ -656,15 +671,18 @@ def _fill_date_histogram_gaps(grouped: DataFrame, leaf: _Level,
         fmt = "%Y-%m-%d %H:%M:%S" if " " in s or ":" in s else "%Y-%m-%d"
         return int(datetime.strptime(s, fmt).timestamp())
 
+    d_off = _offset_seconds(leaf.body["offset"]) \
+        if "offset" in leaf.body else 0.0
     g2 = grouped.withColumn(
-        "_bi", (F.unix_timestamp(F.col(leaf_key), "yyyy-MM-dd HH:mm:ss")
-                / F.lit(secs)).cast("long"))
+        "_bi", ((F.unix_timestamp(F.col(leaf_key), "yyyy-MM-dd HH:mm:ss")
+                 - F.lit(d_off)) / F.lit(secs)).cast("long"))
     lo_col, hi_col = F.min("_bi"), F.max("_bi")
     eb = leaf.body.get("extended_bounds")
     if eb is not None:
-        lo_col = F.least(lo_col, F.lit(int(_bound_epoch(eb["min"]) // secs)))
-        hi_col = F.greatest(hi_col,
-                            F.lit(int(_bound_epoch(eb["max"]) // secs)))
+        lo_col = F.least(lo_col, F.lit(
+            int((_bound_epoch(eb["min"]) - d_off) // secs)))
+        hi_col = F.greatest(hi_col, F.lit(
+            int((_bound_epoch(eb["max"]) - d_off) // secs)))
     bounds = (g2.groupBy(*parent_keys) if parent_keys else g2.groupBy()) \
         .agg(lo_col.alias("_lo"), hi_col.alias("_hi"))
     n_dom = F.col("_hi") - F.col("_lo") + F.lit(1)
@@ -678,7 +696,7 @@ def _fill_date_histogram_gaps(grouped: DataFrame, leaf: _Level,
     metric_cols = [c for c in grouped.columns if c not in ikeys]
     return filled.select(
         *parent_keys,
-        F.from_unixtime(F.col("_bi") * int(secs),
+        F.from_unixtime(F.col("_bi") * int(secs) + F.lit(int(d_off)),
                         "yyyy-MM-dd HH:mm:ss").alias(leaf_key),
         *[F.coalesce(F.col(f"`{c}`"), F.lit(0)).alias(c) if c == "doc_count"
           else F.col(f"`{c}`") for c in metric_cols])

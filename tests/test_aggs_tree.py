@@ -648,3 +648,24 @@ def test_composite_es_fold(spark, events):
     keys2 = [(b["key"]["t"], b["key"]["u"]) for b in js2["buckets"]]
     assert not set(keys1) & set(keys2)
     assert all(k2 > keys1[-1] for k2 in keys2)
+
+
+def test_date_histogram_offset(spark, events):
+    """date_histogram fixed_interval + offset (date_histogram.rs:77):
+    bucket boundaries shift by the signed duration; totals and the
+    gap-filled bucket grid stay consistent."""
+    req = {"d": {"date_histogram": {"field": "ts", "fixed_interval": "1d",
+                                    "offset": "6h"}}}
+    rows = run_agg_tree(events, req)["d"].collect()
+    assert sum(r["doc_count"] for r in rows) == events.count()
+    # every key sits on a 6h-offset day boundary
+    for r in rows:
+        assert r["key_as_string"].endswith("06:00:00")
+    # parity with the direct shifted-floor SQL
+    want = {r["k"]: r["c"] for r in spark.sql(
+        "SELECT from_unixtime(floor((unix_timestamp(ts) - 21600)/86400)"
+        "*86400 + 21600, 'yyyy-MM-dd HH:mm:ss') AS k, count(*) c "
+        "FROM {e} GROUP BY 1", e=events).collect()}
+    got = {r["key_as_string"]: r["doc_count"] for r in rows
+           if r["doc_count"] > 0}
+    assert got == want
