@@ -950,12 +950,16 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
                     b["from"] = float(spec["from"])
                 if spec.get("to") is not None:
                     b["to"] = float(spec["to"])
-        for mname in lvl.metrics:
+        for mname, mbody in lvl.metrics.items():
             stats = {c.split(".", 1)[1]: grp[0][c] for c in grp[0]
                      if c.startswith(mname + ".")
                      and c != f"{mname}.doc_count"}
             if stats:
-                b[mname] = _nest_dotted(stats)  # ES shape: {"value": v} / stats
+                mk = next(k for k in mbody if k in METRIC_KINDS)
+                if mk == "percentiles":   # ES: {"values": {"50.0": v}}
+                    b[mname] = _percentiles_values(stats)
+                else:
+                    b[mname] = _nest_dotted(stats)
         if len(levels) > 1:
             child = levels[1]
             sub = _fold_nested(grp, levels[1:])
@@ -975,6 +979,16 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
         # filled distributively in pass D of _run_chain)
         out = _hist_fill_folded(out, lvl, levels[1].name)
     return out
+
+
+def _percentiles_values(stats: dict) -> dict:
+    """Percentile columns -> the ES percentiles result shape
+    ``{"values": {"50.0": v, ...}}`` (float-string keys).  The sketch
+    path's ``values`` array is left as-is (its percents live in the
+    request)."""
+    if set(stats) == {"values"}:
+        return stats
+    return {"values": {f"{float(p)}": v for p, v in stats.items()}}
 
 
 def _nest_dotted(flat: dict) -> dict:
@@ -1055,8 +1069,12 @@ def to_es_json(results: dict[str, DataFrame],
             # top-level metric: strip the agg-name prefix and nest
             # compound sub-fields — ES returns {"count": .., "avg": ..,
             # "std_deviation_bounds": {"upper": ..}} under the agg name
-            resp[name] = _nest_dotted(
-                {c.split(".", 1)[1]: v for c, v in rows[0].items()})
+            flat = {c.split(".", 1)[1]: v for c, v in rows[0].items()}
+            if request is not None and "percentiles" in request.get(
+                    name, {}):
+                resp[name] = _percentiles_values(flat)
+            else:
+                resp[name] = _nest_dotted(flat)
         else:
             resp[name] = rows[0] if rows else {}
     return resp

@@ -669,3 +669,20 @@ def test_date_histogram_offset(spark, events):
     got = {r["key_as_string"]: r["doc_count"] for r in rows
            if r["doc_count"] > 0}
     assert got == want
+
+
+def test_percentiles_es_values_shape(spark, events):
+    """Percentiles fold into the ES result shape: float-string keys
+    under "values", both top-level and nested under a bucket level."""
+    req = {"p": {"percentiles": {"field": "value", "percents": [50, 95]}}}
+    js = to_es_json(run_agg_tree(events, req), request=req)["p"]
+    assert set(js) == {"values"} and set(js["values"]) == {"50.0", "95.0"}
+    want = events.approxQuantile("value", [0.5], 0.001)[0]
+    assert js["values"]["50.0"] == pytest.approx(want, rel=0.01)
+
+    req2 = {"types": {"terms": {"field": "event_type"},
+                      "aggs": {"p": {"percentiles": {
+                          "field": "value", "percents": [50]}}}}}
+    js2 = to_es_json(run_agg_tree(events, req2, nested=True), request=req2)
+    for b in js2["types"]["buckets"]:
+        assert set(b["p"]) == {"values"} and "50.0" in b["p"]["values"]
