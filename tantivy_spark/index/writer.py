@@ -33,38 +33,41 @@ class IndexWriter:
         self.index_dir = index_dir
         self._indexer = IncrementalIndexer(
             spark, index_dir, cfg, segments_per_batch=segments_per_batch)
-        self._pending_adds: list[DataFrame] = []
-        self._pending_deletes: list[tuple[str, object]] = []
+        #: ordered op buffer — order IS the semantics: a delete only
+        #: affects docs added by EARLIER ops (the reference applies
+        #: operations in opstamp order, index_writer.rs: deletes target
+        #: lower opstamps only, which is what makes the delete-then-
+        #: re-add UPDATE recipe atomic within one commit)
+        self._pending_ops: list[tuple[str, object]] = []
 
     # ------------------------------------------------------------ buffering
     def add_documents(self, df: DataFrame) -> "IndexWriter":
         """Buffer a frame of documents (columns per the IndexConfig).
         Invisible to readers until commit()."""
-        self._pending_adds.append(df)
+        self._pending_ops.append(("add", df))
         return self
 
     def delete_term(self, term: str) -> "IndexWriter":
         """Buffer a delete of every doc containing ``term`` (applies at
         commit, ref: IndexWriter::delete_term)."""
-        self._pending_deletes.append(("term", term))
+        self._pending_ops.append(("term", term))
         return self
 
     def delete_by_keys(self, keys: list[str]) -> "IndexWriter":
         """Buffer a primary-key delete (the delete_term-on-id-field case)."""
-        self._pending_deletes.append(("keys", list(keys)))
+        self._pending_ops.append(("keys", list(keys)))
         return self
 
     def delete_query(self, query) -> "IndexWriter":
         """Buffer a delete of every doc matching a query tree
         (ref: IndexWriter::delete_query)."""
-        self._pending_deletes.append(("query", query))
+        self._pending_ops.append(("query", query))
         return self
 
     def rollback(self) -> "IndexWriter":
         """Discard everything buffered since the last commit
         (ref: IndexWriter::rollback)."""
-        self._pending_adds.clear()
-        self._pending_deletes.clear()
+        self._pending_ops.clear()
         return self
 
     # -------------------------------------------------------------- commit
@@ -90,29 +93,43 @@ class IndexWriter:
         _write_manifest(self._indexer.manifest_path, self._indexer.manifest)
 
     def commit(self) -> int:
-        """Publish the buffered adds as one micro-batch (atomic manifest
-        swap), then apply the buffered deletes.  Returns the opstamp —
-        unique and monotonic across commits of every kind.  A commit with
-        ONLY deletes skips the ingest but still advances the stamp."""
+        """Apply the buffered ops IN ORDER (the reference's opstamp
+        semantics: a delete only affects docs from earlier ops — the
+        delete-old + add-new UPDATE recipe replaces atomically within
+        one commit).  Runs of consecutive adds publish as one
+        micro-batch (atomic manifest swap); each delete applies against
+        the index as of the ops before it.  Returns the final opstamp —
+        unique and monotonic across commits of every kind."""
         from functools import reduce
 
         from tantivy_spark.index import deletes as dl
 
         opstamp = self._next_opstamp
-        if self._pending_adds:
-            batch = reduce(lambda a, b: a.unionByName(b), self._pending_adds)
-            self._indexer.process_batch(batch, opstamp)
-            self._pending_adds.clear()
-        if self._pending_deletes:
+        pending_adds: list[DataFrame] = []
+
+        def flush_adds():
+            nonlocal opstamp
+            if pending_adds:
+                batch = reduce(lambda a, b: a.unionByName(b), pending_adds)
+                st = self._next_opstamp
+                self._indexer.process_batch(batch, st)
+                pending_adds.clear()
+                opstamp = st
+
+        for kind, arg in self._pending_ops:
+            if kind == "add":
+                pending_adds.append(arg)
+                continue
+            flush_adds()
             reader = IndexReader(self.spark, self.index_dir)
-            for kind, arg in self._pending_deletes:
-                if kind == "term":
-                    dl.delete_by_term(self.spark, reader, arg)
-                elif kind == "keys":
-                    dl.delete_by_keys(self.spark, reader, arg)
-                else:
-                    dl.delete_by_query(self.spark, reader, arg)
-            self._pending_deletes.clear()
+            if kind == "term":
+                dl.delete_by_term(self.spark, reader, arg)
+            elif kind == "keys":
+                dl.delete_by_keys(self.spark, reader, arg)
+            else:
+                dl.delete_by_query(self.spark, reader, arg)
+        flush_adds()
+        self._pending_ops.clear()
         self._publish_opstamp(opstamp)
         return opstamp
 

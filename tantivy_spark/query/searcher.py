@@ -155,6 +155,15 @@ class Searcher:
                             max_buckets=max_buckets or DEFAULT_BUCKET_LIMIT,
                             nested=nested)
 
+    def term_postings(self, term: str,
+                      with_positions: bool = False) -> DataFrame:
+        """Decoded posting iteration for one term — the public analogue
+        of the reference's docs-and-positions walk
+        (examples/iterating_docs_and_positions.rs; InvertedIndexReader::
+        read_postings): (segment_ord, doc_id, tf[, positions])."""
+        return self.exact.flat_postings([term],
+                                        with_positions=with_positions)
+
     def fetch_docs(self, topk: DataFrame, source: DataFrame,
                    key_col: str = "url") -> DataFrame:
         """Docstore retrieval: join the (tiny, broadcast) top-k back to the

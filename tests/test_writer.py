@@ -113,3 +113,30 @@ def test_opstamps_unique_and_monotonic(spark, corpus, tmp_path):
                      segments_per_batch=2)
     s4 = w2.delete_term("of").commit()
     assert s4 > s3
+
+
+def test_update_document_flow(spark, tmp_path):
+    """The reference's update recipe (examples/deleting_updating_
+    documents.rs): delete the old version by key and add the new one in
+    the SAME commit — the replacement is atomic at commit time."""
+    out = str(tmp_path / "wupd")
+    docs = spark.createDataFrame(
+        [("k1", "alpha common"), ("k2", "oldword common"),
+         ("k3", "gamma common")],
+        "url STRING, text STRING")
+    w = IndexWriter(spark, out, IndexConfig(key_col="url", text_col="text"),
+                    segments_per_batch=1)
+    w.add_documents(docs).commit()
+    s = Searcher(w.reader())
+    assert s.count(TermQuery("oldword")) == 1
+
+    new_k2 = spark.createDataFrame([("k2", "newword common")],
+                                   "url STRING, text STRING")
+    w.delete_by_keys(["k2"]).add_documents(new_k2).commit()
+    r = w.reader()
+    s = Searcher(r)
+    assert s.count(TermQuery("oldword")) == 0      # old version gone
+    assert s.count(TermQuery("newword")) == 1      # replacement visible
+    # 'common' still matches exactly one alive k2 (plus k1, k3)
+    hits = s.search(TermQuery("common"), k=10).collect()
+    assert sorted(h["key"] for h in hits) == ["k1", "k2", "k3"]
