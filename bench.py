@@ -237,6 +237,15 @@ def main() -> None:
         timings["big_token_counts_docs_per_sec"] = round(
             big_n / timings["big_token_counts_sec"], 1)
 
+        # chunk-level dedup throughput (pure-JVM strided windows +
+        # one hash-groupBy — the sub-document dedup op, r5)
+        from tantivy_spark.pipeline.dedup import chunk_dedup_groups
+        record("big_chunk_dedup_sec",
+               lambda: chunk_dedup_groups(keyed, window=64,
+                                          stride=64).count(), trials=2)
+        timings["big_chunk_dedup_docs_per_sec"] = round(
+            big_n / timings["big_chunk_dedup_sec"], 1)
+
         # stemmed-chain analyzer throughput: the en_stem pandas-UDF path
         # with vocabulary-level stemming (unique tokens per Arrow batch
         # stemmed once, then dictionary-mapped — per-token Python becomes

@@ -122,3 +122,15 @@ def test_single_term_wand_has_no_repartition(spark, tiny_index):
     p2 = multi._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(segment_ord" not in p1
     assert "hashpartitioning(segment_ord" in p2
+
+
+def test_chunk_dedup_plan_is_udf_free(spark):
+    """Chunk dedup lowers to pure Catalyst expressions: no Python eval
+    nodes, exactly one hash-aggregate shuffle keyed by the chunk hash."""
+    from tantivy_spark.pipeline.dedup import chunk_dedup_groups
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    plan = chunk_dedup_groups(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(chunk_hash") == 1
