@@ -908,6 +908,55 @@ def _hist_fill_folded(buckets: list[dict], lvl: _Level,
     return out
 
 
+_CAL_FORMATS = {"day": "%Y-%m-%d", "month": "%Y-%m", "year": "%Y",
+                "hour": "%Y-%m-%d %H"}
+
+
+def _date_cal_fill_folded(buckets: list[dict], lvl: _Level,
+                          child_name: str | None) -> list[dict]:
+    """Calendar date_histogram gap fill at fold time (min_doc_count=0):
+    missing calendar steps between the realized min/max keys
+    materialize with doc_count 0 — the calendar twin of the
+    fixed-interval filler (which runs distributively at the leaf).
+    Bounded by the bucket budget."""
+    from datetime import datetime, timedelta, timezone
+
+    unit = lvl.body.get("calendar_interval", "day")
+    fmt = _CAL_FORMATS[unit]
+    keys = sorted(b["key_as_string"] for b in buckets)
+    by_key = {b["key_as_string"]: b for b in buckets}
+
+    def parse(s):
+        return datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+
+    def step(dt_):
+        if unit == "hour":
+            return dt_ + timedelta(hours=1)
+        if unit == "day":
+            return dt_ + timedelta(days=1)
+        if unit == "month":
+            y, m = dt_.year + (dt_.month // 12), dt_.month % 12 + 1
+            return dt_.replace(year=y, month=m)
+        return dt_.replace(year=dt_.year + 1)
+
+    out = []
+    cur, end = parse(keys[0]), parse(keys[-1])
+    while cur <= end:
+        if len(out) > DEFAULT_BUCKET_LIMIT:
+            raise AggregationLimitsError(
+                f"calendar gap fill exceeds max_buckets="
+                f"{DEFAULT_BUCKET_LIMIT}")
+        k = cur.strftime(fmt)
+        b = by_key.get(k)
+        if b is None:
+            b = {"key_as_string": k, "doc_count": 0}
+            if child_name is not None:
+                b[child_name] = {"buckets": []}
+        out.append(b)
+        cur = step(cur)
+    return out
+
+
 def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
     """Recursive flat-rows -> nested-ES-buckets fold for one key chain.
     Rows must arrive ordered by the ancestor keys (run_agg_tree output
@@ -978,6 +1027,10 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
         # parent histogram levels gap-fill here (leaf levels were
         # filled distributively in pass D of _run_chain)
         out = _hist_fill_folded(out, lvl, levels[1].name)
+    if lvl.kind == "date_histogram" and "calendar_interval" in lvl.body \
+            and out and int(lvl.body.get("min_doc_count", 0)) == 0:
+        child = levels[1].name if len(levels) > 1 else None
+        out = _date_cal_fill_folded(out, lvl, child)
     return out
 
 

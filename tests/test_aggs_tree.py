@@ -686,3 +686,31 @@ def test_percentiles_es_values_shape(spark, events):
     js2 = to_es_json(run_agg_tree(events, req2, nested=True), request=req2)
     for b in js2["types"]["buckets"]:
         assert set(b["p"]) == {"values"} and "50.0" in b["p"]["values"]
+
+
+def test_calendar_date_histogram_gap_fill_in_fold(spark):
+    """Calendar intervals gap-fill in the ES fold (min_doc_count
+    defaults to 0): missing days and months materialize with
+    doc_count 0 — EXCEEDS the reference, which supports
+    fixed_interval only (date_histogram.rs:143-146)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1.0), (dt.datetime(2024, 1, 4), 2.0),
+         (dt.datetime(2024, 4, 2), 3.0)],
+        "ts TIMESTAMP, v DOUBLE")
+    req = {"d": {"date_histogram": {"field": "ts",
+                                    "calendar_interval": "day"}}}
+    js = to_es_json(run_agg_tree(df, req), request=req)
+    days = [b["key_as_string"] for b in js["d"]["buckets"]]
+    assert days[:4] == ["2024-01-01", "2024-01-02", "2024-01-03",
+                        "2024-01-04"]
+    assert len(days) == (dt.date(2024, 4, 2) - dt.date(2024, 1, 1)).days + 1
+    assert js["d"]["buckets"][1]["doc_count"] == 0
+
+    req_m = {"m": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "month"}}}
+    js_m = to_es_json(run_agg_tree(df, req_m), request=req_m)
+    assert [b["key_as_string"] for b in js_m["m"]["buckets"]] == \
+        ["2024-01", "2024-02", "2024-03", "2024-04"]
+    assert [b["doc_count"] for b in js_m["m"]["buckets"]] == [2, 0, 0, 1]
