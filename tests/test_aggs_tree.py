@@ -714,3 +714,66 @@ def test_calendar_date_histogram_gap_fill_in_fold(spark):
     assert [b["key_as_string"] for b in js_m["m"]["buckets"]] == \
         ["2024-01", "2024-02", "2024-03", "2024-04"]
     assert [b["doc_count"] for b in js_m["m"]["buckets"]] == [2, 0, 0, 1]
+
+
+class TestTDigestProperties:
+    """Property tests for the mergeable t-digest (functions/tdigest.py):
+    rank-error bounds, merge-invariance, serialization round-trip."""
+
+    def test_rank_error_bound_random(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from tantivy_spark.functions import tdigest as td
+
+        @settings(max_examples=20, deadline=None)
+        @given(st.integers(0, 2**32 - 1), st.sampled_from(
+            ["uniform", "normal", "lognormal", "bimodal"]))
+        def run(seed, shape):
+            rng = np.random.default_rng(seed)
+            n = 5000
+            if shape == "uniform":
+                data = rng.uniform(-10, 10, n)
+            elif shape == "normal":
+                data = rng.normal(0, 3, n)
+            elif shape == "lognormal":
+                data = rng.lognormal(1.0, 1.0, n)
+            else:
+                data = np.concatenate([rng.normal(-50, 1, n // 2),
+                                       rng.normal(50, 1, n // 2)])
+            blob = td.merge([td.build(c) for c in np.array_split(data, 7)])
+            qs = np.array([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+            est = td.quantile(blob, qs)
+            data_sorted = np.sort(data)
+            # RANK error (the t-digest guarantee): the estimate's rank
+            # must sit within 2% of n of the requested rank
+            ranks = np.searchsorted(data_sorted, est) / n
+            assert np.max(np.abs(ranks - qs)) < 0.02, (shape, seed)
+
+        run()
+
+    def test_serialization_roundtrip(self):
+        import numpy as np
+
+        from tantivy_spark.functions import tdigest as td
+
+        data = np.arange(1000, dtype=float)
+        blob = td.build(data)
+        m, w, delta = td.deserialize(blob)
+        assert td.serialize(m, w, delta) == blob
+        assert abs(w.sum() - 1000) < 1e-9          # weights conserved
+
+    def test_empty_and_single(self):
+        import math
+
+        import numpy as np
+
+        from tantivy_spark.functions import tdigest as td
+
+        empty = td.build(np.array([]))
+        assert all(math.isnan(x) for x in td.quantile(empty, [0.5]))
+        one = td.build(np.array([42.0]))
+        assert list(td.quantile(one, [0.0, 0.5, 1.0])) == [42.0] * 3
+        merged = td.merge([empty, one])
+        assert list(td.quantile(merged, [0.5])) == [42.0]

@@ -70,3 +70,57 @@ def test_random_delete_merge_cycle(spark, tmp_path_factory, seed):
         assert [k for _s, k in got_n] == [k for _s, k in want_n], q
         for (gs, _k1), (wscore, _k2) in zip(got_n, want_n):
             assert gs == pytest.approx(wscore, abs=2e-5)
+
+
+def test_agg_tree_fuzz_vs_sql(spark):
+    """Randomized 2-level aggregation chains (terms/histogram/range
+    parents x terms/histogram children + metric leaves) verified
+    row-for-row against dynamically built GROUP BY SQL truth — guards
+    the tree lowering against silent key/metric misalignment."""
+    import random
+
+    from tantivy_spark.aggs import run_agg_tree
+
+    rng = random.Random(405)
+    events = spark.createDataFrame(
+        [(i, f"t{i % rng.choice([3, 5])}", f"u{i % 7}",
+          float((i * 37) % 500)) for i in range(3000)],
+        "event_id LONG, event_type STRING, user_id STRING, value DOUBLE")
+    events.createOrReplaceTempView("fuzz_events")
+
+    LEVELS = {
+        "terms_type": ({"terms": {"field": "event_type"}}, "event_type"),
+        "terms_user": ({"terms": {"field": "user_id"}}, "user_id"),
+        "hist_100": ({"histogram": {"field": "value", "interval": 100,
+                                    "min_doc_count": 1}},
+                     "cast(floor(value/100)*100 as double)"),
+        "hist_50": ({"histogram": {"field": "value", "interval": 50,
+                                   "min_doc_count": 1}},
+                    "cast(floor(value/50)*50 as double)"),
+    }
+    METRICS = {
+        "avg": ({"avg": {"field": "value"}}, "avg(value)"),
+        "sum": ({"sum": {"field": "value"}}, "sum(value)"),
+        "max": ({"max": {"field": "value"}}, "max(value)"),
+    }
+
+    for trial in range(8):
+        pk, ck = rng.sample(list(LEVELS), 2)
+        mk = rng.choice(list(METRICS))
+        (pbody, psql), (cbody, csql) = LEVELS[pk], LEVELS[ck]
+        mbody, msql = METRICS[mk]
+        req = {"p": {**pbody, "aggs": {"c": {**cbody,
+                                             "aggs": {"m": mbody}}}}}
+        rows = run_agg_tree(events, req)["p"].collect()
+        truth = spark.sql(
+            f"SELECT {psql} AS pk, {csql} AS ck, count(*) AS c, "
+            f"{msql} AS m FROM fuzz_events GROUP BY 1, 2").collect()
+        want = {(str(r["pk"]), str(r["ck"])): (r["c"], r["m"])
+                for r in truth}
+        got = {(str(r["key"]), str(r["c.key"])): (
+            r["doc_count"], r["m.value"]) for r in rows}
+        assert set(got) == set(want), (trial, pk, ck, mk)
+        for key, (c, m) in want.items():
+            gc, gm = got[key]
+            assert gc == c, (trial, key)
+            assert gm == pytest.approx(m), (trial, key)
