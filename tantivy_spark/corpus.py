@@ -53,6 +53,33 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_from_table(spark: SparkSession, table: str,
+                     snapshot_id: int | None = None,
+                     as_of: str | None = None) -> DataFrame:
+    """The production input path: a CATALOG TABLE of Common-Crawl-style
+    pages (url, warc_ts, html, text, lang) — on clusters with an Iceberg
+    catalog this is the Iceberg table the north-star describes, read
+    with optional SNAPSHOT PINNING so an index build (and any later
+    resume of it) sees one immutable table state, the same immutability
+    contract the reference gets from its meta.json snapshot.
+
+    ``snapshot_id`` / ``as_of`` lower to Iceberg time travel
+    (``VERSION AS OF`` / ``TIMESTAMP AS OF``); both are also understood
+    by Delta, so the adapter is catalog-agnostic.  The sandbox has no
+    catalog runtime, so tests exercise the parquet path
+    (:func:`pages_from_documents`) — this function is the thin seam
+    where the table source plugs in, and everything downstream consumes
+    a plain DataFrame."""
+    r = spark.read
+    if snapshot_id is not None:
+        r = r.option("snapshot-id", int(snapshot_id)) \
+             .option("versionAsOf", int(snapshot_id))
+    if as_of is not None:
+        r = r.option("as-of-timestamp", as_of) \
+             .option("timestampAsOf", as_of)
+    return r.table(table).select("url", "warc_ts", "html", "text", "lang")
+
+
 def synthetic_pages(spark: SparkSession, n_docs: int, seed: int = 7,
                     avg_len: int = 60) -> DataFrame:
     """Deterministic pages corpus of n_docs rows, partition-invariant.

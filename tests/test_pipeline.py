@@ -376,3 +376,16 @@ def test_resize_and_frame_sample_plumbing(spark):
         == list(range(len(by_id[1])))
     assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in by_id[1])
     assert not by_id[3][0]["ok"]                        # error row, 1->1
+
+
+def test_pages_from_table_adapter(spark):
+    """The catalog-table input seam: a registered table (the sandbox
+    stand-in for the Iceberg pages table) reads through pages_from_table
+    with the page schema projected; downstream consumes a DataFrame."""
+    from tantivy_spark.corpus import pages_from_documents, pages_from_table
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    pages.createOrReplaceTempView("cc_pages")
+    got = pages_from_table(spark, "cc_pages")
+    assert got.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert got.count() == pages.count()
