@@ -57,11 +57,13 @@ the SAME sketch family the reference's cardinality agg uses
 (metric/cardinality.rs) — that store next to index batches and merge
 later with ``hll_union_agg``, so re-estimating a growing index never
 rescans the data; a cardinality request opts in with
-``{"sketch": true}``.  Percentile sketches (KLL here, DDSketch there)
-expose no serialized form in Spark, so cross-query percentile merging
-is documented-out: re-aggregation is one fast-field column scan.
-Estimates are approximate-compatible, not bit-identical — which is why
-the approx gate entries are rows-only.
+``{"sketch": true}``.  Percentiles: Spark's KLL exposes no serialized
+form, so the repo carries its OWN mergeable t-digest
+(functions/tdigest.py; sketches.percentile_partials / merge) — a
+percentiles request opts in with ``{"sketch": true}`` and gets the
+same digest family as the persisted cross-batch path.  HLL estimates
+are approximate-compatible, not bit-identical — which is why the
+approx-cardinality gate entry is rows-only.
 """
 
 from __future__ import annotations
@@ -852,10 +854,13 @@ def _terms_container(buckets: list[dict], body: dict,
     return out
 
 
-def _range_fill(buckets: list[dict], body: dict) -> list[dict]:
+def _range_fill(buckets: list[dict], body: dict,
+                metric_names=()) -> list[dict]:
     """Every DEFINED range emits a bucket, empty ones with doc_count 0,
     in definition order with their bounds (bucket/range.rs — the
-    reference materializes the full range set per parent)."""
+    reference materializes the full range set per parent).  Synthetic
+    empties carry null metric values like the reference's
+    (agg_tests.rs level2: empty range bucket -> {"value": null})."""
     by_key = {b.get("key"): b for b in buckets}
     out = []
     for r in _extend_ranges(body):
@@ -867,6 +872,8 @@ def _range_fill(buckets: list[dict], body: dict) -> list[dict]:
                 b["from"] = float(r["from"])
             if r.get("to") is not None:
                 b["to"] = float(r["to"])
+            for m in metric_names:
+                b[m] = {"value": None}
         out.append(b)
     return out
 
@@ -1016,7 +1023,8 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
                 b[child.name] = _terms_container(sub, child.body,
                                                  b.get("doc_count"))
             elif child.kind == "range":
-                b[child.name] = {"buckets": _range_fill(sub, child.body)}
+                b[child.name] = {"buckets": _range_fill(
+                    sub, child.body, tuple(child.metrics))}
             else:
                 b[child.name] = {"buckets": sub}
         out.append(b)
@@ -1113,7 +1121,9 @@ def to_es_json(results: dict[str, DataFrame],
             if levels[0].kind == "terms":
                 resp[name] = _terms_container(folded, levels[0].body, None)
             elif levels[0].kind == "range":
-                resp[name] = {"buckets": _range_fill(folded, levels[0].body)}
+                resp[name] = {"buckets": _range_fill(
+                    folded, levels[0].body,
+                    tuple(levels[0].metrics))}
             else:
                 resp[name] = {"buckets": folded}
         elif rows and ("key" in rows[0] or "key_as_string" in rows[0]):

@@ -394,3 +394,28 @@ def test_interior_histogram_gap_fill(spark, ref_docs):
     assert buckets[2]["t"] == {"buckets": []}       # synthetic empty
     assert buckets[4]["t"]["buckets"] == [
         {"key": "cool", "doc_count": 1}, {"key": "nohit", "doc_count": 1}]
+
+
+def test_level2_range_with_sibling_metric_and_terms(spark, ref_docs):
+    """agg_tests.rs:888-1035 (level2) — query-scoped range with a metric
+    AND a terms bucket at the same level; pinned counts per range,
+    null metric on the synthetic empty 19-20 bucket, exact avg pins."""
+    cool = ref_docs.filter("text = 'cool'")
+    req = {"range": {
+        "range": {"field": "score",
+                  "ranges": [{"to": 3.0}, {"from": 3.0, "to": 7.0},
+                             {"from": 7.0, "to": 19.0},
+                             {"from": 19.0, "to": 20.0}, {"from": 20.0}]},
+        "aggs": {"average_in_range": {"avg": {"field": "score"}},
+                 "term_agg": {"terms": {"field": "text"}}}},
+        "average": {"avg": {"field": "score"}}}
+    res = to_es_json(run_agg_tree(cool, req, nested=True), request=req)
+    b = res["range"]["buckets"]
+    assert b[1]["key"] == "3-7" and b[1]["doc_count"] == 2
+    assert res["average"]["value"] == pytest.approx(12.142857142857142)
+    assert b[2]["key"] == "7-19" and b[2]["doc_count"] == 3
+    assert b[4]["key"] == "20-*" and b[4]["doc_count"] == 1
+    assert b[3]["key"] == "19-20" and b[3]["doc_count"] == 0
+    assert b[3]["average_in_range"]["value"] is None   # empty bucket
+    assert b[4]["average_in_range"]["value"] == pytest.approx(44.0)
+    assert len(b) == 5                                  # no 6th bucket
