@@ -768,6 +768,67 @@ def _validate_budget(request: dict, max_buckets: int) -> None:
         _validate_budget(body.get("aggs") or {}, max_buckets)
 
 
+def _resolve_json_fields(df: DataFrame,
+                         request: dict) -> tuple[DataFrame, dict]:
+    """Dynamic JSON field addressing in agg requests (agg_tests.rs
+    test_aggregation_on_json_object: ``{"terms": {"field":
+    "json.color"}}`` aggregates the values under a path of the json
+    FIELD; ``\\.`` escapes literal dots in segments).  A dotted field
+    whose root is a STRING column lowers to ``get_json_object`` with
+    bracket-path addressing — one synthesized column per distinct path,
+    cast to double where the consuming agg is numeric.  Real columns
+    and struct traversals are left untouched."""
+    import copy
+
+    from pyspark.sql.types import StringType
+
+    req = copy.deepcopy(request)
+    adds: dict[str, Column] = {}
+    str_cols = {f.name for f in df.schema.fields
+                if isinstance(f.dataType, StringType)}
+
+    def resolve(field: str, numeric: bool) -> str:
+        if not isinstance(field, str) or field in df.columns:
+            return field
+        segs = [s.replace("\\.", ".")
+                for s in _re.split(r"(?<!\\)\.", field)]
+        if len(segs) < 2 or segs[0] not in str_cols:
+            return field
+        path = "$" + "".join(f"['{s}']" for s in segs[1:])
+        key = f"__jf{len(adds)}_{'n' if numeric else 's'}"
+        col = F.get_json_object(F.col(f"`{segs[0]}`"), path)
+        adds[key] = col.cast("double") if numeric else col
+        return key
+
+    def walk(body: dict) -> None:
+        for k, v in list(body.items()):
+            if not isinstance(v, dict):
+                continue
+            if k in ("terms", "date_histogram") and "field" in v:
+                v["field"] = resolve(v["field"], False)
+            elif (k in ("histogram", "range") or k in METRIC_KINDS) \
+                    and "field" in v:
+                v["field"] = resolve(v["field"], True)
+            elif k == "composite":
+                for src in v.get("sources", []):
+                    for sbody in src.values():
+                        for skind, sdef in sbody.items():
+                            if isinstance(sdef, dict) and "field" in sdef:
+                                sdef["field"] = resolve(
+                                    sdef["field"], skind == "histogram")
+            if k == "aggs":
+                for sub in v.values():
+                    walk(sub)
+
+    for body in req.values():
+        if isinstance(body, dict):
+            walk(body)
+    if adds:
+        for key, col in adds.items():
+            df = df.withColumn(key, col)
+    return df, req
+
+
 def run_agg_tree(df: DataFrame, request: dict,
                  max_buckets: int = DEFAULT_BUCKET_LIMIT,
                  nested: bool = False) -> dict[str, DataFrame]:
@@ -787,6 +848,7 @@ def run_agg_tree(df: DataFrame, request: dict,
     tiny broadcast join each), which ``to_es_json(..., request=...)``
     folds into the fully nested ES response shape."""
     _validate_budget(request, max_buckets)
+    df, request = _resolve_json_fields(df, request)
     out: dict[str, DataFrame] = {}
     for name, body in request.items():
         kinds = [k for k in body if k in BUCKET_KINDS + METRIC_KINDS + ("top_hits",)]

@@ -419,3 +419,57 @@ def test_level2_range_with_sibling_metric_and_terms(spark, ref_docs):
     assert b[3]["average_in_range"]["value"] is None   # empty bucket
     assert b[4]["average_in_range"]["value"] == pytest.approx(44.0)
     assert len(b) == 5                                  # no 6th bucket
+
+
+def test_terms_on_json_object(spark):
+    """agg_tests.rs:1131-1176 — terms aggregation addressed INTO a json
+    field ("json.color"); expected JSON verbatim."""
+    import json as _json
+
+    df = spark.createDataFrame(
+        [(_json.dumps({"color": "red"}),),
+         (_json.dumps({"color": "red"}),),
+         (_json.dumps({"color": "blue"}),)], "json STRING")
+    req = {"jsonagg": {"terms": {"field": "json.color"}}}
+    res = to_es_json(run_agg_tree(df, req), request=req)
+    assert res == {"jsonagg": {
+        "buckets": [{"doc_count": 2, "key": "red"},
+                    {"doc_count": 1, "key": "blue"}],
+        "doc_count_error_upper_bound": 0,
+        "sum_other_doc_count": 0}}
+
+
+def test_terms_on_nested_json_object_escaped_dots(spark):
+    """agg_tests.rs:1178-1238 — escaped dots address literal-dot KEYS
+    ("json\\.blub" column, "color\\.dot" key) next to real nesting."""
+    import json as _json
+
+    rows = [({"color.dot": "red", "color": {"nested": "red"}},),
+            ({"color.dot": "blue", "color": {"nested": "blue"}},),
+            ({"color.dot": "blue", "color": {"nested": "blue"}},)]
+    df = spark.createDataFrame([( _json.dumps(r[0]),) for r in rows],
+                               "`json.blub` STRING")
+    req = {"jsonagg1": {"terms": {"field": "json\\.blub.color\\.dot"}},
+           "jsonagg2": {"terms": {"field": "json\\.blub.color.nested"}}}
+    res = to_es_json(run_agg_tree(df, req), request=req)
+    want_buckets = [{"doc_count": 2, "key": "blue"},
+                    {"doc_count": 1, "key": "red"}]
+    for name in ("jsonagg1", "jsonagg2"):
+        assert res[name]["buckets"] == want_buckets
+        assert res[name]["sum_other_doc_count"] == 0
+
+
+def test_metric_on_json_number(spark):
+    """Numeric agg on a json path casts to double (the reference's
+    json fast-field numeric columns)."""
+    import json as _json
+
+    df = spark.createDataFrame(
+        [(_json.dumps({"score": i}),) for i in (1, 3, 5)], "j STRING")
+    req = {"a": {"avg": {"field": "j.score"}},
+           "h": {"histogram": {"field": "j.score", "interval": 4,
+                               "min_doc_count": 1}}}
+    res = to_es_json(run_agg_tree(df, req), request=req)
+    assert res["a"]["value"] == pytest.approx(3.0)
+    assert [(b["key"], b["doc_count"]) for b in res["h"]["buckets"]] == \
+        [(0.0, 2), (4.0, 1)]
