@@ -1075,7 +1075,8 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
             if stats:
                 mk = next(k for k in mbody if k in METRIC_KINDS)
                 if mk == "percentiles":   # ES: {"values": {"50.0": v}}
-                    b[mname] = _percentiles_values(stats)
+                    b[mname] = _percentiles_values(
+                        stats, bool(mbody[mk].get("keyed", True)))
                 else:
                     b[mname] = _nest_dotted(stats)
         if len(levels) > 1:
@@ -1104,14 +1105,19 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
     return out
 
 
-def _percentiles_values(stats: dict) -> dict:
-    """Percentile columns -> the ES percentiles result shape
-    ``{"values": {"50.0": v, ...}}`` (float-string keys).  The sketch
-    path's ``values`` array is left as-is (its percents live in the
-    request)."""
+def _percentiles_values(stats: dict, keyed: bool = True) -> dict:
+    """Percentile columns -> the ES percentiles result shape:
+    ``{"values": {"50.0": v, ...}}`` when keyed (the default), or the
+    ``keyed: false`` array form ``{"values": [{"key": 50.0, "value": v},
+    ...]}`` (metric/percentiles.rs response modes).  The sketch path's
+    ``values`` array is left as-is (its percents live in the request)."""
     if set(stats) == {"values"}:
         return stats
-    return {"values": {f"{float(p)}": v for p, v in stats.items()}}
+    if keyed:
+        return {"values": {f"{float(p)}": v for p, v in stats.items()}}
+    return {"values": sorted(({"key": float(p), "value": v}
+                              for p, v in stats.items()),
+                             key=lambda d: d["key"])}
 
 
 def _nest_dotted(flat: dict) -> dict:
@@ -1197,7 +1203,9 @@ def to_es_json(results: dict[str, DataFrame],
             flat = {c.split(".", 1)[1]: v for c, v in rows[0].items()}
             if request is not None and "percentiles" in request.get(
                     name, {}):
-                resp[name] = _percentiles_values(flat)
+                resp[name] = _percentiles_values(
+                    flat, bool(request[name]["percentiles"]
+                               .get("keyed", True)))
             else:
                 resp[name] = _nest_dotted(flat)
         else:

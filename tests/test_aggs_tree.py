@@ -777,3 +777,13 @@ class TestTDigestProperties:
         assert list(td.quantile(one, [0.0, 0.5, 1.0])) == [42.0] * 3
         merged = td.merge([empty, one])
         assert list(td.quantile(merged, [0.5])) == [42.0]
+
+
+def test_percentiles_keyed_false_array_form(spark, events):
+    """percentiles keyed:false renders the array response form
+    (metric/percentiles.rs response modes)."""
+    req = {"p": {"percentiles": {"field": "value", "percents": [95, 50],
+                                 "keyed": False}}}
+    js = to_es_json(run_agg_tree(events, req), request=req)["p"]
+    assert [d["key"] for d in js["values"]] == [50.0, 95.0]
+    assert all(set(d) == {"key", "value"} for d in js["values"])
