@@ -1026,6 +1026,21 @@ def _date_cal_fill_folded(buckets: list[dict], lvl: _Level,
     return out
 
 
+def _bucket_container(buckets: list[dict], kind: str, body: dict) -> dict:
+    """Bucket list -> the ES container shape, honouring ``keyed: true``
+    (bucket/range.rs:90, histogram.rs:148): keyed responses map the
+    bucket key string to the bucket (key kept inside), range keys by
+    label, histogram by the Rust-Display number, date by
+    key_as_string."""
+    if not body.get("keyed"):
+        return {"buckets": buckets}
+    if kind == "histogram":
+        return {"buckets": {_fmt_bound(b["key"]): b for b in buckets}}
+    if kind == "date_histogram":
+        return {"buckets": {b["key_as_string"]: b for b in buckets}}
+    return {"buckets": {b["key"]: b for b in buckets}}
+
+
 def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
     """Recursive flat-rows -> nested-ES-buckets fold for one key chain.
     Rows must arrive ordered by the ancestor keys (run_agg_tree output
@@ -1086,10 +1101,12 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
                 b[child.name] = _terms_container(sub, child.body,
                                                  b.get("doc_count"))
             elif child.kind == "range":
-                b[child.name] = {"buckets": _range_fill(
-                    sub, child.body, tuple(child.metrics))}
+                b[child.name] = _bucket_container(
+                    _range_fill(sub, child.body, tuple(child.metrics)),
+                    "range", child.body)
             else:
-                b[child.name] = {"buckets": sub}
+                b[child.name] = _bucket_container(sub, child.kind,
+                                                  child.body)
         out.append(b)
     if lvl.kind == "terms":
         out = _terms_bucket_sort(out, lvl.body)
@@ -1189,11 +1206,13 @@ def to_es_json(results: dict[str, DataFrame],
             if levels[0].kind == "terms":
                 resp[name] = _terms_container(folded, levels[0].body, None)
             elif levels[0].kind == "range":
-                resp[name] = {"buckets": _range_fill(
-                    folded, levels[0].body,
-                    tuple(levels[0].metrics))}
+                resp[name] = _bucket_container(
+                    _range_fill(folded, levels[0].body,
+                                tuple(levels[0].metrics)),
+                    "range", levels[0].body)
             else:
-                resp[name] = {"buckets": folded}
+                resp[name] = _bucket_container(folded, levels[0].kind,
+                                               levels[0].body)
         elif rows and ("key" in rows[0] or "key_as_string" in rows[0]):
             resp[name] = {"buckets": rows}
         elif rows and all(c.startswith(name + ".") for c in rows[0]):

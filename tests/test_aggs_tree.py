@@ -787,3 +787,24 @@ def test_percentiles_keyed_false_array_form(spark, events):
     js = to_es_json(run_agg_tree(events, req), request=req)["p"]
     assert [d["key"] for d in js["values"]] == [50.0, 95.0]
     assert all(set(d) == {"key", "value"} for d in js["values"])
+
+
+def test_keyed_range_and_histogram_buckets(spark, events):
+    """keyed:true renders bucket MAPS keyed by label (range) and by the
+    Rust-Display number (histogram) — bucket/range.rs:90 keyed test
+    shape, histogram.rs:148."""
+    req = {"r": {"range": {"field": "value",
+                           "ranges": [{"from": 0.0, "to": 100.0},
+                                      {"from": 100.0, "to": 200.0}],
+                           "keyed": True}},
+           "h": {"histogram": {"field": "value", "interval": 200,
+                               "keyed": True}}}
+    res = to_es_json(run_agg_tree(events, req, nested=True), request=req)
+    rb = res["r"]["buckets"]
+    assert isinstance(rb, dict)
+    assert set(rb) >= {"0-100", "100-200"}
+    assert rb["0-100"]["key"] == "0-100" and rb["0-100"]["from"] == 0.0
+    hb = res["h"]["buckets"]
+    assert isinstance(hb, dict) and "0" in hb
+    assert hb["0"]["key"] == 0.0
+    assert sum(b["doc_count"] for b in hb.values()) == events.count()
