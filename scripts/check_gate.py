@@ -27,6 +27,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    # data-dependent oracles (dedup_oracle.py literal tables) must be
+    # built against the SAME corpus the Spark side reads
+    os.environ["SPARK_GRAFT_GATE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as e
     from tantivy_spark.session import get_spark

@@ -1,0 +1,198 @@
+"""Engine-independent DuckDB oracles for the hash-based dedup operators.
+
+DuckDB has no ``xxhash64``, so for five rounds ``minhash_lsh_pairs``,
+``jaccard_verified_pairs`` and ``simhash_docs`` were rows-only gate
+entries.  This module closes that gap: it recomputes the 64-bit hashes
+from the PUBLISHED xxHash64 spec in pure Python/numpy
+(:mod:`tantivy_spark.functions.xxh` — an independent implementation,
+pinned against Spark by tests/test_xxh.py) and injects them as literal
+``VALUES`` tables into self-contained DuckDB SQL, which then performs
+the banding join / bucket cap / pair grouping / shingle-set Jaccard /
+bit-vote assembly itself.  Every downstream relational step is therefore
+checked by an independent engine; only the raw 64-bit hash values come
+from the spec reimplementation.
+
+The oracle corpus is read at SQL-build time from the gate scale factor
+directory — the driver's correctness gate always runs at sf0.01, and
+``scripts/check_gate.py`` exports ``SPARK_GRAFT_GATE_SF_DIR`` for local
+simulations at other scales.
+
+Tokenizer parity note: the JVM pipeline tokenizes with the Java regex
+``[\\p{L}\\p{N}]+`` (dedup.py shingle_hashes / simhash64).  The Python
+replica uses ``[^\\W_]+`` which matches it exactly on ASCII corpora (the
+synthetic testdata is pure ASCII — asserted below, loud failure
+otherwise).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from tantivy_spark.functions.xxh import (
+    SPARK_SEED, _signed, spark_xxhash64, xxh64_int_np, xxh64_long_np)
+
+_TOKEN_RE = re.compile(r"[^\W_]+")
+_MAX_TOKEN_BYTES = 40  # tantivy_spark.MAX_TOKEN_BYTES (RemoveLong(40))
+
+
+def gate_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _read_documents(sf_dir: str) -> list[tuple[int, str]]:
+    import duckdb
+    rows = duckdb.sql(
+        f"SELECT doc_id, coalesce(text, '') FROM "
+        f"'{sf_dir}/documents.parquet' ORDER BY doc_id").fetchall()
+    for _, t in rows:
+        if not t.isascii():
+            raise ValueError(
+                "dedup oracle requires an ASCII corpus for tokenizer "
+                "parity (Java \\p{L}\\p{N} vs Python [^\\W_])")
+    return [(int(i), t) for i, t in rows]
+
+
+def _with_dupes(docs: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """Mirror of __spark_entry__._documents_with_dupes."""
+    return docs + [(i + 10_000_000, t) for i, t in docs if i % 50 == 0]
+
+
+def _with_half_dupes(docs: list[tuple[int, str]]) -> list[tuple[int, str]]:
+    """Mirror of __spark_entry__._documents_with_half_dupes (Spark
+    ``cast(length(text)/2 as int)`` truncates toward zero)."""
+    return docs + [(i + 10_000_000, t[: int(len(t) / 2)])
+                   for i, t in docs if i % 50 == 0]
+
+
+def _tokens_lower(text: str) -> list[str]:
+    """shingle_hashes tokenization: lowercase THEN split (no length
+    filter — dedup shingles deliberately skip RemoveLong)."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+def _band_rows(docs: list[tuple[int, str]], num_hashes: int = 32,
+               bands: int = 8, rows_per_band: int = 4,
+               shingle_k: int = 3) -> list[tuple[int, int, int]]:
+    """(id, band, bhash) rows replicating minhash_signatures +
+    minhash_lsh_candidates banding for every doc with >= k tokens."""
+    import numpy as np
+    out: list[tuple[int, int, int]] = []
+    for did, text in docs:
+        toks = _tokens_lower(text)
+        if len(toks) < shingle_k:
+            continue
+        shs = np.array(
+            [spark_xxhash64(*toks[i:i + shingle_k])
+             for i in range(len(toks) - shingle_k + 1)],
+            dtype=np.int64).view(np.uint64)
+        # permutation i = xxhash64(sh BIGINT, lit(i) INT): hashLong then
+        # chained hashInt — vectorized across the shingle axis
+        base = xxh64_long_np(shs, SPARK_SEED)
+        sig = [int(xxh64_int_np(i, base).view(np.int64).min())
+               for i in range(num_hashes)]
+        for b in range(bands):
+            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+            out.append((did, b, spark_xxhash64(*chunk)))
+    return out
+
+
+def _values(rows, types: str) -> str:
+    body = ",".join("(" + ",".join(str(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {body})" if rows else f"(SELECT {types} WHERE FALSE)"
+
+
+def _band_cte(rows) -> str:
+    return ("band(id, band, bhash) AS " +
+            _values(rows, "0 AS id, 0 AS band, 0 AS bhash") + ",\n" +
+            "sized AS (SELECT id, band, bhash FROM band "
+            "QUALIFY count(*) OVER (PARTITION BY band, bhash) <= 200),\n"
+            "cands AS (SELECT a.id AS id_a, c.id AS id_b, "
+            "count(*) AS n_bands_matched FROM sized a JOIN sized c "
+            "ON a.band = c.band AND a.bhash = c.bhash AND a.id < c.id "
+            "GROUP BY a.id, c.id)")
+
+
+def minhash_lsh_sql(sf_dir: str | None = None) -> str:
+    """Oracle for minhash_lsh_pairs: Python-spec band hashes over the
+    seeded-dupe corpus as a literal table; DuckDB applies the
+    max_bucket=200 cap, the banded self-join and the pair fold."""
+    docs = _with_dupes(_read_documents(sf_dir or gate_sf_dir()))
+    rows = _band_rows(docs)
+    return ("WITH " + _band_cte(rows) + "\n"
+            "SELECT CAST(id_a AS BIGINT) AS id_a, "
+            "CAST(id_b AS BIGINT) AS id_b, "
+            "CAST(n_bands_matched AS BIGINT) AS n_bands_matched "
+            "FROM cands ORDER BY id_a, id_b")
+
+
+def jaccard_verified_sql(sf_dir: str | None = None) -> str:
+    """Oracle for jaccard_verified_pairs: LSH candidates from the
+    injected band table; the exact 3-shingle Jaccard is computed BY
+    DUCKDB from the raw text (distinct shingle STRINGS — hash-free, so
+    this side is fully engine-independent)."""
+    docs = _with_half_dupes(_read_documents(sf_dir or gate_sf_dir()))
+    rows = _band_rows(docs)
+    return (
+        "WITH " + _band_cte(rows) + ",\n"
+        "docs AS (SELECT doc_id AS id, text FROM documents UNION ALL "
+        "SELECT doc_id + 10000000, substr(text, 1, "
+        "CAST(floor(length(text) / 2.0) AS INT)) FROM documents "
+        "WHERE doc_id % 50 = 0),\n"
+        "cids AS (SELECT id_a AS id FROM cands "
+        "UNION SELECT id_b FROM cands),\n"
+        "toks AS (SELECT d.id, regexp_extract_all(lower(coalesce(d.text, "
+        "'')), '[\\p{L}\\p{N}]+') AS t FROM docs d JOIN cids USING (id)),\n"
+        "sh AS (SELECT DISTINCT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+        " AS s FROM toks, LATERAL (SELECT unnest(generate_series(1, "
+        "len(t) - 2)) AS i) g),\n"
+        "sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),\n"
+        "inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter FROM cands c"
+        " JOIN sh a ON a.id = c.id_a "
+        "JOIN sh b ON b.id = c.id_b AND a.s = b.s GROUP BY c.id_a, c.id_b)"
+        "\nSELECT CAST(c.id_a AS BIGINT) AS id_a, "
+        "CAST(c.id_b AS BIGINT) AS id_b, "
+        "round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / "
+        "(na.n + nb.n - coalesce(i.n_inter, 0)), 4) AS jaccard_r "
+        "FROM cands c LEFT JOIN inter i "
+        "ON i.id_a = c.id_a AND i.id_b = c.id_b "
+        "JOIN sizes na ON na.id = c.id_a JOIN sizes nb ON nb.id = c.id_b "
+        "ORDER BY id_a, id_b")
+
+
+def simhash_sql(sf_dir: str | None = None) -> str:
+    """Oracle for simhash_docs: per-(doc, token-hash) counts as a literal
+    table (hashes from the Python spec implementation); DuckDB performs
+    the 64 bit-votes and the sign/bit assembly itself (signed two's-
+    complement: bit 63 contributes -2^63)."""
+    sfd = sf_dir or gate_sf_dir()
+    docs = _read_documents(sfd)
+    hcache: dict[str, int] = {}
+    rows: list[tuple[int, int, int]] = []
+    for did, text in docs:
+        counts: dict[int, int] = {}
+        # simhash64 tokenizes the ORIGINAL text, length-filters the raw
+        # token, then hashes the lowercased token
+        for rt in _TOKEN_RE.findall(text):
+            if len(rt.encode("utf-8")) >= _MAX_TOKEN_BYTES:
+                continue
+            lt = rt.lower()
+            h = hcache.get(lt)
+            if h is None:
+                h = hcache[lt] = spark_xxhash64(lt)
+            counts[h] = counts.get(h, 0) + 1
+        for h, c in counts.items():
+            rows.append((did, h, c))
+    return (
+        "WITH tok(id, h, cnt) AS " +
+        _values(rows, "0 AS id, 0 AS h, 0 AS cnt") + ",\n"
+        "bits AS (SELECT id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt "
+        "ELSE -cnt END) AS v FROM tok, LATERAL (SELECT "
+        "unnest(generate_series(0, 63)) AS j) g GROUP BY id, j),\n"
+        "sig AS (SELECT id, CAST(sum(CASE WHEN v > 0 THEN CASE WHEN "
+        "j = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << j END "
+        "ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY id)\n"
+        "SELECT CAST(d.doc_id AS BIGINT) AS id, "
+        "CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash "
+        "FROM documents d LEFT JOIN sig s ON s.id = d.doc_id "
+        "ORDER BY id")
