@@ -85,10 +85,106 @@ METRIC_KINDS = ("avg", "min", "max", "sum", "value_count", "stats",
 #: must fail loudly instead of collecting unbounded buckets to the driver.
 DEFAULT_BUCKET_LIMIT = 65_000
 
+#: separator inside tagged typed-json term keys ("i\x1f10", "s\x1fblue",
+#: "b\x1ftrue", "f\x1f-20.5") — decoded back into typed ES keys by
+#: _fold_nested (agg_tests.rs:1358 mixed-type json term buckets)
+TYPED_KEY_SEP = "\x1f"
+
+
+def _decode_typed_key(kval) -> dict:
+    """Tagged typed-json term key -> the ES bucket key fields: numbers
+    come back as JSON numbers (i64 when integral — the reference's
+    columnar numerical coercion unifies 10 and 10.0 across segments,
+    agg_tests.rs:1463), strings as strings, booleans as 1/0 with a
+    key_as_string (agg_tests.rs:1358 expected shape)."""
+    if not isinstance(kval, str) or len(kval) < 2 \
+            or kval[1] != TYPED_KEY_SEP or kval[0] not in "isfb":
+        return {"key": kval}
+    tag, raw = kval[0], kval[2:]
+    if tag == "i":
+        return {"key": int(raw)}
+    if tag == "f":
+        return {"key": float(raw)}
+    if tag == "b":
+        return {"key": 1 if raw == "true" else 0, "key_as_string": raw}
+    return {"key": raw}
+
 
 class AggregationLimitsError(ValueError):
     """Raised when an aggregation request exceeds its bucket budget
     (reference: agg_limits.rs AggregationLimitsGuard)."""
+
+
+class FieldNotFoundError(ValueError):
+    """An aggregation addresses a field the frame does not carry
+    (reference: TantivyError::FieldNotFound raised by
+    agg_req::validate_aggregation_fields_exist, agg_tests.rs:1520-1560).
+    ``.field`` carries the offending name like the Rust variant's
+    payload."""
+
+    def __init__(self, field: str):
+        super().__init__(f"field {field!r} not found")
+        self.field = field
+
+
+#: metric kinds whose input must be numeric — avg/sum/stats families
+#: (the reference requires a numeric fast field, raising
+#: InvalidArgument("... is not configured as fast field"),
+#: agg_tests.rs:1081-1085).  min/max/value_count/cardinality accept any
+#: column type, matching the reference's broader term/bytes support.
+_NUMERIC_METRICS = ("avg", "sum", "stats", "extended_stats", "percentiles")
+
+#: agg kinds whose body requires a ``field`` key (serde parity:
+#: "missing field `field`", agg_tests.rs:1087-1096)
+_FIELD_REQUIRED = _NUMERIC_METRICS + (
+    "min", "max", "value_count", "cardinality", "terms", "histogram",
+    "date_histogram", "range", "missing")
+
+
+def _validate_fields(df: DataFrame, request: dict) -> None:
+    """Request-shape + field validation with reference error parity
+    (agg_tests.rs:1059-1128 invalid requests, :1520-1560 validation
+    helper): unknown agg variants, missing ``field`` keys, references
+    to absent columns (FieldNotFoundError), and numeric metrics over
+    non-numeric columns all raise BEFORE any job is launched."""
+    from pyspark.sql.types import BooleanType, NumericType, TimestampType
+
+    known = set(BUCKET_KINDS) | set(METRIC_KINDS) | {"top_hits"}
+    types = {f.name: f.dataType for f in df.schema.fields}
+
+    def check(name: str, body: dict) -> None:
+        kinds = [k for k in body if k in known]
+        if not kinds:
+            bad = next((k for k in body if k != "aggs"), name)
+            raise ValueError(
+                f"unknown variant `{bad}`, expected one of "
+                f"{sorted(known)} (in aggregation {name!r})")
+        kind = kinds[0]
+        spec = body[kind]
+        if isinstance(spec, dict):
+            if kind in _FIELD_REQUIRED and "field" not in spec:
+                raise ValueError(f"missing field `field` (in {kind} "
+                                 f"aggregation {name!r})")
+            fld = spec.get("field")
+            if isinstance(fld, str) and kind != "date_histogram":
+                if fld not in types:
+                    # json-pathed fields were already resolved into
+                    # __jf* columns by _resolve_json_fields; anything
+                    # left unresolved does not exist
+                    raise FieldNotFoundError(fld)
+                if kind in _NUMERIC_METRICS and not isinstance(
+                        types[fld],
+                        (NumericType, BooleanType, TimestampType)):
+                    raise ValueError(
+                        f'Field "{fld}" is not configured as fast field '
+                        f"(numeric input required by {kind})")
+        for sub_name, sub in (body.get("aggs") or {}).items():
+            if isinstance(sub, dict):
+                check(sub_name, sub)
+
+    for name, body in request.items():
+        if isinstance(body, dict):
+            check(name, body)
 
 
 def _domain_guard(n_buckets: Column, max_buckets: int) -> Column:
@@ -787,24 +883,80 @@ def _resolve_json_fields(df: DataFrame,
     str_cols = {f.name for f in df.schema.fields
                 if isinstance(f.dataType, StringType)}
 
-    def resolve(field: str, numeric: bool) -> str:
+    def _json_path(field: str) -> tuple[str, str] | None:
+        """-> (unescaped column name, json path) for json-addressed
+        fields, None for plain columns."""
         if not isinstance(field, str) or field in df.columns:
-            return field
+            return None
         segs = [s.replace("\\.", ".")
                 for s in _re.split(r"(?<!\\)\.", field)]
         if len(segs) < 2 or segs[0] not in str_cols:
+            return None
+        return segs[0], "$" + "".join(f"['{s}']" for s in segs[1:])
+
+    def resolve(field: str, numeric: bool) -> str:
+        hit = _json_path(field)
+        if hit is None:
             return field
-        path = "$" + "".join(f"['{s}']" for s in segs[1:])
+        colname, path = hit
         key = f"__jf{len(adds)}_{'n' if numeric else 's'}"
-        col = F.get_json_object(F.col(f"`{segs[0]}`"), path)
-        adds[key] = col.cast("double") if numeric else col
+        col = F.get_json_object(F.col(f"`{colname}`"), path)
+        # try_cast: json values of the wrong type (a string under a
+        # numeric agg) become NULL and drop out, like the reference's
+        # typed columnar readers — a plain cast would throw under ANSI
+        adds[key] = col.try_cast("double") if numeric else col
+        return key
+
+    def resolve_typed(field: str) -> str:
+        """Terms on a json path keep TYPED buckets (agg_tests.rs:
+        1358-1461 mixed types, :1463-1518 mixed numerical segments):
+        the key column carries a type tag + canonical rendering —
+        integral numbers unify as i64 regardless of the source segment
+        writing 10 or 10.0 (the reference's columnar numerical
+        coercion), non-integral numbers stay f64, booleans keep their
+        own buckets.  The ES fold (_fold_nested) decodes the tag back
+        into typed JSON keys; flat consumers see the tagged string."""
+        hit = _json_path(field)
+        if hit is None:
+            return field
+        colname, path = hit
+        key = f"__jf{len(adds)}_t"
+        v = F.try_parse_json(F.col(f"`{colname}`"))
+        typ = F.schema_of_variant(F.try_variant_get(v, path, "variant"))
+        vstr = F.try_variant_get(v, path, "string")
+        d = F.try_variant_get(v, path, "double")
+        sep = F.lit(TYPED_KEY_SEP)
+        adds[key] = (
+            F.when(typ == "STRING", F.concat(F.lit("s"), sep, vstr))
+            .when(typ == "BOOLEAN", F.concat(F.lit("b"), sep, vstr))
+            .when(typ == "BIGINT", F.concat(F.lit("i"), sep, vstr))
+            # parse_json renders decimal-literal numbers as DECIMAL:
+            # scale-0 decimals are integral and already display as i64
+            .when(typ.rlike(r"^DECIMAL\(\d+,0\)$"),
+                  F.concat(F.lit("i"), sep, vstr))
+            .when(typ.isNotNull() & (typ != "VOID") & d.isNotNull(),
+                  # DOUBLE-typed variants (exponent-notation JSON):
+                  # integral values inside i64 range unify as i64 like
+                  # the reference's columnar coercion; the bound guard
+                  # keeps the long cast from overflowing under ANSI
+                  F.when((d == F.floor(d))
+                         & (F.abs(d) < F.lit(9.223372036854776e18)),
+                         F.concat(F.lit("i"), sep,
+                                  d.cast("long").cast("string")))
+                  .otherwise(F.concat(F.lit("f"), sep,
+                                      d.cast("string")))))
         return key
 
     def walk(body: dict) -> None:
         for k, v in list(body.items()):
             if not isinstance(v, dict):
                 continue
-            if k in ("terms", "date_histogram") and "field" in v:
+            if k == "terms" and "field" in v:
+                resolved = resolve_typed(v["field"])
+                if resolved != v["field"]:
+                    v["__typed_key"] = True
+                v["field"] = resolved
+            elif k == "date_histogram" and "field" in v:
                 v["field"] = resolve(v["field"], False)
             elif (k in ("histogram", "range") or k in METRIC_KINDS) \
                     and "field" in v:
@@ -849,6 +1001,7 @@ def run_agg_tree(df: DataFrame, request: dict,
     folds into the fully nested ES response shape."""
     _validate_budget(request, max_buckets)
     df, request = _resolve_json_fields(df, request)
+    _validate_fields(df, request)
     out: dict[str, DataFrame] = {}
     for name, body in request.items():
         kinds = [k for k in body if k in BUCKET_KINDS + METRIC_KINDS + ("top_hits",)]
@@ -887,8 +1040,14 @@ def _terms_bucket_sort(buckets: list[dict], body: dict) -> list[dict]:
     order = body.get("order") or {"_count": "desc"}
     (tgt, direction), = order.items()
     if tgt == "_key":
-        return sorted(buckets, key=lambda b: b.get("key"),
-                      reverse=(direction == "desc"))
+        # typed json term keys can mix numbers and strings in one
+        # bucket list — rank numerically first, then lexically, so the
+        # sort is total (mixed-type int<str comparisons would raise)
+        def krank(b):
+            k = b.get("key")
+            return ((0, float(k), "") if isinstance(k, (int, float))
+                    and not isinstance(k, bool) else (1, 0.0, str(k)))
+        return sorted(buckets, key=krank, reverse=(direction == "desc"))
     if tgt == "_count":
         return sorted(buckets,
                       key=lambda b: (-b.get("doc_count", 0)
@@ -909,11 +1068,26 @@ def _terms_container(buckets: list[dict], body: dict,
         vis = sum(b.get("doc_count") or 0 for b in buckets)
         out["sum_other_doc_count"] = max(0, parent_count - vis)
     elif body.get("size") is None or len(buckets) < int(body["size"]):
-        # root-level terms: exact-count shape (bucket/terms.rs emits both
-        # counters; 0 when nothing was dropped by a size cap)
+        # root-level terms: exact-count shape — sum_other always, the
+        # error bound only when show_term_doc_count_error holds, which
+        # "defaults to true when ordering by count desc"
+        # (term_agg/mod.rs:227; custom-ordered responses omit it,
+        # agg_tests.rs:1447-1456 vs :1506-1513)
         out["sum_other_doc_count"] = 0
-        out["doc_count_error_upper_bound"] = 0
+        if _show_doc_count_error(body):
+            out["doc_count_error_upper_bound"] = 0
     return out
+
+
+def _show_doc_count_error(body: dict) -> bool:
+    v = body.get("show_term_doc_count_error")
+    if v is not None:
+        return bool(v)
+    order = body.get("order")
+    if not order:
+        return True
+    (tgt, direction), = order.items()
+    return tgt == "_count" and direction == "desc"
 
 
 def _range_fill(buckets: list[dict], body: dict,
@@ -1050,10 +1224,14 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
     lvl = levels[0]
     key_alias = lvl.alias
     key_name = "key_as_string" if "key_as_string" in key_alias else "key"
+    # terms keys may arrive TAGGED from resolve_typed (json-path terms;
+    # the caller's request still shows the dotted field, so detection
+    # is by the tag pattern — \x1f at index 1 cannot occur in real keys)
+    typed = lvl.kind == "terms"
     out = []
     for kval, grp_it in groupby(rows, key=lambda r: r[key_alias]):
         grp = list(grp_it)
-        b: dict = {key_name: kval}
+        b: dict = _decode_typed_key(kval) if typed else {key_name: kval}
         if len(levels) == 1:
             b["doc_count"] = grp[0].get("doc_count")
         else:

@@ -473,3 +473,153 @@ def test_metric_on_json_number(spark):
     assert res["a"]["value"] == pytest.approx(3.0)
     assert [(b["key"], b["doc_count"]) for b in res["h"]["buckets"]] == \
         [(0.0, 2), (4.0, 1)]
+
+
+def test_json_mixed_types(spark):
+    """agg_tests.rs:1358-1460 — terms + range over a json path whose
+    values mix numbers, strings, and booleans across segments.  Typed
+    bucket keys: integral numbers unify as i64 (10.0 -> key 10),
+    booleans keep key 1/0 + key_as_string, strings stay strings; the
+    custom metric order drops doc_count_error_upper_bound.  Expected
+    JSON copied verbatim."""
+    import json as _json
+
+    docs = [{"mixed_type": 10.0, "mixed_price": 10.0},
+            {"mixed_type": "blue", "mixed_price": 5.0},
+            {"mixed_type": "blue", "mixed_price": 5.0},
+            {"mixed_type": "blue", "mixed_price": 5.0},
+            {"mixed_type": True, "mixed_price": "no_price"},
+            {"mixed_type": "red", "mixed_price": 1.0},
+            {"mixed_type": "red", "mixed_price": 1.0},
+            {"mixed_type": -20.5, "mixed_price": -20.5},
+            {"mixed_type": True, "mixed_price": "no_price"}]
+    df = spark.createDataFrame([(_json.dumps(d),) for d in docs],
+                               "json STRING")
+    req = {
+        "termagg": {
+            "terms": {"field": "json.mixed_type",
+                      "order": {"min_price": "desc"}},
+            "aggs": {"min_price": {"min": {"field": "json.mixed_price"}}}},
+        "rangeagg": {
+            "range": {"field": "json.mixed_type",
+                      "ranges": [{"to": 3.0},
+                                 {"from": 19.0, "to": 20.0},
+                                 {"from": 20.0}]},
+            "aggs": {"average_in_range":
+                     {"avg": {"field": "json.mixed_type"}}}},
+    }
+    res = _run(df, req)
+    assert res["termagg"] == {
+        "buckets": [
+            {"doc_count": 1, "key": 10, "min_price": {"value": 10.0}},
+            {"doc_count": 3, "key": "blue", "min_price": {"value": 5.0}},
+            {"doc_count": 2, "key": "red", "min_price": {"value": 1.0}},
+            {"doc_count": 1, "key": -20.5,
+             "min_price": {"value": -20.5}},
+            {"doc_count": 2, "key": 1, "key_as_string": "true",
+             "min_price": {"value": None}},
+        ],
+        "sum_other_doc_count": 0,
+    }
+    # python == treats 10 == 10.0: pin the JSON-number TYPES too
+    keys = [b["key"] for b in res["termagg"]["buckets"]]
+    assert isinstance(keys[0], int) and isinstance(keys[3], float)
+    assert res["rangeagg"]["buckets"] == [
+        {"average_in_range": {"value": -20.5}, "doc_count": 1,
+         "key": "*-3", "to": 3.0},
+        {"average_in_range": {"value": 10.0}, "doc_count": 1,
+         "from": 3.0, "key": "3-19", "to": 19.0},
+        {"average_in_range": {"value": None}, "doc_count": 0,
+         "from": 19.0, "key": "19-20", "to": 20.0},
+        {"average_in_range": {"value": None}, "doc_count": 0,
+         "from": 20.0, "key": "20-*"},
+    ]
+
+
+def test_json_mixed_numerical_segments(spark):
+    """agg_tests.rs:1463-1517 — i64-written 10 and f64-written 10.0
+    unify into ONE bucket with i64 key 10; 10.5 stays f64.  Default
+    order keeps both exact-count fields."""
+    df = spark.createDataFrame(
+        [('{"mixed_price": 10.5}',), ('{"mixed_price": 10.0}',),
+         ('{"mixed_price": 10}',)], "json STRING")
+    req = {"termagg": {"terms": {"field": "json.mixed_price"}}}
+    res = _run(df, req)
+    assert res["termagg"] == {
+        "buckets": [{"doc_count": 2, "key": 10},
+                    {"doc_count": 1, "key": 10.5}],
+        "doc_count_error_upper_bound": 0,
+        "sum_other_doc_count": 0,
+    }
+    keys = [b["key"] for b in res["termagg"]["buckets"]]
+    assert isinstance(keys[0], int) and isinstance(keys[1], float)
+
+
+def test_json_empty_columns(spark):
+    """agg_tests.rs:1240-1355 — segments where the addressed json key
+    is entirely absent still aggregate correctly; docs lacking the
+    terms key drop out, docs lacking the metric key yield null."""
+    import json as _json
+
+    docs = [{"price": 10.0}, {"color": "blue"},
+            {"color": "red", "price": 10.0},
+            {"color": "red", "price": 10.0},
+            {"color": "green", "price": 20.0},
+            {"color": "green", "price": 20.0},
+            {"color": "green", "price": 20.0}]
+    df = spark.createDataFrame([(_json.dumps(d),) for d in docs],
+                               "json STRING")
+    res = _run(df, {"jsonagg": {"terms": {"field": "json.color"}}})
+    assert res["jsonagg"] == {
+        "buckets": [{"doc_count": 3, "key": "green"},
+                    {"doc_count": 2, "key": "red"},
+                    {"doc_count": 1, "key": "blue"}],
+        "doc_count_error_upper_bound": 0,
+        "sum_other_doc_count": 0,
+    }
+    req = {"jsonagg": {
+        "aggs": {"min_price": {"min": {"field": "json.price"}}},
+        "terms": {"field": "json.color",
+                  "order": {"min_price": "desc"}}}}
+    res = _run(df, req)
+    assert res["jsonagg"] == {
+        "buckets": [
+            {"key": "green", "doc_count": 3,
+             "min_price": {"value": 20.0}},
+            {"key": "red", "doc_count": 2,
+             "min_price": {"value": 10.0}},
+            {"key": "blue", "doc_count": 1,
+             "min_price": {"value": None}},
+        ],
+        "sum_other_doc_count": 0,
+    }
+
+
+def test_invalid_requests_error_parity(spark, ref_docs):
+    """agg_tests.rs:1059-1128 — invalid requests raise BEFORE any job:
+    numeric metric on a text column ("not configured as fast field"),
+    missing `field` key, unknown agg variant."""
+    from tantivy_spark.aggs.tree import run_agg_tree as run
+
+    with pytest.raises(ValueError,
+                       match='not configured as fast field'):
+        run(ref_docs, {"average": {"avg": {"field": "text"}}})
+    with pytest.raises(ValueError, match="missing field `field`"):
+        run(ref_docs, {"average": {"avg": {"fieldd": "a"}}})
+    with pytest.raises(ValueError,
+                       match="unknown variant `doesnotmatchanyagg`"):
+        run(ref_docs,
+            {"average": {"doesnotmatchanyagg": {"field": "a"}}})
+
+
+def test_field_validation_helper(spark, ref_docs):
+    """agg_tests.rs:1520-1560 — validate_aggregation_fields_exist
+    parity: a nonexistent field raises FieldNotFound carrying the
+    field name; a valid field passes."""
+    from tantivy_spark.aggs.tree import FieldNotFoundError
+
+    with pytest.raises(FieldNotFoundError) as ei:
+        run_agg_tree(ref_docs,
+                     {"avg_test": {"avg": {"field": "nonexistent_field"}}})
+    assert ei.value.field == "nonexistent_field"
+    run_agg_tree(ref_docs, {"avg_test": {"avg": {"field": "score"}}})
