@@ -354,6 +354,25 @@ def _terms_sort_cols(order: dict | None, key_col: str, count_col: str,
         raise ValueError(f"terms order direction {direction!r}")
     if target == "_count":
         col = F.col(count_col)
+    elif target == "_key" and lvl.body.get("__typed_key"):
+        # typed tagged keys ("i\x1f10") sort NUMERICALLY within the
+        # number group, then lexically for strings — lexicographic
+        # order on the tagged string would rank "10" before "9" and
+        # mis-select under a size cap.  Mirrors the driver-side krank
+        # in _terms_bucket_sort (numbers first, then strings).
+        c = F.col(key_col)
+        tag = F.substring(c, 1, 1)
+        raw = F.expr(f"substring(`{key_col}`, 3)")
+        num = F.when(tag == "b",
+                     F.when(raw == "true", F.lit(1.0)).otherwise(0.0)) \
+               .otherwise(raw.try_cast("double"))
+        grp = F.when(tag != "s", F.lit(0)).otherwise(1)
+        val = F.when(tag != "s", num).otherwise(F.lit(0.0))
+        sval = F.when(tag == "s", raw).otherwise(F.lit(""))
+        cols = [grp, val, sval]
+        cols = [x.desc() if direction == "desc" else x.asc()
+                for x in cols]
+        return cols + [F.asc(key_col)]
     elif target == "_key":
         col = F.col(key_col)
     else:

@@ -623,3 +623,20 @@ def test_field_validation_helper(spark, ref_docs):
                      {"avg_test": {"avg": {"field": "nonexistent_field"}}})
     assert ei.value.field == "nonexistent_field"
     run_agg_tree(ref_docs, {"avg_test": {"avg": {"field": "score"}}})
+
+
+def test_typed_key_order_selection(spark):
+    """_key ordering over typed json keys is NUMERIC within the number
+    group (lexicographic tagged-string order would rank 10 before 9
+    and mis-select under a size cap): keys {2, 9.5, 10, "a"} with
+    _key asc size 3 keep [2, 9.5, 10]."""
+    df = spark.createDataFrame(
+        [('{"v": 2}',), ('{"v": 10}',), ('{"v": "a"}',),
+         ('{"v": 9.5}',), ('{"v": 10}',)], "j STRING")
+    req = {"t": {"terms": {"field": "j.v",
+                           "order": {"_key": "asc"}, "size": 3}}}
+    res = _run(df, req)
+    assert [b["key"] for b in res["t"]["buckets"]] == [2, 9.5, 10]
+    req["t"]["terms"]["order"] = {"_key": "desc"}
+    res = _run(df, req)
+    assert [b["key"] for b in res["t"]["buckets"]] == ["a", 10, 9.5]
