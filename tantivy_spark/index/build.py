@@ -318,10 +318,30 @@ def _segment_kernel(cfg: IndexConfig):
                 [], [], [], [], [], [],
             ))
         if total_tokens:
-            sort_ix = np.lexsort((pos_kept, doc_rep, codes))
-            t_codes = codes[sort_ix]
-            docs_all = doc_rep[sort_ix]
-            pos_all = pos_kept[sort_ix]
+            # (term, doc, pos) ordering.  Fast path: bit-pack the three
+            # keys into ONE int64 and np.sort it — a single-array sort
+            # with field decode replaces lexsort's three key passes plus
+            # an int64 permutation plus three gathers, roughly halving
+            # the memory traffic of the kernel's dominant stage (the 8M
+            # probe showed this stage is bandwidth-bound).  Identical
+            # ordering by construction (fields compare lexicographically
+            # when packed high-to-low); falls back to lexsort when the
+            # widths cannot fit 63 bits (huge vocab x huge segment).
+            b_pos = max(int(pos_kept.max()), 1).bit_length() if len(pos_kept) else 1
+            b_doc = max(n_docs - 1, 1).bit_length()
+            n_vocab_f = len(vocab) if vocab is not None else 1
+            b_code = max(n_vocab_f - 1, 1).bit_length()
+            if b_pos + b_doc + b_code <= 63:
+                packed = np.sort((codes << (b_doc + b_pos))
+                                 | (doc_rep << b_pos) | pos_kept)
+                t_codes = packed >> (b_doc + b_pos)
+                docs_all = (packed >> b_pos) & ((1 << b_doc) - 1)
+                pos_all = packed & ((1 << b_pos) - 1)
+            else:
+                sort_ix = np.lexsort((pos_kept, doc_rep, codes))
+                t_codes = codes[sort_ix]
+                docs_all = doc_rep[sort_ix]
+                pos_all = pos_kept[sort_ix]
             npost = len(t_codes)
             # (term, doc) run-length -> tf
             td_change = np.empty(npost, dtype=bool)
