@@ -1,6 +1,7 @@
 """Index construction, codecs, merge, reading, and the writer facade."""
 
-from tantivy_spark.index.build import IndexConfig, build_index  # noqa: F401
+from tantivy_spark.index.build import (  # noqa: F401
+    IndexConfig, build_index, build_index_wide)
 from tantivy_spark.index.reader import IndexReader  # noqa: F401
 
 

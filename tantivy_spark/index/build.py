@@ -439,6 +439,53 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
             spark.conf.set(k, v)
 
 
+def build_index_wide(spark: SparkSession, df: DataFrame, out_dir: str,
+                     cfg: IndexConfig | None = None,
+                     build_segments: int | None = None,
+                     resume: bool = True) -> dict:
+    """Build a FEW-big-segments index at full cluster width: build at
+    ``build_segments`` (default: the cluster's default parallelism),
+    then k-way-merge down to ``cfg.n_segments`` into ``out_dir``.
+
+    The segment kernel is the unit of parallelism — one task per
+    segment, the reference's writer-thread model (IndexWriter worker
+    threads each filling their own segment, index_writer.rs) — so a
+    DIRECT build at few segments underuses a wide cluster.  Building
+    wide and merging down reaches the same final segment count much
+    faster: SCALE_PROBE round 6, 8M docs -> 8 segments = 330 s direct
+    vs 96 s build@32 + 26 s merge.  Query results are identical either
+    way (global term stats are preserved by the merge; merged-index
+    query parity is gate-checked by ``merged_search_term`` /
+    ``merged_wand_or``).
+
+    Falls back to the direct build when the config pins a custom
+    ``segment_expr`` (the wide assignment would not respect it) or
+    ``sort_col`` (merge stacks doc ranges, which would break
+    within-segment sort order), or when ``build_segments`` does not
+    exceed the target count.
+    """
+    import shutil
+    from dataclasses import replace
+
+    from tantivy_spark.index.merge import merge_segments
+
+    cfg = cfg or IndexConfig()
+    if build_segments is None:
+        build_segments = max(cfg.n_segments,
+                             spark.sparkContext.defaultParallelism)
+    if (build_segments <= cfg.n_segments or cfg.segment_expr
+            or cfg.sort_col):
+        return build_index(spark, df, out_dir, cfg, resume=resume)
+    wide_cfg = replace(cfg, n_segments=build_segments)
+    tmp = out_dir.rstrip("/") + ".wide"
+    build_index(spark, df, tmp, wide_cfg, resume=resume)
+    manifest = merge_segments(spark, tmp, out_dir,
+                              n_target_segments=cfg.n_segments,
+                              compression=cfg.compression)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return manifest
+
+
 def _build_index_inner(spark: SparkSession, df: DataFrame, out_dir: str,
                        cfg: IndexConfig, resume: bool) -> dict:
     manifest_path = os.path.join(out_dir, "meta.json")

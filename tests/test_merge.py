@@ -290,3 +290,33 @@ def test_merge_with_explicit_groups(spark, tiny_index, tmp_path_factory):
     sizes = {s: 100 for s in segs}
     plan = log_merge_plan(sizes, min_layer_docs=1000)
     assert set(plan) == set(segs)
+
+
+def test_build_index_wide_matches_direct(spark, tiny_pages,
+                                         tmp_path_factory):
+    """build_index_wide (build at cluster width, merge down — the
+    few-big-segments scale path) produces an index with the target
+    segment count, the same global doc/term stats, and identical query
+    results as a direct build at the target count."""
+    from tantivy_spark.index.build import (
+        IndexConfig, build_index, build_index_wide)
+
+    base = tmp_path_factory.mktemp("wideidx")
+    cfg = IndexConfig(key_col="url", text_col="text", n_segments=2)
+    direct = str(base / "direct")
+    build_index(spark, tiny_pages, direct, cfg)
+    wide = str(base / "wide")
+    m = build_index_wide(spark, tiny_pages, wide, cfg, build_segments=8)
+    assert m["totals"]["num_segments"] == 2
+    rd, rw = IndexReader(spark, direct), IndexReader(spark, wide)
+    assert rd.num_docs == rw.num_docs
+    for q in QUERIES:
+        # DocAddress assignment (segment_ord, doc_id) legitimately
+        # differs between the two builds, so score TIES order
+        # differently — compare the full (key, score) hit sets instead
+        # (k past the corpus size), which must be identical
+        hd = sorted((r["key"], round(r["score"], 4)) for r in
+                    ExactSearcher(rd).search(q, k=600).collect())
+        hw = sorted((r["key"], round(r["score"], 4)) for r in
+                    ExactSearcher(rw).search(q, k=600).collect())
+        assert hd == hw, q
