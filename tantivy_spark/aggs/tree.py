@@ -635,6 +635,15 @@ def _run_chain(df: DataFrame, name: str, kind: str, body: dict,
              *_level_metric_cols(levels, len(levels) - 1))
     if not ikeys:  # pure filter/missing chain: single-row result
         return grouped
+    if len(levels) == 1 and leaf.kind == "terms":
+        # total doc_count across ALL buckets, captured BEFORE the size /
+        # min_doc_count selection below prunes any: the ES fold derives
+        # an EXACT root sum_other_doc_count from it (bucket/terms.rs
+        # accounts cut buckets the same way).  Window over the small
+        # bucket frame — bounded by the budget guard.
+        grouped = grouped.withColumn(
+            "__total_dc",
+            F.sum("doc_count").over(Window.partitionBy()))
 
     # ---- pass C: per-level terms size / min_doc_count, outer -> inner ---
     # A terms level with a size keeps its top-N keys PER PARENT bucket
@@ -1077,24 +1086,26 @@ def _terms_bucket_sort(buckets: list[dict], body: dict) -> list[dict]:
 
 
 def _terms_container(buckets: list[dict], body: dict,
-                     parent_count: int | None) -> dict:
+                     parent_count: int | None,
+                     root: bool = False) -> dict:
     """The ES terms result object: ordered buckets + sum_other_doc_count
     (docs in buckets beyond the returned set — parent total minus the
     visible sum; exact for non-null fields, the reference counts the
-    same way per segment, bucket/terms.rs)."""
+    same way per segment, bucket/terms.rs).  At the ROOT the error
+    bound rides along only when show_term_doc_count_error holds, which
+    "defaults to true when ordering by count desc" (term_agg/mod.rs:227;
+    custom-ordered responses omit it, agg_tests.rs:1447 vs :1506)."""
     out: dict = {"buckets": _terms_bucket_sort(buckets, body)}
     if parent_count is not None:
         vis = sum(b.get("doc_count") or 0 for b in buckets)
         out["sum_other_doc_count"] = max(0, parent_count - vis)
     elif body.get("size") is None or len(buckets) < int(body["size"]):
-        # root-level terms: exact-count shape — sum_other always, the
-        # error bound only when show_term_doc_count_error holds, which
-        # "defaults to true when ordering by count desc"
-        # (term_agg/mod.rs:227; custom-ordered responses omit it,
-        # agg_tests.rs:1447-1456 vs :1506-1513)
         out["sum_other_doc_count"] = 0
-        if _show_doc_count_error(body):
-            out["doc_count_error_upper_bound"] = 0
+    if root and "sum_other_doc_count" in out \
+            and _show_doc_count_error(body):
+        # exact global selection: the upper bound on per-bucket count
+        # error is genuinely 0 (no per-segment cutoffs to sum)
+        out["doc_count_error_upper_bound"] = 0
     return out
 
 
@@ -1373,6 +1384,9 @@ def to_es_json(results: dict[str, DataFrame],
                 f"aggregation {name!r} produced > max_buckets="
                 f"{max_buckets} buckets; refusing to collect")
         rows = [r.asDict() for r in df.collect()]
+        total_dc = rows[0].get("__total_dc") if rows else None
+        rows = [{k: v for k, v in r.items() if k != "__total_dc"}
+                for r in rows]
         levels = None
         if request is not None and "." not in name and name in request \
                 and "composite" in request[name]:
@@ -1401,7 +1415,8 @@ def to_es_json(results: dict[str, DataFrame],
         if levels is not None:
             folded = _fold_nested(rows, levels)
             if levels[0].kind == "terms":
-                resp[name] = _terms_container(folded, levels[0].body, None)
+                resp[name] = _terms_container(folded, levels[0].body,
+                                              total_dc, root=True)
             elif levels[0].kind == "range":
                 resp[name] = _bucket_container(
                     _range_fill(folded, levels[0].body,

@@ -640,3 +640,49 @@ def test_typed_key_order_selection(spark):
     req["t"]["terms"]["order"] = {"_key": "desc"}
     res = _run(df, req)
     assert [b["key"] for b in res["t"]["buckets"]] == ["a", 10, 9.5]
+
+
+def test_percentile_order_selection(spark):
+    """agg_tests.rs:1565-1689 — terms ordered by a percentile sub-agg
+    stat ("my_pct.50" desc) with size=1 keeps the higher-p50 bucket
+    and accounts for the pruned docs in sum_other_doc_count.  The
+    reference tests this via segment_size pruning + intermediate-prune;
+    this engine's selection is one exact global frame, so the observable
+    contract (only "b" survives, dropped docs counted) is the assertion."""
+    rows = [(1.0, "a"), (2.0, "a"), (99.0, "b"), (100.0, "b")]
+    df = spark.createDataFrame(rows, "score_f64 DOUBLE, string_id STRING")
+    req = {"my_terms": {
+        "terms": {"field": "string_id", "size": 1,
+                  "order": {"my_pct.50": "desc"}},
+        "aggs": {"my_pct": {"percentiles": {"field": "score_f64",
+                                            "percents": [50]}}}}}
+    res = _run(df, req)
+    buckets = res["my_terms"]["buckets"]
+    assert [b["key"] for b in buckets] == ["b"]
+    assert buckets[0]["doc_count"] == 2
+    assert res["my_terms"]["sum_other_doc_count"] == 2
+    # custom (metric) order: no doc_count_error_upper_bound
+    assert "doc_count_error_upper_bound" not in res["my_terms"]
+
+    # two-segment variant (agg_tests.rs:1622): extra docs (3.0,"a"),
+    # (98.0,"b") — "b" still wins; 3 pruned docs accounted
+    df2 = spark.createDataFrame(rows + [(3.0, "a"), (98.0, "b")],
+                                "score_f64 DOUBLE, string_id STRING")
+    res2 = _run(df2, req)
+    b2 = res2["my_terms"]["buckets"]
+    assert [b["key"] for b in b2] == ["b"] and b2[0]["doc_count"] == 3
+    assert res2["my_terms"]["sum_other_doc_count"] == 3
+
+
+def test_root_sum_other_exact_under_size_cap(spark):
+    """Root-level terms with a size cap reports the EXACT dropped-doc
+    total (bucket/terms.rs sum_other accounting), plus error bound 0
+    for the default count-desc order (exact global selection)."""
+    df = spark.createDataFrame(
+        [(w,) for w in ["x"] * 5 + ["y"] * 3 + ["z"] * 2 + ["w"]],
+        "t STRING")
+    res = _run(df, {"a": {"terms": {"field": "t", "size": 2}}})
+    assert [(b["key"], b["doc_count"]) for b in res["a"]["buckets"]] == \
+        [("x", 5), ("y", 3)]
+    assert res["a"]["sum_other_doc_count"] == 3
+    assert res["a"]["doc_count_error_upper_bound"] == 0
