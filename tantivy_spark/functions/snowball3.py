@@ -23,8 +23,17 @@ the pinned vectors are hand-traced through the published descriptions):
   output).  The step-1 irregular map, the step-2/3/4 noun ladders, the
   step-5 verb ladders with their re-append exception sets, the step-6
   common-endings sweep and the step-7 comparative sweep are all
-  implemented; a handful of the very long step-5b/5i re-append
-  exception lists are abridged to their high-frequency members.
+  implemented.  The step-5 exception sets (including the long 5b/5i
+  lists) carry the complete published member sets as far as could be
+  cross-checked against the public Ntais formulation; the remaining
+  open fidelity question is the step-6 INTERACTION — whether the
+  published automaton gates the common-endings sweep on "no earlier
+  step fired" (which would preserve step-5 re-appends like ΒΕΤΕΡ+ΑΝ
+  where this implementation strips them again) — which cannot be
+  settled without the snowballstem.org sources, unavailable offline.
+  The exception-path behavior is pinned by regression vectors
+  (test_tokenizers.py 5i entries) so any future resolution is a
+  deliberate, visible change.
 * Tamil: the Damodharan algorithm's step pipeline — question prefixes,
   pronoun prefixes, question suffixes, -um, common word endings,
   vetrumai urupukal (case markers), plurals, command suffixes, tense

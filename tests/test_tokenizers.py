@@ -355,6 +355,13 @@ SNOWBALL3_VECTORS = {
         "γεγονότα": "γεγον",                   # step 1 irregular
         "προβλήματα": "προβλημ",         # -ματα -> μα, then -α
         "φώτα": "φω",                                   # step 1 irregular
+        # step-5i exception-list regression pins (re-append ΑΓ when the
+        # remainder is in the exception set; guards suppress it)
+        "χάραγα": "χαραγ",                     # ΧΑΡ in 5i set -> +ΑΓ
+        "ναύαγα": "ναυαγ",                     # ΝΑΥ in 5i set -> +ΑΓ
+        "πίσταγα": "πιστ",                       # not in set: no re-append
+        "κόλλαγα": "κολλ",                       # ΚΟΛΛ-ending guard
+        "ψόφαγα": "ψοφ",                           # explicit skip entry
     },
     "ta": {
         "மரங்கள்": "மரம்",              # plural with sandhi reversal
