@@ -246,6 +246,22 @@ def main() -> None:
         timings["big_chunk_dedup_docs_per_sec"] = round(
             big_n / timings["big_chunk_dedup_sec"], 1)
 
+        # PII scrub + repetition stats throughput (data-hygiene passes;
+        # pii is a pure codegen'd map, repetition adds one explode +
+        # two groupBys)
+        from tantivy_spark.pipeline.contamination import repetition_stats
+        from tantivy_spark.pipeline.pii import pii_counts
+        record("big_pii_sec", lambda: pii_counts(
+            docs_big, id_col="url").agg(F.sum("pii_total")).collect(),
+            trials=2)
+        timings["big_pii_docs_per_sec"] = round(
+            big_n / timings["big_pii_sec"], 1)
+        record("big_repetition_sec", lambda: repetition_stats(
+            docs_big, id_col="url").agg(F.sum("n_tokens")).collect(),
+            trials=2)
+        timings["big_repetition_docs_per_sec"] = round(
+            big_n / timings["big_repetition_sec"], 1)
+
         # stemmed-chain analyzer throughput: the en_stem pandas-UDF path
         # with vocabulary-level stemming (unique tokens per Arrow batch
         # stemmed once, then dictionary-mapped — per-token Python becomes

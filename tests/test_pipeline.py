@@ -389,3 +389,53 @@ def test_pages_from_table_adapter(spark):
     got = pages_from_table(spark, "cc_pages")
     assert got.columns == ["url", "warc_ts", "html", "text", "lang"]
     assert got.count() == pages.count()
+
+
+class TestPIIAndContamination:
+    def test_pii_counts_and_redaction(self, spark):
+        from tantivy_spark.pipeline.pii import pii_counts, pii_redact
+        df = spark.createDataFrame(
+            [(1, "mail me at a.b+c@test.org or 10.1.2.3 now"),
+             (2, "ssn 123-45-6789 card 4111 1111 1111 1111"),
+             (3, "call +44 (0)20 7946-0958 thanks"),
+             (4, "nothing sensitive here")],
+            "doc_id BIGINT, text STRING")
+        rows = {r["doc_id"]: r for r in pii_counts(df).collect()}
+        assert rows[1]["n_email"] == 1 and rows[1]["n_ipv4"] == 1
+        assert rows[2]["n_ssn"] == 1 and rows[2]["n_card"] == 1
+        assert rows[3]["n_phone"] == 1
+        assert rows[4]["pii_total"] == 0
+        red = {r["doc_id"]: r["text"] for r in pii_redact(df).collect()}
+        assert "<email>" in red[1] and "<ipv4>" in red[1]
+        assert "a.b+c@test.org" not in red[1]
+        assert "<ssn>" in red[2] and "<card>" in red[2]
+        assert red[4] == "nothing sensitive here"
+
+    def test_decontaminate_flags_overlap_only(self, spark):
+        from tantivy_spark.pipeline.contamination import decontaminate
+        phrase = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [(1, f"prefix {phrase} suffix"),
+             (2, "totally different words in this training document x y"),
+             (3, "short doc")],  # < n tokens: must not error or match
+            "doc_id BIGINT, text STRING")
+        bench = spark.createDataFrame([(99, phrase)],
+                                      "doc_id BIGINT, text STRING")
+        hits = {r["doc_id"]: r["n_hits"]
+                for r in decontaminate(docs, bench, n=8).collect()}
+        assert hits == {1: 1}
+
+    def test_repetition_stats_degenerate_doc(self, spark):
+        from tantivy_spark.pipeline.contamination import repetition_stats
+        docs = spark.createDataFrame(
+            [(1, "spam spam spam spam"),
+             (2, "all words here are fully distinct tokens"),
+             (3, "x")],  # single token: zero fractions, no error
+            "doc_id BIGINT, text STRING")
+        rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+        assert rows[1]["top_token_frac"] == 1.0
+        assert rows[1]["dup_2gram_frac"] > 0.5
+        assert rows[2]["dup_2gram_frac"] == 0.0
+        assert rows[3]["n_tokens"] == 1
+        assert rows[3]["dup_2gram_frac"] == 0.0
+        assert rows[3]["top_token_frac"] == 1.0
