@@ -686,3 +686,22 @@ def test_root_sum_other_exact_under_size_cap(spark):
         [("x", 5), ("y", 3)]
     assert res["a"]["sum_other_doc_count"] == 3
     assert res["a"]["doc_count_error_upper_bound"] == 0
+
+
+def test_typed_json_terms_as_child_level(spark):
+    """Typed json term keys decode at NESTED levels too: a child terms
+    agg on a json path under a real-column parent keeps i64/f64/bool/
+    string buckets distinct, with i64 unification of 1 and 1.0."""
+    rows = [("x", '{"v": 1}'), ("x", '{"v": 1.0}'), ("x", '{"v": "a"}'),
+            ("y", '{"v": 2.5}'), ("y", '{"v": true}')]
+    df = spark.createDataFrame(rows, "grp STRING, j STRING")
+    req = {"p": {"terms": {"field": "grp"},
+                 "aggs": {"c": {"terms": {"field": "j.v"}}}}}
+    res = _run(df, req)
+    by_key = {b["key"]: b for b in res["p"]["buckets"]}
+    cx = by_key["x"]["c"]["buckets"]
+    assert [(b["key"], b["doc_count"]) for b in cx] == [(1, 2), ("a", 1)]
+    assert isinstance(cx[0]["key"], int)
+    cy = by_key["y"]["c"]["buckets"]
+    assert {(b["key"], b.get("key_as_string"), b["doc_count"])
+            for b in cy} == {(1, "true", 1), (2.5, None, 1)}
