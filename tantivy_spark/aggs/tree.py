@@ -580,6 +580,21 @@ def _run_chain(df: DataFrame, name: str, kind: str, body: dict,
         else:
             ik = f"__k{len(ikeys)}"
             key_col, _ = _bucket_key(lvl.kind, lvl.body)
+            if lvl.kind == "terms":
+                from pyspark.sql.types import TimestampType
+                fld = lvl.body.get("field")
+                ftypes = {f.name: f.dataType for f in work.schema.fields}
+                if isinstance(ftypes.get(fld), TimestampType):
+                    # date term keys render RFC3339 (term_agg/mod.rs
+                    # terms_aggregation_date: "1982-09-17T00:00:00Z");
+                    # the session timezone is pinned UTC.  `missing`
+                    # substitutes AFTER formatting so a string
+                    # substitute coalesces type-correctly.
+                    key_col = F.date_format(
+                        F.col(fld), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                    if "missing" in lvl.body:
+                        key_col = F.coalesce(
+                            key_col, F.lit(str(lvl.body["missing"])))
             # docs MISSING the bucketed field fall out of the bucket set
             # (ES terms/histogram semantics; the `missing` agg is the
             # explicit collector for them)
@@ -1261,7 +1276,15 @@ def _fold_nested(rows: list[dict], levels: list[_Level]) -> list[dict]:
     out = []
     for kval, grp_it in groupby(rows, key=lambda r: r[key_alias]):
         grp = list(grp_it)
-        b: dict = _decode_typed_key(kval) if typed else {key_name: kval}
+        if typed and isinstance(kval, bool):
+            # bool-column term buckets: key 1/0 + key_as_string
+            # (term_agg/mod.rs terms_aggregation_bool)
+            b: dict = {"key": 1 if kval else 0,
+                       "key_as_string": "true" if kval else "false"}
+        elif typed:
+            b = _decode_typed_key(kval)
+        else:
+            b = {key_name: kval}
         if len(levels) == 1:
             b["doc_count"] = grp[0].get("doc_count")
         else:

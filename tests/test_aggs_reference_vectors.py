@@ -705,3 +705,36 @@ def test_typed_json_terms_as_child_level(spark):
     cy = by_key["y"]["c"]["buckets"]
     assert {(b["key"], b.get("key_as_string"), b["doc_count"])
             for b in cy} == {(1, "true", 1), (2.5, None, 1)}
+
+
+def test_terms_on_date_field(spark):
+    """term_agg/mod.rs terms_aggregation_date/-_missing — terms on a
+    DATE column keys as RFC3339 strings; `missing` substitutes the
+    given string for docs lacking the field."""
+    import datetime as dt
+
+    d82 = dt.datetime(1982, 9, 17, tzinfo=dt.timezone.utc)
+    d83 = dt.datetime(1983, 9, 27, tzinfo=dt.timezone.utc)
+    df = spark.createDataFrame([(d82,), (d82,), (d83,), (None,)],
+                               "date_field TIMESTAMP")
+    res = _run(df, {"my_date": {"terms": {"field": "date_field"}}})
+    assert [(b["key"], b["doc_count"])
+            for b in res["my_date"]["buckets"]] == \
+        [("1982-09-17T00:00:00Z", 2), ("1983-09-27T00:00:00Z", 1)]
+    res = _run(df, {"my_date": {"terms": {
+        "field": "date_field", "missing": "1982-09-17T00:00:00Z"}}})
+    assert [(b["key"], b["doc_count"])
+            for b in res["my_date"]["buckets"]] == \
+        [("1982-09-17T00:00:00Z", 3), ("1983-09-27T00:00:00Z", 1)]
+
+
+def test_terms_on_bool_field(spark):
+    """term_agg/mod.rs terms_aggregation_bool — bool term buckets carry
+    key 1/0 plus key_as_string true/false."""
+    df = spark.createDataFrame([(True,), (False,), (True,)],
+                               "bool_field BOOLEAN")
+    res = _run(df, {"my_bool": {"terms": {"field": "bool_field"}}})
+    assert res["my_bool"]["buckets"] == [
+        {"key": 1, "key_as_string": "true", "doc_count": 2},
+        {"key": 0, "key_as_string": "false", "doc_count": 1},
+    ]
