@@ -738,3 +738,30 @@ def test_terms_on_bool_field(spark):
         {"key": 1, "key_as_string": "true", "doc_count": 2},
         {"key": 0, "key_as_string": "false", "doc_count": 1},
     ]
+
+
+def test_terms_order_by_cardinality(spark):
+    """term_agg/mod.rs terms_aggregation_order_by_cardinality_desc —
+    terms ordered by a cardinality sub-agg (desc: A(5), C(3), B(1);
+    asc reversed; size=2 desc keeps A, C and counts B's 3 docs in
+    sum_other_doc_count)."""
+    rows = ([(float(i), "A") for i in range(1, 6)]
+            + [(1.0, "B")] * 3
+            + [(1.0, "C"), (2.0, "C"), (3.0, "C")])
+    df = spark.createDataFrame(rows, "score DOUBLE, string_id STRING")
+    req = {"my_texts": {
+        "terms": {"field": "string_id", "order": {"card": "desc"}},
+        "aggs": {"card": {"cardinality": {"field": "score"}}}}}
+    res = _run(df, req)
+    assert [(b["key"], b["card"]["value"])
+            for b in res["my_texts"]["buckets"]] == \
+        [("A", 5.0), ("C", 3.0), ("B", 1.0)]
+    req["my_texts"]["terms"]["order"] = {"card": "asc"}
+    res = _run(df, req)
+    assert [b["key"] for b in res["my_texts"]["buckets"]] == \
+        ["B", "C", "A"]
+    req["my_texts"]["terms"]["order"] = {"card": "desc"}
+    req["my_texts"]["terms"]["size"] = 2
+    res = _run(df, req)
+    assert [b["key"] for b in res["my_texts"]["buckets"]] == ["A", "C"]
+    assert res["my_texts"]["sum_other_doc_count"] == 3
