@@ -305,30 +305,59 @@ class OracleBuilder:
                 f"(SELECT CAST(count(DISTINCT did) AS DOUBLE) FROM {ph}) + 0.5) / "
                 f"((SELECT CAST(count(DISTINCT did) AS DOUBLE) FROM {ph}) + 0.5))"
             )
+        offs = list(q.offsets) if q.offsets is not None else list(range(len(terms)))
+        max_off = max(offs)
         joined = self._name("phj")
         if q.slop == 0:
             join_sql = f"{ph_names[0]} p0"
             for i in range(1, len(ph_names)):
                 join_sql += (
                     f" JOIN {ph_names[i]} p{i} ON p0.did = p{i}.did "
-                    f"AND p{i}.pos = p0.pos + {i}"
+                    f"AND p{i}.pos = p0.pos + {offs[i] - offs[0]}"
                 )
             ctes.append(
                 f"{joined} AS (SELECT p0.did, CAST(count(*) AS DOUBLE) AS tf "
                 f"FROM {join_sql} GROUP BY p0.did)"
             )
         else:
-            # chained in-order-within-slop joins (mirror of exact._phrase)
-            join_sql = f"{ph_names[0]} p0"
-            for i in range(1, len(ph_names)):
-                join_sql += (
-                    f" JOIN {ph_names[i]} p{i} ON p0.did = p{i}.did "
-                    f"AND p{i}.pos > p{i - 1}.pos "
-                    f"AND p{i}.pos <= p{i - 1}.pos + 1 + {q.slop}"
-                )
+            # Reference sloppy semantics (phrase_scorer.rs:145-190):
+            # shifted positions, abs-diff <= slop, greedy two-pointer
+            # with best-left advance — replayed per candidate doc as a
+            # recursive-CTE walk (the snippet-oracle pattern).  The
+            # >2-term carrying-slop variant holds list state per step
+            # and is covered by golden-engine + reference vectors in
+            # pytest instead.
+            if len(terms) != 2:
+                raise NotImplementedError(
+                    "DuckDB sloppy-phrase oracle supports 2-term phrases")
+            self._recursive = True
+            slop = int(q.slop)
+            shift0, shift1 = max_off - offs[0], max_off - offs[1]
+            lists = self._name("phl")
             ctes.append(
-                f"{joined} AS (SELECT p0.did, CAST(count(DISTINCT p0.pos) AS DOUBLE) AS tf "
-                f"FROM {join_sql} GROUP BY p0.did)"
+                f"{lists} AS (SELECT a.did, "
+                f"list(a.pos + {shift0} ORDER BY a.pos) AS lpos, "
+                f"any_value(b.rpos) AS rpos FROM {ph_names[0]} a JOIN "
+                f"(SELECT did, list(pos + {shift1} ORDER BY pos) AS rpos "
+                f"FROM {ph_names[1]} GROUP BY did) b "
+                f"ON a.did = b.did GROUP BY a.did)"
+            )
+            walk = self._name("phw")
+            ctes.append(
+                f"{walk} AS (SELECT did, lpos, rpos, 1 AS li, 1 AS ri, 0 AS cnt "
+                f"FROM {lists} "
+                f"UNION ALL SELECT did, lpos, rpos, "
+                f"CASE WHEN abs(lpos[li] - rpos[ri]) <= {slop} "
+                f"THEN greatest(li, len(list_filter(lpos, x -> x <= rpos[ri]))) + 1 "
+                f"WHEN lpos[li] < rpos[ri] THEN li + 1 ELSE li END AS li, "
+                f"CASE WHEN abs(lpos[li] - rpos[ri]) <= {slop} THEN ri + 1 "
+                f"WHEN lpos[li] < rpos[ri] THEN ri ELSE ri + 1 END AS ri, "
+                f"cnt + CASE WHEN abs(lpos[li] - rpos[ri]) <= {slop} THEN 1 ELSE 0 END AS cnt "
+                f"FROM {walk} WHERE li <= len(lpos) AND ri <= len(rpos))"
+            )
+            ctes.append(
+                f"{joined} AS (SELECT did, CAST(max(cnt) AS DOUBLE) AS tf "
+                f"FROM {walk} GROUP BY did HAVING max(cnt) > 0)"
             )
         idf_sum = self._add_chain([f"({p})" for p in df_parts])
         weight = f"(({idf_sum}) * {_W!r})"
@@ -462,11 +491,13 @@ class OracleBuilder:
         """Top-k statement with columns (rank BIGINT, doc_id BIGINT,
         score_r DOUBLE), tie-break (score desc, seg asc, sdoc asc)."""
         self._ctr = 0
+        self._recursive = False
         ctes = self._base_ctes(self._needs_positions(q))
         final = self._lower(q, 1.0, ctes)
         body = ",\n".join(ctes)
+        rec = "RECURSIVE " if self._recursive else ""
         return (
-            f"WITH {body}\n"
+            f"WITH {rec}{body}\n"
             f"SELECT CAST(row_number() OVER "
             f"(ORDER BY s.score DESC, d.seg ASC, d.sdoc ASC) AS BIGINT) AS rank, "
             f"CAST(s.did AS BIGINT) AS doc_id, round(s.score, 4) AS score_r "
@@ -477,10 +508,12 @@ class OracleBuilder:
     def count_sql(self, q: ast.Query) -> str:
         """Count statement with column (cnt BIGINT)."""
         self._ctr = 0
+        self._recursive = False
         ctes = self._base_ctes(self._needs_positions(q))
         final = self._lower(q, 1.0, ctes)
         body = ",\n".join(ctes)
-        return f"WITH {body}\nSELECT CAST(count(*) AS BIGINT) AS cnt FROM {final}"
+        rec = "RECURSIVE " if self._recursive else ""
+        return f"WITH {rec}{body}\nSELECT CAST(count(*) AS BIGINT) AS cnt FROM {final}"
 
 
 def _esc_sql(expr: str) -> str:

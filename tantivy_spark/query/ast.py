@@ -63,12 +63,20 @@ class BooleanQuery(Query):
 
 @dataclass
 class PhraseQuery(Query):
-    """Adjacent terms (slop=0) or within-slop ordered match
-    (ref: src/query/phrase_query/).  Scored with the summed-idf
-    multi-term BM25 weight and phrase frequency as tf."""
+    """Adjacent terms (slop=0) or within-slop match with the reference's
+    abs-diff budget semantics — transpositions cost 2, slop carries
+    across terms (ref: src/query/phrase_query/phrase_scorer.rs:141-345).
+    Scored with the summed-idf multi-term BM25 weight and phrase
+    frequency as tf.
+
+    ``offsets`` are the reference's ``PhraseQuery::new_with_offset``
+    per-term phrase positions (phrase_query.rs:42-58) — e.g.
+    ``[(0,"a"),(2,"c")]`` matches "a ? c".  None means 0..len-1.
+    """
     phrase_terms: list[str]
     slop: int = 0
     field: str | None = None
+    offsets: list[int] | None = None
 
     def terms(self) -> list[str]:
         return list(self.phrase_terms)

@@ -390,28 +390,52 @@ class ExactSearcher:
         order within slop+1 positions of each other; phrase frequency =
         number of distinct start positions with a valid chain."""
         terms = q.phrase_terms
+        offsets = list(q.offsets) if q.offsets is not None else list(range(len(terms)))
+        max_off = max(offsets)
         flat = self.flat_postings(terms, with_positions=True)
         if q.slop != 0:
-            cur = flat.filter(F.col("term") == terms[0]).select(
-                "segment_ord", "doc_id", "fieldnorm_id",
-                F.col("pos").alias("p0"), F.col("pos").alias("prev"))
-            for i, t in enumerate(terms[1:], start=1):
-                nxt = flat.filter(F.col("term") == t).select(
-                    "segment_ord", "doc_id", F.col("pos").alias(f"p{i}"))
-                cur = (cur.join(nxt, ["segment_ord", "doc_id"])
-                       .filter((F.col(f"p{i}") > F.col("prev"))
-                               & (F.col(f"p{i}") <= F.col("prev") + 1 + q.slop))
-                       .drop("prev")
-                       .withColumn("prev", F.col(f"p{i}")))
-            hits = (cur.groupBy("segment_ord", "doc_id", "fieldnorm_id")
-                    .agg(F.countDistinct("p0").alias("tf")))
-        else:
+            # per-term shifted sorted position arrays per candidate doc;
+            # the inner join restricts to docs containing ALL terms (the
+            # reference's intersection docset), then an Arrow-batched
+            # kernel runs the exact carrying-slop algorithm per doc
+            # (phrase_scorer.rs:437-507 — mirrored in query/sloppy.py).
             parts = []
-            for i, t in enumerate(terms):
+            for i, (t, off) in enumerate(zip(terms, offsets)):
+                parts.append(
+                    flat.filter(F.col("term") == t)
+                    .groupBy("segment_ord", "doc_id", "fieldnorm_id")
+                    .agg(F.sort_array(F.collect_list(
+                        F.col("pos") + F.lit(max_off - off))).alias(f"pos{i}"))
+                )
+            cur = parts[0]
+            for p in parts[1:]:
+                cur = cur.join(p.drop("fieldnorm_id"), ["segment_ord", "doc_id"])
+            slop = int(q.slop)
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("integer")
+            def sloppy_tf(*pos_cols: pd.Series) -> pd.Series:
+                from tantivy_spark.query.sloppy import sloppy_phrase_count
+                out = []
+                for lists in zip(*pos_cols):
+                    out.append(sloppy_phrase_count(
+                        [list(pl) for pl in lists], slop))
+                return pd.Series(out, dtype="int32")
+
+            hits = (cur.withColumn(
+                        "tf", sloppy_tf(*[F.col(f"pos{i}") for i in range(len(terms))]))
+                    .filter(F.col("tf") > 0)
+                    .select("segment_ord", "doc_id", "fieldnorm_id", "tf"))
+        else:
+            # shifted-position trick, generalized to explicit offsets:
+            # pos + (max_off - off_i) is equal across all phrase slots
+            # exactly at occurrences (phrase_scorer.rs:364-383)
+            parts = []
+            for i, (t, off) in enumerate(zip(terms, offsets)):
                 parts.append(
                     flat.filter(F.col("term") == t).select(
                         "segment_ord", "doc_id", "fieldnorm_id",
-                        (F.col("pos") - F.lit(i)).alias("apos"),
+                        (F.col("pos") + F.lit(max_off - off)).alias("apos"),
                         F.lit(i).alias("ord"),
                     )
                 )

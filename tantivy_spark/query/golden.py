@@ -134,20 +134,24 @@ class GoldenIndex:
         raise NotImplementedError(type(q).__name__)
 
     def _phrase_scores(self, q: ast.PhraseQuery, boost: float):
+        from tantivy_spark.query.sloppy import sloppy_phrase_count
+
         terms = q.phrase_terms
-        doc_pos: dict[tuple[int, int], list[set[int]]] = {}
-        for i, t in enumerate(terms):
+        offsets = list(q.offsets) if q.offsets is not None else list(range(len(terms)))
+        max_off = max(offsets)
+        doc_pos: dict[tuple[int, int], list[list[int]]] = {}
+        for i, (t, off) in enumerate(zip(terms, offsets)):
             for seg, doc, _tf, positions in self.postings.get(t, []):
-                slot = doc_pos.setdefault((seg, doc), [set() for _ in terms])
-                slot[i] = {p - i for p in positions}
+                slot = doc_pos.setdefault((seg, doc), [[] for _ in terms])
+                slot[i] = sorted(p + (max_off - off) for p in positions)
         params = Bm25Params.for_terms([self.doc_freq(t) for t in terms],
                                       self.num_docs, self.avg_fieldnorm, boost)
         out = {}
-        for key, sets in doc_pos.items():
-            hits = set.intersection(*sets) if all(sets) else set()
-            if hits:
+        for key, lists in doc_pos.items():
+            tf = sloppy_phrase_count(lists, q.slop) if all(lists) else 0
+            if tf:
                 fn = self.fieldnorm_id[key]
-                out[key] = params.score(np.array([fn]), np.array([len(hits)]))[0]
+                out[key] = params.score(np.array([fn]), np.array([tf]))[0]
         return out
 
     def top_k(self, q: ast.Query, k: int = 10, offset: int = 0):
