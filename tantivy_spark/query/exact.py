@@ -96,6 +96,65 @@ def fastfield_filter(df: DataFrame, q: "ast.FastFieldRangeQuery") -> DataFrame:
     return out
 
 
+def _rewrite_fastfield_terms(q: "ast.Query", reader, scoring: bool) -> "ast.Query":
+    """TermQuery on a FAST-only (unindexed) column falls back to a
+    columnar equality filter over the docmap — the reference's
+    fast-field fallback (term_query.rs tests
+    test_term_query_fallback_to_fastfield / _text_fast_only /
+    _fastfield_with_scores_errors).  When scoring is required the
+    reference raises SchemaError (the field has no postings to score
+    with); mirrored here as ValueError.  Subtrees under
+    ConstScoreQuery don't need statistics, so the flag drops there."""
+    def is_fallback(node: "ast.TermQuery") -> bool:
+        f = node.field
+        if not f or f not in reader.fast_field_cols:
+            return False
+        return not (reader.field_cols and f in reader.field_cols)
+
+    def coerce(field: str, v):
+        if not isinstance(v, str):
+            return v
+        dtype = dict(reader.docmap.dtypes).get(field, "")
+        try:
+            if dtype in ("bigint", "int", "smallint", "tinyint"):
+                return int(v)
+            if dtype in ("double", "float") or dtype.startswith("decimal"):
+                return float(v)
+            if dtype == "boolean":
+                return v.lower() == "true"
+        except ValueError:
+            pass
+        return v
+
+    def walk(node, scoring_here: bool):
+        if isinstance(node, ast.TermQuery) and is_fallback(node):
+            if scoring_here:
+                raise ValueError(
+                    f"SchemaError: TermQuery on FAST-only field "
+                    f"{node.field!r} cannot score — the field is not "
+                    f"indexed (reference term_query.rs fallback "
+                    f"requires scoring disabled)")
+            v = coerce(node.field, node.term)
+            return ast.FastFieldRangeQuery(node.field, v, v)
+        if isinstance(node, ast.BooleanQuery):
+            return ast.BooleanQuery(
+                [(occ, walk(c, scoring_here)) for occ, c in node.clauses],
+                minimum_should_match=node.minimum_should_match)
+        if isinstance(node, ast.BoostQuery):
+            return ast.BoostQuery(walk(node.child, scoring_here), node.boost)
+        if isinstance(node, ast.ConstScoreQuery):
+            return ast.ConstScoreQuery(walk(node.child, False), node.score)
+        if isinstance(node, ast.DisjunctionMaxQuery):
+            return ast.DisjunctionMaxQuery(
+                [walk(c, scoring_here) for c in node.disjuncts],
+                tie_breaker=node.tie_breaker)
+        return node
+
+    if not reader.fast_field_cols:
+        return q
+    return walk(q, scoring)
+
+
 def _decode_kernel(with_positions: bool):
     def decode(batches):
         for pdf in batches:
@@ -147,6 +206,10 @@ class ExactSearcher:
         self._norms_arr = F.array(*[F.lit(int(v)) for v in FIELD_NORMS_TABLE.tolist()])
         self._fast_fields: DataFrame | None = None
         self._fast_key: str | None = None
+        #: scoring-enabled flag for the fast-field TermQuery fallback —
+        #: count() flips it off (EnableScoring::disabled), search/explain
+        #: keep it on and the fallback then errors like the reference
+        self._scoring = True
 
     def set_fast_fields(self, df: DataFrame, key_col: str) -> "ExactSearcher":
         """Attach the columnar (fast-field) table — the source table whose
@@ -198,6 +261,7 @@ class ExactSearcher:
         keep including them until a merge — the reference's alive-bitset
         semantics (ARCHITECTURE.md:59-64).  On multi-field indexes the
         tree is first rewritten to field-qualified dictionary keys."""
+        q = _rewrite_fastfield_terms(q, self.reader, self._scoring)
         if self.reader.field_cols:
             q = ast.qualify(q, self.reader.default_field)
         dfs = self.reader.doc_freqs(q.terms())
@@ -672,11 +736,16 @@ class ExactSearcher:
     def count(self, q: ast.Query) -> int:
         """Count collector (ref: src/collector/count_collector.rs).  A
         single-term count short-circuits to the term_stats lookup."""
+        q = _rewrite_fastfield_terms(q, self.reader, scoring=False)
         if self.reader.field_cols:
             q = ast.qualify(q, self.reader.default_field)
         if isinstance(q, ast.TermQuery) and self.reader.deletes is None:
             return self.reader.doc_freqs([q.term])[q.term]
-        return self.matching(q).count()
+        self._scoring = False
+        try:
+            return self.matching(q).count()
+        finally:
+            self._scoring = True
 
     def explain(self, q: ast.Query, segment_ord: int, doc_id: int) -> dict:
         """Score explanation for ONE document — the analogue of
