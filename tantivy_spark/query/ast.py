@@ -186,7 +186,10 @@ class DisjunctionMaxQuery(Query):
 class FuzzyTermQuery(Query):
     """Terms within Levenshtein distance <= d of `term`
     (ref: src/query/fuzzy_query.rs).  Expanded against the term
-    dictionary at plan time."""
+    dictionary at plan time; CONSTANT score — the reference lowers fuzzy
+    to an AutomatonWeight whose scorer is ConstScorer(boost)
+    (automaton_weight.rs:109-110, pinned at 1.0 by fuzzy_query.rs's own
+    tests), same as RegexQuery."""
     term: str
     distance: int = 1
     prefix: bool = False
@@ -227,9 +230,19 @@ class FastFieldRangeQuery(Query):
 
 @dataclass
 class ExistsQuery(Query):
-    """Docs where the text field has at least one indexed token
-    (ref: src/query/exist_query.rs — field-has-value semantics)."""
+    """Docs where the field has at least one indexed value
+    (ref: src/query/exist_query.rs — field-has-value semantics).
+
+    ``json_path`` addresses a path INSIDE a json field, mirroring the
+    reference's ``ExistsQuery::new("json.path", json_subpaths)``
+    (exist_query.rs:19-27): with ``json_subpaths=False`` only a leaf
+    value exactly at the path matches; with ``True`` any value at or
+    below the path does.  ``json_path=""`` is the field root — matches
+    nothing without subpaths (an object root holds no direct leaf) and
+    every doc carrying any value under the field with them."""
     field: str | None = None
+    json_path: str | None = None
+    json_subpaths: bool = False
 
 
 @dataclass

@@ -376,6 +376,46 @@ class ExactSearcher:
                     .select("segment_ord", "doc_id",
                             F.lit(1.0 * boost).alias("score")))
         if isinstance(q, ast.ExistsQuery):
+            if (q.field is not None and self.reader.field_cols is not None
+                    and q.field not in self.reader.field_cols
+                    and q.field not in self.reader.fast_field_cols):
+                # loud unknown-field parity (exist_query.rs:461-469
+                # pins "The field does not exist: '{field}'") — an
+                # unknown field must not silently count zero
+                raise ValueError(f"The field does not exist: '{q.field}'")
+            if q.json_path is not None:
+                # json-path existence (exist_query.rs:19-27): a doc
+                # matches iff some dictionary term sits under the path —
+                # json leaves index as {path}= / {path}#n= / {path}#b= /
+                # {path}#i= terms (functions/jsonterm.py), so the check
+                # is a term-PREFIX condition on the postings scan:
+                # distributed, pushdown-friendly, never a driver expand
+                from tantivy_spark.index.build import FIELD_SEP
+                pref = f"{q.field}{FIELD_SEP}" \
+                    if self.reader.field_cols and q.field else ""
+                p = pref + q.json_path
+                if q.json_path == "":
+                    # field root: an object root has no direct leaf term,
+                    # so subpaths=False matches NOTHING; subpaths=True is
+                    # "any value anywhere under the field" (the reference
+                    # pins exactly this 0-vs-100 split,
+                    # exist_query.rs:328-329)
+                    cond = F.col("term").startswith(pref) \
+                        if q.json_subpaths else F.lit(False)
+                else:
+                    cond = (F.col("term").startswith(p + "=")
+                            | F.col("term").startswith(p + "#"))
+                    if q.json_subpaths:
+                        cond = cond | F.col("term").startswith(p + ".")
+                return self._const_docs_matching(cond, boost)
+            if q.field is not None and q.field in self.reader.fast_field_cols:
+                # fast-field existence = non-null columnar value; the
+                # null filter pushes into the docmap parquet scan (the
+                # reference walks the column index, exist_query.rs:46)
+                return (self.reader.docmap
+                        .filter(F.col(q.field).isNotNull())
+                        .select("segment_ord", "doc_id",
+                                F.lit(1.0 * boost).alias("score")))
             fld = (q.field or self.reader.default_field) \
                 if self.reader.field_cols else None
             return (self.reader.fieldnorms_of(fld)
@@ -383,6 +423,16 @@ class ExactSearcher:
                     .select("segment_ord", "doc_id",
                             F.lit(1.0 * boost).alias("score")))
         if isinstance(q, ast.RegexQuery):
+            # invalid patterns fail LOUDLY at plan time with the pattern
+            # in the message (regex_query.rs test_pattern_error pins
+            # InvalidArgument at construction), not as an executor-side
+            # Java stack trace mid-scan
+            import re as _re
+            try:
+                _re.compile(q.pattern)
+            except _re.error as e:
+                raise ValueError(
+                    f"invalid regex pattern {q.pattern!r}: {e}") from e
             # distributed: the regex runs as a codegen'd filter on the
             # postings scan — no driver-side expansion, no cap (the
             # reference intersects a regex automaton with the FST, also
@@ -395,9 +445,12 @@ class ExactSearcher:
                 transposition_cost_one=q.transposition_cost_one)
             if not terms:
                 return self._lower(ast.EmptyQuery(), boost, dfs)
-            # fuzzy matches score like an OR of term queries (per-term idf)
-            sub = ast.BooleanQuery([(ast.Occur.SHOULD, ast.TermQuery(t)) for t in terms])
-            return self._lower(sub, boost, self.reader.doc_freqs(terms))
+            # CONSTANT score, like every automaton query in the reference:
+            # FuzzyTermQuery lowers to an AutomatonWeight whose scorer is
+            # ConstScorer(boost) (automaton_weight.rs:109-110; the fuzzy
+            # unit tests pin score == 1.0, fuzzy_query.rs:303-306) — NOT a
+            # BM25 OR over the expansion
+            return self._lower(ast.TermSetQuery(terms), boost, dfs)
         if isinstance(q, ast.BooleanQuery):
             return self._boolean(q, boost, dfs)
         if isinstance(q, ast.CustomQuery):
@@ -627,6 +680,12 @@ class ExactSearcher:
         term-dictionary (lexicographic) order — deterministic at any
         parallelism.  Used where per-term statistics are needed driver-side
         (RegexPhraseQuery slots); RegexQuery itself stays distributed."""
+        import re as _re
+        try:
+            _re.compile(pattern)
+        except _re.error as e:  # loud plan-time parity, regex_query.rs:186
+            raise ValueError(
+                f"invalid regex pattern {pattern!r}: {e}") from e
         rows = (self.reader.term_stats
                 .filter(F.col("term").rlike(f"^(?:{pattern})$"))
                 .select("term").orderBy("term").limit(cap).collect())
@@ -641,6 +700,9 @@ class ExactSearcher:
         scores with its own idf), so instead of silently truncating we
         fail loudly past ``cap`` — like wand.py's delete-bitset guard.
 
+        Distance is capped at 2 like the reference's static automaton
+        builder table (fuzzy_query.rs:114-127).
+
         ``transposition_cost_one`` = Damerau-Levenshtein (adjacent swap
         costs 1).  DL <= L always and L <= 2*DL, so the codegen'd coarse
         filter ``levenshtein <= 2*distance`` is a superset; the exact DL
@@ -650,12 +712,31 @@ class ExactSearcher:
         must not silently drop valid matches beyond it)."""
         from tantivy_spark.index.build import FIELD_SEP
 
+        if not 0 <= int(distance) <= 2:
+            # the reference's automaton builder table only covers
+            # distances 0..=2 (fuzzy_query.rs:114-127 InvalidArgument)
+            raise ValueError(
+                f"Levenshtein distance of {distance} is not allowed. "
+                f"Choose a value less than 3")
         base = self.reader.term_stats
         if FIELD_SEP in term:
             # field-qualified term: candidates must stay inside the field
             # (short field names could otherwise be within edit distance)
             base = base.filter(
                 F.col("term").startswith(term.split(FIELD_SEP, 1)[0] + FIELD_SEP))
+        rest = term.split(FIELD_SEP, 1)[1] if FIELD_SEP in term else term
+        if "=" in rest and not rest.startswith("="):
+            # json-path fuzzy term ({path}={value} dictionary shape): the
+            # reference builds the DFA over ONLY the value bytes and pins
+            # the term range to the exact path prefix
+            # (fuzzy_query.rs:137-151 + automaton_weight.rs:55-66), so a
+            # neighbouring path within edit distance must NOT match.
+            # Restricting candidates to the same `{path}=` prefix and
+            # keeping full-string distances is equivalent: edit distance
+            # is invariant under a shared prefix.
+            path = rest.partition("=")[0]
+            qual = term[: len(term) - len(rest)]
+            base = base.filter(F.col("term").startswith(f"{qual}{path}="))
         if prefix:
             # reference new_prefix semantics (build_prefix_dfa): a
             # dictionary term matches if SOME PREFIX of it is within

@@ -692,6 +692,10 @@ class QueryParser:
                     if nk == "word" and nv.startswith(self._ELASTIC_OPS):
                         self._next()
                         return self._elastic_range(field, nv)
+                    if nk == "word" and nv == "IN":
+                        # spaced set syntax 'field: IN [a b]'
+                        # (set_query.rs:131-157 parses exactly this form)
+                        return self._attach_field(self._atom(), field)
                     if nk in ("quoted", "lbrack", "lbrace"):
                         return self._attach_field(self._atom(), field)
                     raise QueryParserError(f"dangling field prefix {field!r}:")
