@@ -184,14 +184,34 @@ def regex_tokenizer(pattern: str):
 
 
 def facet_tokens(text: Column) -> Column:
-    """FacetTokenizer: a facet path emits one token per ancestor prefix —
-    "/a/b/c" -> ["/a", "/a/b", "/a/b/c"] (ref: facet_tokenizer.rs)."""
-    t = F.coalesce(text, F.lit(""))
-    parts = F.filter(F.split(t, "/"), lambda p: F.length(p) > 0)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(parts), F.lit(0)))
-    return F.when(F.size(parts) > 0, F.transform(
-        idx, lambda i: F.concat(F.lit("/"), F.array_join(F.slice(parts, 1, i), "/"))
-    )).otherwise(F.array().cast("array<string>"))
+    """FacetTokenizer: a facet path emits the ROOT facet then one token
+    per ancestor prefix — "/a/b/c" -> ["/", "/a", "/a/b", "/a/b/c"]
+    (ref: facet_tokenizer.rs:37-70 — the root facet is emitted first,
+    pinned by its test_facet_tokenizer: 4 tokens for /top/a/b, and the
+    explicit root facet alone emits ["/"]).
+
+    A doc may hold SEVERAL facets (the reference's multi-valued facet
+    field, facet_collector.rs test_doc_unsorted_multifacet): separate
+    them with newlines in the column value — "/a/b\\n/c" tokenizes both
+    paths.  NULL emits nothing; note the index build coalesces NULL to
+    "" before the analyzer, so inside a build an absent facet becomes
+    the explicit root facet (carries only the "/" token)."""
+    empty = F.array().cast("array<string>")
+    paths = F.filter(F.split(F.coalesce(text, F.lit("")), "\n"),
+                     lambda p: F.length(p) > 0)
+
+    def prefixes(path):
+        parts = F.filter(F.split(path, "/"), lambda s: F.length(s) > 0)
+        idx = F.sequence(F.lit(1), F.greatest(F.size(parts), F.lit(0)))
+        pre = F.when(F.size(parts) > 0, F.transform(
+            idx, lambda i: F.concat(F.lit("/"),
+                                    F.array_join(F.slice(parts, 1, i), "/"))
+        )).otherwise(empty)
+        return F.concat(F.array(F.lit("/")), pre)
+
+    return (F.when(text.isNull(), empty)
+            .when(F.size(paths) == 0, F.array(F.lit("/")))
+            .otherwise(F.flatten(F.transform(paths, prefixes))))
 
 
 def split_compound_words(dictionary: list[str]):
@@ -573,6 +593,7 @@ ANALYZERS = {
     "el_stem": el_stem_tokens_col,
     "ta_stem": ta_stem_tokens_col,
     "json_typed": json_typed_tokens,
+    "facet": facet_tokens,
 }
 
 #: python-side stemmer of each "{lang}_stem" chain (query-literal

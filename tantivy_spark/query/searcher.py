@@ -80,6 +80,11 @@ class Searcher:
     def search(self, q, k: int = 10, offset: int = 0,
                method: str = "auto") -> DataFrame:
         """TopDocs: (rank, segment_ord, doc_id, score, key)."""
+        if k < 1:
+            # TopDocs::with_limit(0) panics in the reference
+            # (top_score_collector.rs "limit must be strictly greater
+            # than 0") — fail loudly, never silently return nothing
+            raise ValueError("limit must be strictly greater than 0")
         query = self._as_query(q)
         if method in ("auto", "wand"):
             shape = _pure_term_shape(query)
@@ -134,6 +139,97 @@ class Searcher:
                         F.col("tweaked_score").alias("score"),
                         F.col("score").alias("bm25_score"), "key")
                 .orderBy("rank"))
+
+    def search_order_by(self, q, field: str, order: str = "desc",
+                        k: int = 10, offset: int = 0) -> DataFrame:
+        """``TopDocs::order_by_fast_field`` analogue
+        (top_score_collector.rs order_by_u64_field /
+        order_by_fast_field / order_by_string_fast_field): top-k of the
+        query's matching docs ordered by an indexed fast-field COLUMN
+        value instead of the BM25 score.  Works for any fast-field type
+        (numeric, string, date — the column keeps its parquet type).
+
+        Missing values sort LAST in both directions (the reference's
+        default ``NoneLower`` comparator places None after every Some in
+        Asc order, top_score_collector.rs test_fast_field_ascending_order)
+        and ties break by DocAddress ascending, like every collector.
+
+        Returns (rank, segment_ord, doc_id, ``value``, key).  Fully
+        declarative: the match set joins docmap segment-locally and the
+        top-k lowers to TakeOrderedAndProject (per-partition partial
+        top-k, k-row driver merge) — no global sort of the match set.
+
+        Unknown or non-fast fields fail loudly like the reference's
+        for_segment/check_schema errors (top_score_collector.rs
+        test_field_does_not_exist / test_field_wrong_type pin
+        "Field `{field}` is not a fast field.")."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if k < 1:
+            raise ValueError("limit must be strictly greater than 0")
+        if order not in ("asc", "desc"):
+            raise ValueError(f"order must be 'asc' or 'desc': {order!r}")
+        if field not in self.reader.fast_field_cols:
+            raise ValueError(f"Field `{field}` is not a fast field.")
+        query = self._as_query(q)
+        docs = self.exact.matching(query).join(
+            self.reader.docmap, ["segment_ord", "doc_id"], "inner")
+        key_sort = F.desc_nulls_last(field) if order == "desc" \
+            else F.asc_nulls_last(field)
+        sort = [key_sort, F.asc("segment_ord"), F.asc("doc_id")]
+        top = docs.orderBy(*sort).limit(k + offset)
+        w = Window.orderBy(*sort)
+        return (top.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") > offset)
+                .select("rank", "segment_ord", "doc_id",
+                        F.col(field).alias("value"), "key")
+                .orderBy("rank"))
+
+    def histogram(self, q, field: str, min_value, bucket_width,
+                  num_buckets: int) -> list:
+        """``HistogramCollector`` analogue (collector/
+        histogram_collector.rs): fixed-width bucket counts of a fast
+        field over the query's matching docs.  Returns a plain
+        ``num_buckets``-long list of counts; values below ``min_value``
+        or at/after ``min_value + num_buckets*bucket_width`` are IGNORED
+        (HistogramComputer::add_value drops out-of-range values), and
+        empty match sets yield all-zero counts (its test_no_segments).
+
+        For timestamp fields pass a datetime ``min_value`` and a
+        ``bucket_width`` of either a ``timedelta`` or an integer number
+        of NANOSECONDS (the reference's date unit in its
+        test_histogram_dates).
+
+        One groupBy over at most ``num_buckets`` keys — the per-segment
+        partial histograms merge map-side, the same add_vecs shape the
+        reference uses."""
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        if field not in self.reader.fast_field_cols:
+            raise ValueError(f"Field `{field}` is not a fast field.")
+        docs = self.exact.matching(self._as_query(q)).join(
+            self.reader.docmap, ["segment_ord", "doc_id"], "inner")
+        val = F.col(field)
+        if isinstance(min_value, _dt.datetime):
+            val = F.unix_micros(val)
+            lo = F.unix_micros(F.lit(min_value))
+            if isinstance(bucket_width, _dt.timedelta):
+                width = int(bucket_width / _dt.timedelta(microseconds=1))
+            else:                       # integer nanoseconds, ref unit
+                width = int(bucket_width) // 1000
+        else:
+            lo, width = F.lit(min_value), bucket_width
+        bucket = F.floor((val - lo) / F.lit(width))
+        rows = (docs.select(bucket.alias("b"))
+                .filter((F.col("b") >= 0) & (F.col("b") < num_buckets))
+                .groupBy("b").count().collect())
+        out = [0] * num_buckets
+        for r in rows:
+            out[int(r["b"])] = int(r["count"])
+        return out
 
     def aggregate(self, q, request: dict, max_buckets: int | None = None,
                   nested: bool = False):

@@ -14,7 +14,8 @@ from tantivy_spark.analyzer import (
 
 
 def _one(spark, col, text):
-    return spark.createDataFrame([(text,)], ["t"]).select(col.alias("o")).collect()[0]["o"]
+    return spark.createDataFrame([(text,)], "t STRING") \
+        .select(col.alias("o")).collect()[0]["o"]
 
 
 def test_raw(spark):
@@ -219,9 +220,13 @@ def test_facet_tokenizer(spark):
     from tantivy_spark.analyzer import facet_tokens
     got = list(_one(spark, facet_tokens(F.col("t")),
                     "/america/north_america/canada"))
-    assert got == ["/america", "/america/north_america",
+    # the ROOT facet leads (facet_tokenizer.rs test_facet_tokenizer pins
+    # ["/", "/top", "/top/a", "/top/a/b"] for /top/a/b)
+    assert got == ["/", "/america", "/america/north_america",
                    "/america/north_america/canada"]
-    assert list(_one(spark, facet_tokens(F.col("t")), "")) == []
+    # explicit root facet == the reference's Facet::root() -> ["/"]
+    assert list(_one(spark, facet_tokens(F.col("t")), "")) == ["/"]
+    assert list(_one(spark, facet_tokens(F.col("t")), None)) == []
 
 
 def test_split_compound_words(spark):
