@@ -71,15 +71,12 @@ class FacetCounts:
         return kids[:k]
 
 
-def search_facets(searcher, q, collector: FacetCollector) -> FacetCounts:
-    """Run ``collector`` over the docs matching ``q`` — the analogue of
-    ``searcher.search(&query, &facet_collector)``.
-
-    ``searcher`` is an ExactSearcher (or anything exposing ``matching``
-    and a ``reader``).  The per-root child terms are matched with ONE
-    codegen'd regex filter on the postings scan; counts come from the
-    match-set semi-join, so a query-restricted facet drill-down costs
-    the same shape as a TermSetQuery."""
+def facet_counts_df(searcher, q, collector: FacetCollector):
+    """Distributed form of the collector: a DataFrame of
+    ``(facet STRING, cnt BIGINT)`` — one row per direct child of every
+    requested root that has at least one matching doc.  ``search_facets``
+    collects this; keep using the DataFrame directly when the counts
+    feed further relational work (the 100 TB path)."""
     from tantivy_spark.index.build import FIELD_SEP, FIELDNORM_SENTINEL
     from tantivy_spark.query import ast
 
@@ -91,7 +88,7 @@ def search_facets(searcher, q, collector: FacetCollector) -> FacetCounts:
     alts = "|".join(
         re.escape(pref) + re.escape(root) + "/[^/]+" for root in collector.roots)
     if not alts:
-        return FacetCounts([])
+        return None
     term_cond = (~F.col("term").startswith(FIELDNORM_SENTINEL)
                  & F.col("term").rlike(f"^(?:{alts})$"))
 
@@ -105,7 +102,23 @@ def search_facets(searcher, q, collector: FacetCollector) -> FacetCounts:
     if matched is not None:
         hits = hits.join(matched.select("segment_ord", "doc_id"),
                          ["segment_ord", "doc_id"], "left_semi")
-    counts = (hits.select("term", "segment_ord", "doc_id").distinct()
-              .groupBy("term").count().collect())
-    strip = len(pref)
-    return FacetCounts([(r["term"][strip:], int(r["count"])) for r in counts])
+    strip = len(pref) + 1
+    return (hits.distinct().groupBy("term")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .select(F.substring("term", strip, 2 ** 30).alias("facet"),
+                    "cnt"))
+
+
+def search_facets(searcher, q, collector: FacetCollector) -> FacetCounts:
+    """Run ``collector`` over the docs matching ``q`` — the analogue of
+    ``searcher.search(&query, &facet_collector)``.
+
+    ``searcher`` is an ExactSearcher (or anything exposing ``matching``
+    and a ``reader``).  The per-root child terms are matched with ONE
+    codegen'd regex filter on the postings scan; counts come from the
+    match-set semi-join, so a query-restricted facet drill-down costs
+    the same shape as a TermSetQuery."""
+    df = facet_counts_df(searcher, q, collector)
+    if df is None:
+        return FacetCounts([])
+    return FacetCounts([(r["facet"], int(r["cnt"])) for r in df.collect()])

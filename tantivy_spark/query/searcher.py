@@ -186,24 +186,19 @@ class Searcher:
                         F.col(field).alias("value"), "key")
                 .orderBy("rank"))
 
-    def histogram(self, q, field: str, min_value, bucket_width,
-                  num_buckets: int) -> list:
-        """``HistogramCollector`` analogue (collector/
-        histogram_collector.rs): fixed-width bucket counts of a fast
-        field over the query's matching docs.  Returns a plain
-        ``num_buckets``-long list of counts; values below ``min_value``
-        or at/after ``min_value + num_buckets*bucket_width`` are IGNORED
-        (HistogramComputer::add_value drops out-of-range values), and
-        empty match sets yield all-zero counts (its test_no_segments).
-
-        For timestamp fields pass a datetime ``min_value`` and a
-        ``bucket_width`` of either a ``timedelta`` or an integer number
-        of NANOSECONDS (the reference's date unit in its
-        test_histogram_dates).
+    def histogram_df(self, q, field: str, min_value, bucket_width,
+                     num_buckets: int):
+        """``HistogramCollector`` as a DataFrame: ``(bucket BIGINT,
+        cnt BIGINT)``, exactly ``num_buckets`` rows, zero-filled — the
+        distributed form ``histogram`` collects.  Values below
+        ``min_value`` or at/after ``min_value + num_buckets *
+        bucket_width`` are IGNORED (HistogramComputer::add_value drops
+        out-of-range values).
 
         One groupBy over at most ``num_buckets`` keys — the per-segment
         partial histograms merge map-side, the same add_vecs shape the
-        reference uses."""
+        reference uses; the zero fill is a broadcast join against a
+        ``spark.range(num_buckets)`` frame."""
         import datetime as _dt
 
         from pyspark.sql import functions as F
@@ -223,12 +218,34 @@ class Searcher:
         else:
             lo, width = F.lit(min_value), bucket_width
         bucket = F.floor((val - lo) / F.lit(width))
-        rows = (docs.select(bucket.alias("b"))
-                .filter((F.col("b") >= 0) & (F.col("b") < num_buckets))
-                .groupBy("b").count().collect())
+        counts = (docs.select(bucket.alias("bucket"))
+                  .filter((F.col("bucket") >= 0)
+                          & (F.col("bucket") < num_buckets))
+                  .groupBy("bucket").count())
+        spark = self.reader.docmap.sparkSession
+        grid = spark.range(num_buckets).select(F.col("id").alias("bucket"))
+        return (grid.join(counts, "bucket", "left")
+                .select("bucket",
+                        F.coalesce("count", F.lit(0)).cast("bigint")
+                        .alias("cnt")))
+
+    def histogram(self, q, field: str, min_value, bucket_width,
+                  num_buckets: int) -> list:
+        """``HistogramCollector`` analogue (collector/
+        histogram_collector.rs): fixed-width bucket counts of a fast
+        field over the query's matching docs as a plain
+        ``num_buckets``-long list; empty match sets yield all-zero
+        counts (its test_no_segments).
+
+        For timestamp fields pass a datetime ``min_value`` and a
+        ``bucket_width`` of either a ``timedelta`` or an integer number
+        of NANOSECONDS (the reference's date unit in its
+        test_histogram_dates)."""
+        rows = self.histogram_df(q, field, min_value, bucket_width,
+                                 num_buckets).collect()
         out = [0] * num_buckets
         for r in rows:
-            out[int(r["b"])] = int(r["count"])
+            out[int(r["bucket"])] = int(r["cnt"])
         return out
 
     def aggregate(self, q, request: dict, max_buckets: int | None = None,
