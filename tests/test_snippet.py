@@ -148,3 +148,140 @@ def test_snippet_oracle_matches_kernel():
     assert len(got) == len(rows)
     for _, r in got.iterrows():
         assert r["snippet"] == want[r["doc_id"]], r["doc_id"]
+
+
+# ------------------------------------------------------------------
+# collapse_overlapped_ranges ports (snippet/mod.rs tests at :828-908)
+
+def test_collapse_overlapped_ranges():
+    from tantivy_spark.query.snippet import collapse_overlapped_ranges as c
+    assert c([(0, 1), (2, 3)]) == [(0, 1), (2, 3)]
+    assert c([(0, 1), (1, 2)]) == [(0, 1), (1, 2)]   # adjacent NOT merged
+    assert c([(0, 2), (1, 2)]) == [(0, 2)]
+    assert c([(0, 2), (1, 3)]) == [(0, 3)]
+    assert c([(0, 3), (1, 2)]) == [(0, 3)]
+
+
+def test_collapse_families():
+    """ref test_no_overlap / _adjacent / _overlapping / _contained /
+    _duplicate / _unsorted / _complex / _empty / _single / _zero_length"""
+    from tantivy_spark.query.snippet import collapse_overlapped_ranges as c
+    assert c([(0, 1), (2, 3), (4, 5)]) == [(0, 1), (2, 3), (4, 5)]
+    assert c([(0, 1), (1, 2), (2, 3)]) == [(0, 1), (1, 2), (2, 3)]
+    assert c([(0, 2), (1, 3), (2, 4)]) == [(0, 4)]
+    assert c([(0, 5), (1, 2), (3, 4)]) == [(0, 5)]
+    assert c([(0, 2), (2, 4), (0, 2), (2, 4)]) == [(0, 2), (2, 4)]
+    assert c([(2, 4), (0, 2), (1, 3)]) == [(0, 4)]
+    assert c([(0, 2), (5, 7), (1, 3), (8, 9), (2, 4), (3, 6), (8, 10)]) \
+        == [(0, 7), (8, 10)]
+    assert c([]) == []
+    assert c([(0, 5)]) == [(0, 5)]
+    assert c([(0, 0), (1, 1), (2, 2), (3, 3)]) == \
+        [(0, 0), (1, 1), (2, 2), (3, 3)]
+
+
+def test_snippet_with_no_terms():
+    """ref test_snippet_with_no_terms: empty Snippet surface."""
+    from tantivy_spark.query.snippet import (
+        Snippet, search_fragments, select_best_fragment_combination)
+    frags = search_fragments("a b c d", {}, 3)
+    assert frags == []
+    snip = select_best_fragment_combination(frags, "a b c d")
+    assert snip.fragment == ""
+    assert snip.to_html() == ""
+    assert snip.is_empty()
+    assert isinstance(snip, Snippet)
+
+
+def test_snippet_with_overlapped_highlighted_ranges():
+    """ref test_snippet_with_overlapped_highlighted_ranges: 2-gram
+    tokens over "abc" highlight the overlap as ONE <b> span."""
+    from tantivy_spark.query.snippet import (
+        ngram_tokens, search_fragments, select_best_fragment_combination)
+    text = "abc"
+    terms = {"ab": 0.9, "bc": 1.0}
+    frags = search_fragments(text, terms, 3,
+                             tokens=ngram_tokens(text, 2, 2))
+    assert len(frags) == 1
+    score, start, stop, _hl = frags[0]
+    assert abs(score - 1.9) < 1e-9
+    assert (start, stop) == (0, 3)
+    snip = select_best_fragment_combination(frags, text)
+    assert snip.fragment == "abc"
+    assert snip.to_html() == "<b>abc</b>"
+
+
+def test_snippet_custom_highlighted_elements():
+    """ref test_snippet_generator_custom_highlighted_elements."""
+    from tantivy_spark.query.snippet import (
+        search_fragments, select_best_fragment_combination)
+    terms = {"rust": 1.0, "language": 0.9}
+    frags = search_fragments(TEST_TEXT, terms, 100)
+    snip = select_best_fragment_combination(frags, TEST_TEXT)
+    assert snip.to_html() == (
+        '<b>Rust</b> is a systems programming <b>language</b> sponsored '
+        'by\nMozilla which describes it as a &quot;safe')
+    snip.set_snippet_prefix_postfix('<q class="super">', "</q>")
+    assert snip.to_html() == (
+        '<q class="super">Rust</q> is a systems programming '
+        '<q class="super">language</q> sponsored by\nMozilla which '
+        'describes it as a &quot;safe')
+
+
+def test_snippet_generator_term_score(spark, tmp_path):
+    """ref test_snippet_generator_term_score: scores are 1/(1+df) and
+    df=0 terms drop."""
+    from tantivy_spark.index.build import IndexConfig, build_index
+    from tantivy_spark.index.reader import IndexReader
+    from tantivy_spark.query import BooleanQuery, Occur, TermQuery
+    from tantivy_spark.query.exact import ExactSearcher
+    from tantivy_spark.query.snippet import SnippetGenerator
+
+    df = spark.createDataFrame(
+        [("0", "a"), ("1", "a"), ("2", "a b")], "key STRING, text STRING")
+    out = str(tmp_path / "sg")
+    build_index(spark, df, out, IndexConfig(
+        key_col="key", text_col="text", n_segments=1, segment_expr="0"),
+        resume=False)
+    s = ExactSearcher(IndexReader(spark, out))
+
+    def bool_of(*terms):
+        return BooleanQuery([(Occur.SHOULD, TermQuery(t)) for t in terms])
+
+    gen = SnippetGenerator.create(s, TermQuery("e"))
+    assert gen.terms_text == {}
+    gen = SnippetGenerator.create(s, TermQuery("a"))
+    assert gen.terms_text == {"a": 0.25}
+    gen = SnippetGenerator.create(s, bool_of("a", "b"))
+    assert gen.terms_text == {"a": 0.25, "b": 0.5}
+    gen = SnippetGenerator.create(s, bool_of("a", "b", "c"))
+    assert gen.terms_text == {"a": 0.25, "b": 0.5}
+    assert gen.max_num_chars == 150          # reference default
+
+
+def test_snippet_generator_stemmed():
+    """ref test_snippet_generator (en_stem): stemmed query terms
+    highlight surface forms at original offsets."""
+    from tantivy_spark.query.snippet import SnippetGenerator
+
+    gen = SnippetGenerator(
+        {"rust": 1.0 / 2.0, "design": 1.0 / 2.0}, chain="en_stem")
+    snip = gen.snippet(TEST_TEXT)
+    assert snip.to_html() == (
+        "imperative-procedural paradigms. <b>Rust</b> is syntactically "
+        "similar to C++[according to whom?],\nbut its <b>designers</b> "
+        "intend it to provide better memory safety")
+    gen.set_max_num_chars(90)
+    snip = gen.snippet(TEST_TEXT)
+    assert snip.to_html() == (
+        "<b>Rust</b> is syntactically similar to C++[according to "
+        "whom?],\nbut its <b>designers</b> intend it to")
+
+
+def test_snippet_from_doc():
+    """snippet_from_doc concatenates the field's string values."""
+    from tantivy_spark.query.snippet import SnippetGenerator
+    gen = SnippetGenerator({"needle": 1.0})
+    snip = gen.snippet_from_doc({"text": ["pre", "a needle here"]},
+                                field="text")
+    assert snip.to_html() == "pre a <b>needle</b> here"
