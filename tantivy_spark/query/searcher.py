@@ -186,6 +186,58 @@ class Searcher:
                         F.col(field).alias("value"), "key")
                 .orderBy("rank"))
 
+    def search_order_by_keys(self, q, keys, k: int = 10,
+                             offset: int = 0) -> DataFrame:
+        """Sort-key-tuple collector (ref: collector/sort_key/ —
+        ``TopDocs::order_by`` over a SortKeyComputer stack): top-k of
+        the query's matches by a lexicographic tuple of keys, each an
+        ``(name, order)`` pair where ``name`` is ``"score"``
+        (SortBySimilarityScore — the BM25 score, Asc or Desc) or an
+        indexed fast-field name (SortByString / SortByStaticFastValue /
+        SortByErasedType — the column keeps its parquet type).
+
+        Missing fast-field values sort LAST under BOTH orders (the
+        reference's comparators place None after every Some in Asc and
+        Desc alike — sort_key/mod.rs test_order_by_string pins None
+        last both ways) and ties break by DocAddress ascending.
+
+        Returns (rank, segment_ord, doc_id, <one column per key>, key);
+        the ``"score"`` key surfaces as a ``score`` column.  Same
+        TakeOrderedAndProject shape as ``search_order_by`` — no global
+        sort of the match set."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if k < 1:
+            raise ValueError("limit must be strictly greater than 0")
+        if not keys:
+            raise ValueError("at least one sort key is required")
+        sort, cols = [], []
+        for name, order in keys:
+            if order not in ("asc", "desc"):
+                raise ValueError(
+                    f"order must be 'asc' or 'desc': {order!r}")
+            if name == "score":
+                sort.append(F.asc("score") if order == "asc"
+                            else F.desc("score"))
+                cols.append("score")
+            else:
+                if name not in self.reader.fast_field_cols:
+                    raise ValueError(
+                        f"Field `{name}` is not a fast field.")
+                sort.append(F.asc_nulls_last(name) if order == "asc"
+                            else F.desc_nulls_last(name))
+                cols.append(name)
+        sort += [F.asc("segment_ord"), F.asc("doc_id")]
+        docs = self.exact.matching(self._as_query(q)).join(
+            self.reader.docmap, ["segment_ord", "doc_id"], "inner")
+        top = docs.orderBy(*sort).limit(k + offset)
+        w = Window.orderBy(*sort)
+        return (top.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") > offset)
+                .select("rank", "segment_ord", "doc_id", *cols, "key")
+                .orderBy("rank"))
+
     def histogram_df(self, q, field: str, min_value, bucket_width,
                      num_buckets: int):
         """``HistogramCollector`` as a DataFrame: ``(bucket BIGINT,

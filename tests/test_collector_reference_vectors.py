@@ -418,3 +418,104 @@ def test_histogram_dates(spark, tmp_path):
     got = s.histogram(ast.AllQuery(), "d",
                       datetime(1980, 1, 1, tzinfo=timezone.utc), week, 10)
     assert got == [0, 0, 1, 1, 0, 0, 1, 0, 0, 0]
+
+
+# ------------------------------------------------ sort_key module ports
+# (/root/reference/src/collector/sort_key/mod.rs make_index: 3 segments,
+# city TEXT|FAST, catchphrase TEXT, altitude FAST f64, id FAST u64)
+
+@pytest.fixture(scope="module")
+def city_searcher(spark, tmp_path_factory):
+    from tantivy_spark.index.build import IndexConfig, build_index
+    from tantivy_spark.index.reader import IndexReader
+
+    rows = [("0", 0, 0, "austin", "Hills, Barbeque, Glow", 149.0),
+            ("1", 1, 0, "greenville", "Grow, Glow, Glow", 27.0),
+            ("2", 2, 1, "tokyo", "Glow, Glow, Glow", 40.0),
+            ("3", 3, 2, None, "No, No, No", 0.0)]
+    df = spark.createDataFrame(
+        rows, "key STRING, id LONG, seg INT, city STRING, "
+              "catchphrase STRING, altitude DOUBLE")
+    out = str(tmp_path_factory.mktemp("sortkey") / "idx")
+    build_index(spark, df, out, IndexConfig(
+        key_col="key", n_segments=3, segment_expr="seg",
+        field_cols={"city": "city", "catchphrase": "catchphrase"},
+        fast_field_cols=["id", "city", "altitude"]), resume=False)
+    return Searcher(IndexReader(spark, out))
+
+
+def _keys_ids(s, q, keys, k, offset=0, val=None):
+    rows = s.search_order_by_keys(q, keys, k=k, offset=offset).collect()
+    if val is None:
+        return [int(r["key"]) for r in rows]
+    return [(r[val], int(r["key"])) for r in rows]
+
+
+def test_order_by_string_sortkey(city_searcher):
+    # test_order_by_string: asc/desc over doc ranges; None LAST both ways
+    q = ast.AllQuery()
+    assert _keys_ids(city_searcher, q, [("city", "asc")], 4, val="city") \
+        == [("austin", 0), ("greenville", 1), ("tokyo", 2), (None, 3)]
+    assert _keys_ids(city_searcher, q, [("city", "asc")], 3, val="city") \
+        == [("austin", 0), ("greenville", 1), ("tokyo", 2)]
+    assert _keys_ids(city_searcher, q, [("city", "asc")], 2, val="city") \
+        == [("austin", 0), ("greenville", 1)]
+    assert _keys_ids(city_searcher, q, [("city", "asc")], 1, val="city") \
+        == [("austin", 0)]
+    # doc_range 1..3 == offset 1, k 2
+    assert _keys_ids(city_searcher, q, [("city", "asc")], 2, offset=1,
+                     val="city") == [("greenville", 1), ("tokyo", 2)]
+    assert _keys_ids(city_searcher, q, [("city", "desc")], 4, val="city") \
+        == [("tokyo", 2), ("greenville", 1), ("austin", 0), (None, 3)]
+    assert _keys_ids(city_searcher, q, [("city", "desc")], 2, offset=1,
+                     val="city") == [("greenville", 1), ("austin", 0)]
+    assert _keys_ids(city_searcher, q, [("city", "desc")], 1, val="city") \
+        == [("tokyo", 2)]
+
+
+def test_order_by_f64_sortkey(city_searcher):
+    # test_order_by_f64: limit 3 over altitude
+    q = ast.AllQuery()
+    assert _keys_ids(city_searcher, q, [("altitude", "asc")], 3,
+                     val="altitude") == [(0.0, 3), (27.0, 1), (40.0, 2)]
+    assert _keys_ids(city_searcher, q, [("altitude", "desc")], 3,
+                     val="altitude") == [(149.0, 0), (40.0, 2), (27.0, 1)]
+
+
+def test_order_by_score_sortkey(city_searcher):
+    # test_order_by_score: pinned multi-segment BM25 scores for "glow"
+    q = ast.TermQuery("glow", field="catchphrase")
+    want = [(0.5604893, 2), (0.4904281, 1), (0.35667497, 0)]
+    got = _keys_ids(city_searcher, q, [("score", "desc")], 4, val="score")
+    assert [d for _, d in got] == [d for _, d in want]
+    for (gs, _), (ws, _) in zip(got, want):
+        assert abs(gs - ws) <= 1e-5 * abs(ws)
+    got = _keys_ids(city_searcher, q, [("score", "asc")], 4, val="score")
+    assert [d for _, d in got] == [0, 1, 2]
+
+
+def test_order_by_score_then_string(city_searcher):
+    # test_order_by_score_then_string / _then_owned_value: AllQuery
+    # scores are all 1.0, city breaks the tie; None last either way
+    q = ast.AllQuery()
+    rows = city_searcher.search_order_by_keys(
+        q, [("score", "asc"), ("city", "asc")], k=4).collect()
+    assert [(r["score"], r["city"], int(r["key"])) for r in rows] == \
+        [(1.0, "austin", 0), (1.0, "greenville", 1),
+         (1.0, "tokyo", 2), (1.0, None, 3)]
+    rows = city_searcher.search_order_by_keys(
+        q, [("score", "asc"), ("city", "desc")], k=4).collect()
+    assert [(r["city"], int(r["key"])) for r in rows] == \
+        [("tokyo", 2), ("greenville", 1), ("austin", 0), (None, 3)]
+
+
+def test_sortkey_errors(city_searcher):
+    with pytest.raises(ValueError, match="strictly greater"):
+        city_searcher.search_order_by_keys(
+            ast.AllQuery(), [("city", "asc")], k=0)
+    with pytest.raises(ValueError, match="not a fast field"):
+        city_searcher.search_order_by_keys(
+            ast.AllQuery(), [("nope", "asc")], k=1)
+    with pytest.raises(ValueError, match="asc"):
+        city_searcher.search_order_by_keys(
+            ast.AllQuery(), [("city", "sideways")], k=1)
