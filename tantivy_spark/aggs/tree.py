@@ -1024,6 +1024,51 @@ def _resolve_json_fields(df: DataFrame,
     return df, req
 
 
+def _explode_array_fields(df: DataFrame, name: str, body: dict) -> DataFrame:
+    """MULTI-VALUED fast-field aggregation (ref: the reference's
+    ``Cardinality::Multivalued`` fast-field columns — its aggregators
+    iterate ``values_for_doc`` and collect once PER VALUE OCCURRENCE,
+    so a doc holding [5, 5] adds 2 to the 5-bucket): an ``array<T>``
+    column referenced by this aggregation chain is exploded to one row
+    per value before bucketing/metrics.  ``explode_outer`` keeps
+    no-value docs as NULL rows, so ES null-drop and the ``missing``
+    substitute keep their scalar-column semantics.
+
+    Exploding happens PER TOP-LEVEL CHAIN (each chain gets its own
+    frame), so sibling aggregations over other fields never see the
+    row multiplication.  A chain referencing TWO different array
+    fields would need per-field independent value lists — a
+    cross-product explode would miscount — so that raises."""
+    from pyspark.sql.types import ArrayType
+
+    arr_cols = {f.name for f in df.schema.fields
+                if isinstance(f.dataType, ArrayType)}
+    if not arr_cols:
+        return df
+
+    used: set[str] = set()
+
+    def walk(b: dict) -> None:
+        for k, v in b.items():
+            if k == "aggs" and isinstance(v, dict):
+                for sub in v.values():
+                    walk(sub)
+            elif isinstance(v, dict):
+                f = v.get("field")
+                if isinstance(f, str) and f in arr_cols:
+                    used.add(f)
+
+    walk(body)
+    if not used:
+        return df
+    if len(used) > 1:
+        raise ValueError(
+            f"aggregation {name!r} references multiple multi-valued "
+            f"fields {sorted(used)}; one chain supports at most one")
+    fld = used.pop()
+    return df.withColumn(fld, F.explode_outer(F.col(f"`{fld}`")))
+
+
 def run_agg_tree(df: DataFrame, request: dict,
                  max_buckets: int = DEFAULT_BUCKET_LIMIT,
                  nested: bool = False) -> dict[str, DataFrame]:
@@ -1043,10 +1088,11 @@ def run_agg_tree(df: DataFrame, request: dict,
     tiny broadcast join each), which ``to_es_json(..., request=...)``
     folds into the fully nested ES response shape."""
     _validate_budget(request, max_buckets)
-    df, request = _resolve_json_fields(df, request)
-    _validate_fields(df, request)
+    base_df, request = _resolve_json_fields(df, request)
     out: dict[str, DataFrame] = {}
     for name, body in request.items():
+        df = _explode_array_fields(base_df, name, body)
+        _validate_fields(df, {name: body})
         kinds = [k for k in body if k in BUCKET_KINDS + METRIC_KINDS + ("top_hits",)]
         if not kinds:
             raise ValueError(f"no recognized agg in {name}")

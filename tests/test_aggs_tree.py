@@ -808,3 +808,63 @@ def test_keyed_range_and_histogram_buckets(spark, events):
     assert isinstance(hb, dict) and "0" in hb
     assert hb["0"]["key"] == 0.0
     assert sum(b["doc_count"] for b in hb.values()) == events.count()
+
+
+# ------------------------------------------------ multi-valued fields
+# (the reference's Cardinality::Multivalued fast-field columns: every
+# aggregator iterates values_for_doc and collects once PER VALUE
+# OCCURRENCE — get_test_index_2_segments' scores_i64 holds [1,2]/[5,5])
+
+@pytest.fixture(scope="module")
+def mv_frame(spark):
+    return spark.createDataFrame(
+        [(1, [1, 2], 10.0), (2, [5, 5], 20.0), (3, None, 30.0)],
+        "doc_id LONG, scores ARRAY<LONG>, w DOUBLE")
+
+
+def test_multivalue_terms_per_occurrence(spark, mv_frame):
+    out = run_agg_tree(mv_frame, {"t": {"terms": {"field": "scores"}}})
+    rows = {int(r["key"]): int(r["doc_count"])
+            for r in out["t"].collect()}
+    # [5,5] counts TWICE; the no-values doc drops (null semantics)
+    assert rows == {1: 1, 2: 1, 5: 2}
+
+
+def test_multivalue_metric_each_value(spark, mv_frame):
+    out = run_agg_tree(mv_frame, {"a": {"avg": {"field": "scores"}}})
+    got = out["a"].collect()[0][0]
+    assert abs(got - (1 + 2 + 5 + 5) / 4) < 1e-12
+
+
+def test_multivalue_missing_substitute(spark, mv_frame):
+    out = run_agg_tree(
+        mv_frame, {"t": {"terms": {"field": "scores", "missing": 0}}})
+    rows = {int(r["key"]): int(r["doc_count"])
+            for r in out["t"].collect()}
+    assert rows == {0: 1, 1: 1, 2: 1, 5: 2}
+
+
+def test_multivalue_sibling_unaffected(spark, mv_frame):
+    """A sibling agg over a scalar field must NOT see the explosion."""
+    out = run_agg_tree(mv_frame, {
+        "t": {"terms": {"field": "scores"}},
+        "s": {"sum": {"field": "w"}}})
+    assert out["s"].collect()[0][0] == 60.0
+
+
+def test_multivalue_bucket_with_scalar_submetric(spark, mv_frame):
+    """Sub-metrics collect once per parent value occurrence, like the
+    reference's per-occurrence sub-agg collect."""
+    out = run_agg_tree(mv_frame, {
+        "t": {"terms": {"field": "scores"},
+              "aggs": {"m": {"sum": {"field": "w"}}}}})
+    rows = {int(r["key"]): float(r["m.value"]) for r in out["t"].collect()}
+    assert rows == {1: 10.0, 2: 10.0, 5: 40.0}   # [5,5] adds w twice
+
+
+def test_multivalue_two_arrays_raise(spark):
+    df = spark.createDataFrame(
+        [(1, [1], [2])], "doc_id LONG, a ARRAY<LONG>, b ARRAY<LONG>")
+    with pytest.raises(ValueError, match="multi-valued"):
+        run_agg_tree(df, {"t": {"terms": {"field": "a"},
+                                "aggs": {"m": {"avg": {"field": "b"}}}}})
