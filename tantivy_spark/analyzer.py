@@ -345,7 +345,25 @@ def json_path_tokens_col(json_str: Column) -> Column:
     )
 
 
-def json_typed_tokens(json_str: Column) -> Column:
+def json_key_segment(key: str, expand_dots: bool = False) -> str:
+    """Canonical path-segment form of one JSON object key (ref:
+    src/schema/json_object_options.rs — ``set_expand_dots_enabled``).
+    The reference separates path segments with a \\x01 byte, so a key
+    holding a LITERAL dot ("attr.age") stays distinct from real nesting
+    with no escaping; this repo's terms are plain dot-joined strings, so
+    with expansion DISABLED (the reference default) literal dots inside
+    a key escape as ``\\.`` (and backslashes as ``\\\\``) — the same
+    escaped form the query grammar already uses to address them
+    (fastfield/mod.rs:1088 test_fast_field_in_json_field_expand_dots_
+    disabled).  With expansion ENABLED the dotted key is treated AS IF
+    it were nested json — "attr.age" and {"attr":{"age":..}} unify
+    (fastfield/mod.rs:1139 ..._expand_dots_enabled)."""
+    if expand_dots:
+        return key
+    return key.replace("\\", "\\\\").replace(".", "\\.")
+
+
+def json_typed_tokens(json_str: Column, expand_dots: bool = False) -> Column:
     """TYPED arbitrary-depth JsonObject indexing (ref:
     src/schema/term.rs:72-80 — JSON terms carry the path prefix AND a
     value type tag): string leaves TOKENIZE with the default text
@@ -357,7 +375,11 @@ def json_typed_tokens(json_str: Column) -> Column:
     as ``path#n=<order-preserving hex16>`` and bools as
     ``path#b=true|false`` (tantivy_spark.functions.jsonterm), so
     numeric RANGE queries lower to ordinary TermRangeQuery dictionary
-    walks.  Arrow-batched pandas UDF."""
+    walks.  Arrow-batched pandas UDF.
+
+    ``expand_dots`` mirrors JsonObjectOptions::set_expand_dots_enabled:
+    disabled (default) keeps literal-dot keys distinct via ``\\.``
+    escapes; enabled folds them into the nested-path namespace."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
@@ -374,6 +396,7 @@ def json_typed_tokens(json_str: Column) -> Column:
             out = []
             if isinstance(obj, dict):
                 for k, v in obj.items():
+                    k = json_key_segment(k, expand_dots)
                     p = f"{prefix}.{k}" if prefix else k
                     out.extend(flatten(v, p))
             elif isinstance(obj, list):
@@ -443,12 +466,13 @@ def _stem_chain(stem_import: str):
     return chain
 
 
-def json_path_tokens_deep(json_str: Column) -> Column:
+def json_path_tokens_deep(json_str: Column, expand_dots: bool = False) -> Column:
     """Arbitrary-depth JsonObject indexing (ref: src/schema/term.rs:72-80
     — JSON terms carry the full path prefix): nested objects flatten to
     dotted-path ``a.b.c=value`` terms; arrays index each element under the
     same path.  Arrow-batched pandas UDF (JSON recursion is not
-    expressible as a static Catalyst schema)."""
+    expressible as a static Catalyst schema).  ``expand_dots`` as in
+    :func:`json_typed_tokens`."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
@@ -459,6 +483,7 @@ def json_path_tokens_deep(json_str: Column) -> Column:
             out = []
             if isinstance(obj, dict):
                 for k, v in obj.items():
+                    k = json_key_segment(k, expand_dots)
                     p = f"{prefix}.{k}" if prefix else k
                     out.extend(flatten(v, p))
             elif isinstance(obj, list):
@@ -593,6 +618,10 @@ ANALYZERS = {
     "el_stem": el_stem_tokens_col,
     "ta_stem": ta_stem_tokens_col,
     "json_typed": json_typed_tokens,
+    # JsonObjectOptions::set_expand_dots_enabled variant: literal-dot
+    # keys fold into the nested-path namespace (fastfield/mod.rs:1139)
+    "json_typed_expand_dots":
+        lambda c: json_typed_tokens(c, expand_dots=True),
     "facet": facet_tokens,
 }
 

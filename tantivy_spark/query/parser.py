@@ -157,6 +157,21 @@ def _unescape(s: str) -> str:
     return re.sub(r"\\(.)", r"\1", s)
 
 
+def _canon_json_path(tail_ph: str) -> str:
+    """Canonical json-path form for a field tail whose ESCAPED dots were
+    placeholdered as ``\\x00``: segment-separator dots stay bare, dots
+    that belong INSIDE a key render as ``\\.`` and literal backslashes
+    as ``\\\\`` — exactly the form the index side writes for dotted keys
+    when expand_dots is disabled (analyzer.json_key_segment; ref
+    fastfield/mod.rs:1088)."""
+    chunks = []
+    for chunk in tail_ph.split("\x00"):
+        segs = [_unescape(p).replace("\\", "\\\\").replace(".", "\\.")
+                for p in chunk.split(".")]
+        chunks.append(".".join(segs))
+    return "\\.".join(chunks)
+
+
 def _all_negative(q: ast.Query) -> bool:
     """True when every path of the tree is under a MUST_NOT — the
     reference's all_negative check (query_parser.rs:221-229)."""
@@ -173,7 +188,8 @@ class QueryParser:
                  fields: list[str] | None = None,
                  default_field: str = "text",
                  field_types: dict[str, str] | None = None,
-                 field_analyzers: dict[str, str] | None = None):
+                 field_analyzers: dict[str, str] | None = None,
+                 expand_dots_fields: list[str] | None = None):
         """``fields``: the known field names; ``field:term`` prefixes are
         validated against it (unknown field -> error, the reference's
         FieldDoesNotExist).
@@ -187,7 +203,15 @@ class QueryParser:
         ``field_analyzers``: per-field analyzer chain names (from
         analyzer.ANALYZERS) for fields indexed with a non-default chain —
         literals against such fields analyze with the SAME chain
-        (query_parser.rs:336-412 resolves per-field analyzers)."""
+        (query_parser.rs:336-412 resolves per-field analyzers).
+
+        ``expand_dots_fields``: json fields indexed with
+        JsonObjectOptions::set_expand_dots_enabled — an ESCAPED dot in
+        a path under such a field unifies with real nesting (both
+        ``json.attr.age`` and ``json.attr\\.age`` address the same
+        terms, fastfield/mod.rs:1139); for every other json field the
+        escape stays a literal-dot key marker (the reference default,
+        fastfield/mod.rs:1088)."""
         from tantivy_spark.analyzer import py_analyze_fn
 
         self.default_occur = default_occur
@@ -198,6 +222,7 @@ class QueryParser:
         self.fields = set(fields) if fields is not None else None
         if self.fields is not None:
             self.fields |= set(self.field_types) | set(self._field_fns)
+        self.expand_dots_fields = set(expand_dots_fields or ())
 
     def parse(self, q: str) -> ast.Query:
         toks = _lex(q)
@@ -435,7 +460,16 @@ class QueryParser:
         for cut in range(len(parts) - 1, 0, -1):
             head = _unescape(".".join(parts[:cut]).replace("\x00", "."))
             if head in self.fields:
-                path = _unescape(".".join(parts[cut:]).replace("\x00", "."))
+                tail = ".".join(parts[cut:])
+                if head in self.expand_dots_fields:
+                    # expand_dots: escaped dots unify with real nesting
+                    # (fastfield/mod.rs:1139) — strip the distinction
+                    path = _unescape(tail.replace("\x00", "."))
+                else:
+                    # reference default: the escaped dot marks a
+                    # literal-dot KEY; keep the canonical ``\\.`` form
+                    # the index side writes (analyzer.json_key_segment)
+                    path = _canon_json_path(tail)
                 return head, path
         raise QueryParserError(f"field does not exist: {full!r}")
 
