@@ -112,6 +112,17 @@ class IndexConfig:
     #: queries and aggregations over these columns resolve directly on
     #: the docmap scan, no join back to the source table.
     fast_field_cols: list[str] | None = None
+    #: per-fast-field DATE storage precision (ref: DateOptions::
+    #: set_precision, src/schema/date_time_options.rs:92-107 — the
+    #: fast-field column stores values TRUNCATED to this precision,
+    #: purely a storage optimization; the reference's indexed/term
+    #: precision is always seconds, DATE_TIME_PRECISION_INDEXED, a
+    #: dictionary this design replaces with fast-field range scans).
+    #: {column: "seconds" | "milliseconds" | "microseconds"}.
+    #: "nanoseconds" is accepted but stores microseconds — Spark
+    #: TimestampType has no nanosecond representation (documented
+    #: platform divergence; truncation at micros is the identity).
+    date_precisions: dict[str, str] | None = None
     n_segments: int = 8
     segment_expr: str | None = None   # SQL over input cols; default pmod(xxhash64(key), n)
     with_positions: bool = True
@@ -165,6 +176,26 @@ def _field_specs(cfg: IndexConfig) -> list[tuple[str, str, str, str, str]]:
             for fld in cfg.field_cols]
 
 
+#: DateTimePrecision names -> Spark date_trunc units (DateOptions::
+#: set_precision; nanoseconds clamps to microseconds — see IndexConfig)
+_DATE_PRECISIONS = {"seconds": "second", "milliseconds": "millisecond",
+                    "microseconds": "microsecond",
+                    "nanoseconds": "microsecond"}
+
+
+def _date_truncated(col, precision: str):
+    """Truncate a timestamp fast-field column to its configured storage
+    precision (date_time_options.rs:92-107: values in the columnar are
+    stored truncated; range/agg reads observe the truncated value)."""
+    try:
+        unit = _DATE_PRECISIONS[precision]
+    except KeyError:
+        raise ValueError(
+            f"unknown date precision {precision!r}; expected one of "
+            f"{sorted(_DATE_PRECISIONS)}") from None
+    return F.date_trunc(unit, col)
+
+
 def _segmented_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     """(segment_ord, key, text-col(s)[, sortv]) with deterministic segment
     assignment."""
@@ -177,8 +208,10 @@ def _segmented_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
                  for fld, src in cfg.field_cols.items()]
     else:
         cols.append(F.col(cfg.text_col).alias("text"))
+    prec = cfg.date_precisions or {}
     for ff in cfg.fast_field_cols or ():
-        cols.append(F.col(ff))
+        cols.append(_date_truncated(F.col(ff), prec[ff]).alias(ff)
+                    if ff in prec else F.col(ff))
     spec = _sort_spec(cfg)
     if spec:
         cols.append(F.col(spec[0]).alias("sortv"))
