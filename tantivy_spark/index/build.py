@@ -123,6 +123,16 @@ class IndexConfig:
     #: TimestampType has no nanosecond representation (documented
     #: platform divergence; truncation at micros is the identity).
     date_precisions: dict[str, str] | None = None
+    #: per-fast-field STRING normalizer (ref: TextOptions::set_fast(
+    #: Some(tokenizer)) — fastfield/mod.rs:1208 test_fast_field_tokenizer:
+    #: the fast-field tokenizer NORMALIZES the stored value, so equal
+    #: normalized values dictionary-unify).  {column: "raw" | "lowercase"
+    #: | "default"}: "raw" stores the value as-is, "lowercase" stores the
+    #: whole value lowercased (the reference's raw+LowerCaser chain), and
+    #: "default" runs the full default analyzer — the column becomes
+    #: array<string>, one value per TOKEN (the reference's multivalued
+    #: text fast field; aggregations then count per occurrence).
+    fast_field_tokenizers: dict[str, str] | None = None
     n_segments: int = 8
     segment_expr: str | None = None   # SQL over input cols; default pmod(xxhash64(key), n)
     with_positions: bool = True
@@ -196,6 +206,25 @@ def _date_truncated(col, precision: str):
     return F.date_trunc(unit, col)
 
 
+def _ff_normalized(col, name: str):
+    """Normalize a string fast-field column with its configured
+    fast-field tokenizer (TextOptions::set_fast(Some(..)),
+    fastfield/mod.rs:1208-1273): "raw" = as-is, "lowercase" = the
+    reference's raw+LowerCaser chain over the WHOLE value, "default" =
+    the full default analyzer — the stored column becomes one value per
+    token (the reference's multivalued text fast field)."""
+    if name == "raw":
+        return col
+    if name == "lowercase":
+        return F.lower(col)
+    if name == "default":
+        from tantivy_spark.analyzer import tokens_col
+        return tokens_col(col)
+    raise ValueError(
+        f"unknown fast-field tokenizer {name!r}; expected one of "
+        f"['default', 'lowercase', 'raw']")
+
+
 def _segmented_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     """(segment_ord, key, text-col(s)[, sortv]) with deterministic segment
     assignment."""
@@ -209,9 +238,14 @@ def _segmented_docs(df: DataFrame, cfg: IndexConfig) -> DataFrame:
     else:
         cols.append(F.col(cfg.text_col).alias("text"))
     prec = cfg.date_precisions or {}
+    norm = cfg.fast_field_tokenizers or {}
     for ff in cfg.fast_field_cols or ():
-        cols.append(_date_truncated(F.col(ff), prec[ff]).alias(ff)
-                    if ff in prec else F.col(ff))
+        c = F.col(ff)
+        if ff in prec:
+            c = _date_truncated(c, prec[ff])
+        if ff in norm:
+            c = _ff_normalized(c, norm[ff])
+        cols.append(c.alias(ff))
     spec = _sort_spec(cfg)
     if spec:
         cols.append(F.col(spec[0]).alias("sortv"))
