@@ -585,9 +585,14 @@ def _build_index_inner(spark: SparkSession, df: DataFrame, out_dir: str,
         ffs = list(cfg.fast_field_cols or ())
         narrow = docs.select("segment_ord", "key", *ffs,
                              *(["sortv"] if spec else []))
+        # a sorted index KEEPS its sort value on the docmap (the
+        # reference requires sort_by_field to be a fast field,
+        # index_meta.rs) — the sorted MERGE path re-derives the doc-id
+        # permutation from it (merge.py)
         docmap = narrow \
             .withColumn("doc_id", (F.row_number().over(w) - 1).cast("int")) \
-            .select("segment_ord", "doc_id", "key", *ffs)
+            .select("segment_ord", "doc_id", "key", *ffs,
+                    *(["sortv"] if spec else []))
         docmap.write.mode("overwrite").option(
             "compression", cfg.compression).parquet(
             os.path.join(out_dir, "docmap"))

@@ -26,6 +26,17 @@ Skew: the rebase shuffle is keyed by (term, salt) — ``salt = xxhash(chunk)
 partitions instead of hammering one reducer.  Renumbering is
 order-deterministic regardless of salt placement, so salting never
 changes the output (asserted by tests).
+
+SORTED indexes (config.sort_col set, ref merger.rs sorted path +
+test_merge_facets_sort_asc/desc): stacking would break the sort, so the
+merge instead materializes an old->new doc-id permutation per output
+segment — (sortv, key) order, the SAME tie-break the build uses, so
+wide-build + sorted-merge reproduces a direct sorted build — and every
+term's postings re-sort globally by new doc id before re-chunking
+(_sorted_merge_kernel); fieldnorm chains scatter per doc instead of
+concatenating.  The permutation is the analogue of the reference's
+SegmentDocIdMapping and is likewise materialized (~8 bytes/doc,
+bounded per merge group).
 """
 
 from __future__ import annotations
@@ -132,6 +143,106 @@ def _rebase_kernel(offsets: dict[int, int], out_seg: dict[int, int],
                 ])
 
     return rebase
+
+
+def _sorted_merge_kernel(perms: dict[int, np.ndarray],
+                         avg_fieldnorm: float, chunk_docs: int,
+                         avg_by_field: dict[str, float] | None = None):
+    """applyInPandas kernel for SORTED-index merge (ref: merger.rs —
+    a sorted index merges by k-way-merging doc orders on the sort key,
+    not by stacking; its SegmentDocIdMapping materializes the old->new
+    doc-id permutation exactly like ``perms`` here): one invocation per
+    (term, output segment) holding every source chunk of that term.
+    Decode all, map doc ids through the permutation (-1 = deleted,
+    dropped), re-sort the whole posting list by NEW doc id, and
+    re-encode into ``chunk_docs``-bounded chunks.
+
+    Unlike the stacking kernel there is no salting: a term's postings
+    need a GLOBAL re-sort within the output segment, so a hot term is
+    one task — the same serial-per-term shape the reference merger has.
+    """
+    cache = tf_cache_f32(max(avg_fieldnorm, 1e-9))
+    field_caches = {f: tf_cache_f32(max(a, 1e-9))
+                    for f, a in (avg_by_field or {}).items()}
+
+    def cache_of(term: str):
+        if field_caches and FIELD_SEP in term:
+            return field_caches.get(term.split(FIELD_SEP, 1)[0], cache)
+        return cache
+
+    def merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["segment_ord", "chunk_id"],
+                              ignore_index=True)
+        term = pdf["term"].iloc[0]
+        g = int(pdf["out_g"].iloc[0])
+        tf_cache = cache_of(term)
+        d_parts, t_parts, f_parts, p_parts = [], [], [], []
+        has_pos = pdf["pos"].notna().any()
+        for row in pdf.itertuples(index=False):
+            seg = int(row.segment_ord)
+            meta = list(zip(row.last_docs, row.n_docs, row.bits_doc,
+                            row.bits_tf, row.wand_fn, row.wand_tf))
+            d, t = codec.decode_postings(bytes(row.docs), bytes(row.tfs),
+                                         meta)
+            fn = codec.decode_fns(bytes(row.fns))
+            pos_flat = (codec.decode_positions(bytes(row.pos), t)
+                        if row.pos is not None else None)
+            nd = perms[seg][d]
+            alive = nd >= 0
+            if not alive.all():
+                if pos_flat is not None:
+                    pos_flat = pos_flat[np.repeat(alive, t)]
+                nd, t, fn = nd[alive], t[alive], fn[alive]
+            if len(nd) == 0:
+                continue
+            d_parts.append(nd)
+            t_parts.append(t)
+            f_parts.append(fn)
+            if has_pos:
+                p_parts.append(pos_flat if pos_flat is not None
+                               else np.zeros(0, np.int64))
+        if not d_parts:
+            return pd.DataFrame(columns=[
+                "segment_ord", "term", "chunk_id", "doc_freq", "total_tf",
+                "docs", "tfs", "fns", "pos", "last_docs", "n_docs",
+                "bits_doc", "bits_tf", "wand_fn", "wand_tf"])
+        d = np.concatenate(d_parts)
+        t = np.concatenate(t_parts)
+        fn = np.concatenate(f_parts)
+        order = np.argsort(d, kind="stable")
+        d, t_new, fn = d[order], t[order], fn[order]
+        pos_new = None
+        if has_pos:
+            pos_flat = np.concatenate(p_parts)
+            # vectorized variable-length gather: posting i's position
+            # slice moves as one unit to its sorted rank
+            starts = np.concatenate(([0], np.cumsum(t)[:-1]))
+            t_ord, starts_ord = t[order], starts[order]
+            new_off = np.concatenate(([0], np.cumsum(t_ord)[:-1]))
+            gather = (starts_ord.repeat(t_ord)
+                      + (np.arange(int(t_ord.sum())) - new_off.repeat(t_ord)))
+            pos_new = pos_flat[gather]
+        t = t_new
+        pcum = np.concatenate(([0], np.cumsum(t)))
+        rows = []
+        for ci, c0 in enumerate(range(0, len(d), chunk_docs)):
+            c1 = min(c0 + chunk_docs, len(d))
+            db, tb, fb, new_meta = codec.encode_postings(
+                d[c0:c1], t[c0:c1], fn[c0:c1], tf_cache)
+            pb = (codec.encode_positions(pos_new[pcum[c0]:pcum[c1]],
+                                         t[c0:c1])
+                  if pos_new is not None else None)
+            m = list(zip(*new_meta))
+            rows.append((g, term, ci, c1 - c0, int(t[c0:c1].sum()),
+                         db, tb, fb, pb,
+                         list(m[0]), list(m[1]), list(m[2]), list(m[3]),
+                         list(m[4]), list(m[5])))
+        return pd.DataFrame(rows, columns=[
+            "segment_ord", "term", "chunk_id", "doc_freq", "total_tf",
+            "docs", "tfs", "fns", "pos", "last_docs", "n_docs",
+            "bits_doc", "bits_tf", "wand_fn", "wand_tf"])
+
+    return merge_term
 
 
 def _plan_groups(alive_docs: dict[int, int], n_target: int
@@ -257,6 +368,40 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         out_seg, offsets = _plan_groups(alive_docs, n_target_segments)
     n_out = len(set(out_seg.values())) if out_seg else 1
     total_alive = sum(alive_docs.values())
+    oseg_expr = F.create_map(
+        *[x for seg, g in out_seg.items() for x in (F.lit(seg), F.lit(g))])
+
+    # ---- SORTED-index merge (ref: merger.rs sorted path — doc ids of
+    # the merged segment follow the index sort key, not stacking).  The
+    # old->new permutation is materialized like the reference's
+    # SegmentDocIdMapping (~8 bytes/doc, bounded per merge GROUP — wide
+    # indexes merge group-by-group, so the mapping never spans the whole
+    # index at once).  Tie-break matches the build's (sortv, key) order,
+    # so wide-build + sorted-merge reproduces a direct sorted build.
+    sort_col = manifest.get("config", {}).get("sort_col") or None
+    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    if dead:
+        dels_df = spark.read.parquet(deletes_path).distinct()
+        docmap = docmap.join(F.broadcast(dels_df),
+                             ["segment_ord", "doc_id"], "left_anti")
+    perms: dict[int, np.ndarray] | None = None
+    sorted_docmap = None
+    if sort_col and "sortv" in docmap.columns:
+        first = (F.col("sortv").desc() if sort_col.startswith("desc:")
+                 else F.col("sortv").asc())
+        w_sort = Window.partitionBy("g").orderBy(first, F.col("key").asc())
+        sorted_docmap = (docmap
+                         .withColumn("g", oseg_expr[F.col("segment_ord")])
+                         .withColumn("new_id",
+                                     F.row_number().over(w_sort) - 1))
+        pdf = sorted_docmap.select("segment_ord", "doc_id",
+                                   "new_id").toPandas()
+        perms = {}
+        for seg, n in seg_docs.items():
+            arr = np.full(n, -1, dtype=np.int64)
+            sub = pdf[pdf["segment_ord"] == seg]
+            arr[sub["doc_id"].to_numpy()] = sub["new_id"].to_numpy()
+            perms[seg] = arr
 
     field_cols = manifest.get("config", {}).get("field_cols") or None
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -296,30 +441,41 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                 (int(r["t"]) / total_alive) if total_alive else 1.0
             for r in tok_rows}
 
-    # ---- per-(term, out-segment) chunk renumbering via prefix sums -------
-    oseg_expr = F.create_map(
-        *[x for seg, g in out_seg.items() for x in (F.lit(seg), F.lit(g))])
-    counts = (real.groupBy("term", "segment_ord")
-              .agg(F.count("*").alias("n_chunks"))
-              .withColumn("out_seg", oseg_expr[F.col("segment_ord")]))
-    w = (Window.partitionBy("term", "out_seg").orderBy("segment_ord")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    base = counts.withColumn(
-        "chunk_base", F.coalesce(F.sum("n_chunks").over(w), F.lit(0)))
-    rebased_input = (
-        real.join(base.select("term", "segment_ord", "chunk_base"),
-                  ["term", "segment_ord"])
-        .withColumn("new_chunk_id", F.col("chunk_base") + F.col("chunk_id"))
-        .drop("chunk_base")
-        # hot-term skew: spread a term's chunks across reducers
-        .withColumn("salt", F.pmod(F.xxhash64("term", "segment_ord", "chunk_id"),
-                                   F.lit(n_salts)))
-        .repartition("term", "salt")
-        .drop("salt")
-    )
-    merged = rebased_input.mapInPandas(
-        _rebase_kernel(offsets, out_seg, avg_fn, dead, avg_by_field),
-        schema=POSTINGS_SCHEMA)
+    if perms is not None:
+        # sorted merge: one (term, output-segment) group per task — the
+        # whole list re-sorts by NEW doc id, so no salting applies (the
+        # reference merger is equally serial per term)
+        merged = (real.withColumn("out_g", oseg_expr[F.col("segment_ord")])
+                  .groupBy("term", "out_g")
+                  .applyInPandas(
+                      _sorted_merge_kernel(perms, avg_fn, chunk_docs,
+                                           avg_by_field),
+                      schema=POSTINGS_SCHEMA))
+    else:
+        # ---- per-(term, out-segment) chunk renumbering via prefix sums ---
+        counts = (real.groupBy("term", "segment_ord")
+                  .agg(F.count("*").alias("n_chunks"))
+                  .withColumn("out_seg", oseg_expr[F.col("segment_ord")]))
+        w = (Window.partitionBy("term", "out_seg").orderBy("segment_ord")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        base = counts.withColumn(
+            "chunk_base", F.coalesce(F.sum("n_chunks").over(w), F.lit(0)))
+        rebased_input = (
+            real.join(base.select("term", "segment_ord", "chunk_base"),
+                      ["term", "segment_ord"])
+            .withColumn("new_chunk_id",
+                        F.col("chunk_base") + F.col("chunk_id"))
+            .drop("chunk_base")
+            # hot-term skew: spread a term's chunks across reducers
+            .withColumn("salt",
+                        F.pmod(F.xxhash64("term", "segment_ord", "chunk_id"),
+                               F.lit(n_salts)))
+            .repartition("term", "salt")
+            .drop("salt")
+        )
+        merged = rebased_input.mapInPandas(
+            _rebase_kernel(offsets, out_seg, avg_fn, dead, avg_by_field),
+            schema=POSTINGS_SCHEMA)
 
     # ---- merged fieldnorm sentinels: concat per-doc stats in segment
     # order within each output segment, re-chunked per CHUNK_DOCS (one
@@ -361,9 +517,52 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
             "docs", "tfs", "fns", "pos", "last_docs", "n_docs",
             "bits_doc", "bits_tf", "wand_fn", "wand_tf"])
 
+    if perms is not None:
+        # sorted merge: scatter each doc's stats to its NEW position
+        # instead of concatenating in stacking order
+        group_sizes: dict[int, int] = {}
+        for seg, g in out_seg.items():
+            group_sizes[g] = (group_sizes.get(g, 0)
+                              + int((perms[seg] >= 0).sum()))
+
+        def merge_sentinels_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+            g = out_seg[int(pdf["segment_ord"].iloc[0])]
+            sentinel_term = pdf["term"].iloc[0]
+            n_all = group_sizes[g]
+            all_counts = np.zeros(n_all, dtype=np.uint32)
+            all_fns = np.zeros(n_all, dtype=np.uint8)
+            for row in pdf.itertuples(index=False):
+                seg = int(row.segment_ord)
+                n = int(row.doc_freq)
+                base = int(row.chunk_id) * chunk_docs
+                counts = codec.vint_decode(bytes(row.docs), n)
+                fns = np.frombuffer(bytes(row.fns), dtype=np.uint8)
+                nd = perms[seg][base:base + n]
+                keep = nd >= 0
+                all_counts[nd[keep]] = counts[keep]
+                all_fns[nd[keep]] = fns[keep]
+            rows = []
+            for c0 in range(0, n_all, chunk_docs) if n_all else [0]:
+                c1 = min(c0 + chunk_docs, n_all)
+                rows.append((
+                    g, sentinel_term, c0 // chunk_docs, c1 - c0,
+                    int(all_counts[c0:c1].sum()),
+                    codec.vint_encode(all_counts[c0:c1].astype(np.uint32)),
+                    b"", all_fns[c0:c1].tobytes(), None,
+                    [], [], [], [], [], [],
+                ))
+            return pd.DataFrame(rows, columns=[
+                "segment_ord", "term", "chunk_id", "doc_freq", "total_tf",
+                "docs", "tfs", "fns", "pos", "last_docs", "n_docs",
+                "bits_doc", "bits_tf", "wand_fn", "wand_tf"])
+
+        sentinel_fn = merge_sentinels_sorted
+    else:
+        sentinel_fn = merge_sentinels
+
     sent_merged = (sent.withColumn("g", oseg_expr[F.col("segment_ord")])
                    .groupBy("g", "term")
-                   .applyInPandas(lambda pdf: merge_sentinels(pdf.drop(columns=["g"])),
+                   .applyInPandas(lambda pdf: sentinel_fn(pdf.drop(columns=["g"])),
                                   schema=POSTINGS_SCHEMA))
 
     # final layout: range-partitioned by term + sorted within partitions,
@@ -376,26 +575,31 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         .parquet(os.path.join(out_dir, "postings"))
 
     # ---- docmap rebase (alive docs only, densely renumbered) --------------
-    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
-    if dead:
-        dels_df = spark.read.parquet(deletes_path).distinct()
-        docmap = docmap.join(F.broadcast(dels_df),
-                             ["segment_ord", "doc_id"], "left_anti")
-    off_expr = F.create_map(
-        *[x for seg, off in offsets.items() for x in (F.lit(seg), F.lit(off))])
-    w_alive = Window.partitionBy("segment_ord").orderBy("doc_id")
     # fast-field columns ride on the docmap and are carried through
     extra = [c for c in docmap.columns
              if c not in ("segment_ord", "doc_id")]
-    (docmap
-     .withColumn("alive_rank", F.row_number().over(w_alive) - 1)
-     .select(
-         oseg_expr[F.col("segment_ord")].cast("int").alias("segment_ord"),
-         (F.col("alive_rank") + off_expr[F.col("segment_ord")]).cast("int")
-         .alias("doc_id"),
-         *extra)
-     .write.mode("overwrite").option("compression", compression)
-     .parquet(os.path.join(out_dir, "docmap")))
+    if sorted_docmap is not None:
+        docmap_out = sorted_docmap.select(
+            F.col("g").cast("int").alias("segment_ord"),
+            F.col("new_id").cast("int").alias("doc_id"),
+            *extra)
+    else:
+        off_expr = F.create_map(
+            *[x for seg, off in offsets.items()
+              for x in (F.lit(seg), F.lit(off))])
+        w_alive = Window.partitionBy("segment_ord").orderBy("doc_id")
+        docmap_out = (docmap
+                      .withColumn("alive_rank",
+                                  F.row_number().over(w_alive) - 1)
+                      .select(
+                          oseg_expr[F.col("segment_ord")].cast("int")
+                          .alias("segment_ord"),
+                          (F.col("alive_rank")
+                           + off_expr[F.col("segment_ord")]).cast("int")
+                          .alias("doc_id"),
+                          *extra))
+    docmap_out.write.mode("overwrite").option(
+        "compression", compression).parquet(os.path.join(out_dir, "docmap"))
 
     # ---- term_stats / lineage / manifest ----------------------------------
     new_postings = spark.read.parquet(os.path.join(out_dir, "postings"))

@@ -1,0 +1,142 @@
+"""SORTED-index merge (ref: src/indexer/merger.rs sorted doc-id mapping;
+test_merge_facets_sort_asc / _desc, :1482-1535): merging a sort_by_field
+index k-way-merges the doc orders on the sort key — the merged segment
+stays globally sorted — instead of stacking.  The strongest assertion:
+wide-build + sorted-merge reproduces a DIRECT sorted single-segment
+build byte-for-byte at the postings level."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tantivy_spark.corpus import synthetic_pages
+from tantivy_spark.index.build import IndexConfig, build_index
+from tantivy_spark.index.merge import merge_segments
+from tantivy_spark.index.reader import IndexReader
+from tantivy_spark.query import TermQuery
+from tantivy_spark.query.exact import ExactSearcher
+
+
+@pytest.fixture(scope="module")
+def sorted_pages(spark):
+    return synthetic_pages(spark, 160, seed=33).select(
+        "url", "text", F.octet_length("text").alias("tlen"))
+
+
+@pytest.fixture(scope="module")
+def merged_sorted(spark, sorted_pages, tmp_path_factory):
+    base = tmp_path_factory.mktemp("smerge")
+    src = str(base / "src")
+    build_index(spark, sorted_pages, src, IndexConfig(
+        key_col="url", text_col="text", n_segments=4,
+        sort_col="desc:tlen"))
+    out = str(base / "merged")
+    merge_segments(spark, src, out, n_target_segments=1)
+    return src, out
+
+
+def test_merged_segment_stays_sorted(spark, sorted_pages, merged_sorted):
+    """merger.rs sorted path: doc ids of the MERGED segment follow the
+    sort key (descending tlen), not segment stacking order."""
+    _src, out = merged_sorted
+    dm = IndexReader(spark, out).docmap.join(
+        sorted_pages.select(F.col("url").alias("key"), "tlen"), "key")
+    lens = [r["tlen"] for r in dm.orderBy("doc_id").collect()]
+    assert lens == sorted(lens, reverse=True)
+    assert IndexReader(spark, out).manifest["totals"]["num_segments"] == 1
+
+
+def test_sorted_merge_query_parity(spark, merged_sorted):
+    src, out = merged_sorted
+    a = ExactSearcher(IndexReader(spark, src)).search(
+        TermQuery("the"), k=10).collect()
+    b = ExactSearcher(IndexReader(spark, out)).search(
+        TermQuery("the"), k=10).collect()
+    assert [(r["key"], r["score"]) for r in a] == \
+        [(r["key"], r["score"]) for r in b]
+
+
+def test_sorted_merge_equals_direct_sorted_build(spark, sorted_pages,
+                                                 tmp_path_factory):
+    """Wide sorted build + sorted merge == direct sorted 1-segment build:
+    identical docmap addresses AND identical postings bytes (same doc
+    order, same chunking, same codec) — the reference asserts merged
+    reads equal direct reads; byte equality is stronger."""
+    base = tmp_path_factory.mktemp("sparity")
+    direct = str(base / "direct")
+    build_index(spark, sorted_pages, direct, IndexConfig(
+        key_col="url", text_col="text", n_segments=1,
+        sort_col="desc:tlen"))
+    wide = str(base / "wide")
+    build_index(spark, sorted_pages, wide, IndexConfig(
+        key_col="url", text_col="text", n_segments=4,
+        sort_col="desc:tlen"))
+    merged = str(base / "merged")
+    merge_segments(spark, wide, merged, n_target_segments=1)
+
+    dm_a = {(r["key"],): (r["segment_ord"], r["doc_id"])
+            for r in IndexReader(spark, direct).docmap.collect()}
+    dm_b = {(r["key"],): (r["segment_ord"], r["doc_id"])
+            for r in IndexReader(spark, merged).docmap.collect()}
+    assert dm_a == dm_b
+
+    def postings_fingerprint(d):
+        rows = (spark.read.parquet(f"{d}/postings")
+                .select("term", "chunk_id", F.md5(F.col("docs")).alias("h"),
+                        F.md5(F.col("tfs")).alias("h2"),
+                        F.md5(F.col("fns")).alias("h3"))
+                .orderBy("term", "chunk_id").collect())
+        return [(r["term"], r["chunk_id"], r["h"], r["h2"], r["h3"])
+                for r in rows]
+
+    assert postings_fingerprint(direct) == postings_fingerprint(merged)
+
+
+def test_sorted_merge_with_deletes(spark, sorted_pages, tmp_path_factory):
+    """Deleted docs drop and the survivors stay sort-ordered with dense
+    new ids (merger.rs sorted path over alive docs)."""
+    from tantivy_spark.index.deletes import delete_by_keys
+
+    base = tmp_path_factory.mktemp("sdel")
+    src = str(base / "src")
+    build_index(spark, sorted_pages, src, IndexConfig(
+        key_col="url", text_col="text", n_segments=4,
+        sort_col="desc:tlen"))
+    victims = [r["url"] for r in sorted_pages.limit(25).collect()]
+    delete_by_keys(spark, IndexReader(spark, src), victims)
+    out = str(base / "merged")
+    merge_segments(spark, src, out, n_target_segments=1)
+
+    reader = IndexReader(spark, out)
+    keys = {r["key"] for r in reader.docmap.collect()}
+    assert keys.isdisjoint(victims)
+    dm = reader.docmap.join(
+        sorted_pages.select(F.col("url").alias("key"), "tlen"), "key")
+    rows = dm.orderBy("doc_id").collect()
+    lens = [r["tlen"] for r in rows]
+    assert lens == sorted(lens, reverse=True)
+    ids = [r["doc_id"] for r in rows]
+    assert ids == list(range(len(ids)))          # dense renumbering
+    # postings agree: term search returns only alive docs
+    s = ExactSearcher(reader)
+    got = {r["key"] for r in s.search(TermQuery("the"), k=200).collect()}
+    assert got.isdisjoint(victims)
+
+
+def test_sorted_merge_two_targets(spark, sorted_pages, tmp_path_factory):
+    """n_target_segments=2: each OUTPUT segment is independently
+    sort-ordered (the reference sorts per segment)."""
+    base = tmp_path_factory.mktemp("s2t")
+    src = str(base / "src")
+    build_index(spark, sorted_pages, src, IndexConfig(
+        key_col="url", text_col="text", n_segments=4,
+        sort_col="desc:tlen"))
+    out = str(base / "merged")
+    merge_segments(spark, src, out, n_target_segments=2)
+    dm = IndexReader(spark, out).docmap.join(
+        sorted_pages.select(F.col("url").alias("key"), "tlen"), "key")
+    by_seg = {}
+    for r in dm.orderBy("segment_ord", "doc_id").collect():
+        by_seg.setdefault(r["segment_ord"], []).append(r["tlen"])
+    assert len(by_seg) == 2
+    for seg, lens in by_seg.items():
+        assert lens == sorted(lens, reverse=True), seg
