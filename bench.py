@@ -225,6 +225,31 @@ def main() -> None:
         timings["big_merge_docs_per_sec"] = round(
             big_n / timings["big_merge_sec"], 1)
 
+        # SORTED-index merge (r6, merger.rs sorted doc-id mapping): the
+        # heavier path — per-term GLOBAL re-sort + re-chunk through the
+        # old->new permutation instead of independent chunk rebase.
+        # One untimed sorted build feeds 2 timed merge trials.
+        out_sorted = "/dev/shm/tantivy_bench_idx_sorted"
+        shutil.rmtree(out_sorted, ignore_errors=True)
+        build_index(spark,
+                    docs_big.withColumn("tlen", F.octet_length("text")),
+                    out_sorted,
+                    IndexConfig(key_col="url", text_col="text",
+                                n_segments=big_cfg.n_segments,
+                                sort_col="desc:tlen"),
+                    resume=False)
+
+        def big_sorted_merge_once():
+            out_m = "/dev/shm/tantivy_bench_idx_smerged"
+            shutil.rmtree(out_m, ignore_errors=True)
+            merge_segments(spark, out_sorted, out_m, n_target_segments=8)
+            shutil.rmtree(out_m, ignore_errors=True)
+
+        record("big_sorted_merge_sec", big_sorted_merge_once, trials=2)
+        timings["big_sorted_merge_docs_per_sec"] = round(
+            big_n / timings["big_sorted_merge_sec"], 1)
+        shutil.rmtree(out_sorted, ignore_errors=True)
+
         # pipeline throughput over the big corpus (docs/sec)
         from tantivy_spark.pipeline.dedup import simhash64
         from tantivy_spark.pipeline.textstats import token_counts

@@ -322,8 +322,9 @@ def _segment_kernel(cfg: IndexConfig):
         fieldnorms, per-field segment-average block-max cache, terms
         stored under the field's prefix.  ``pre_analyzed`` fields arrive
         as FINAL tokens (a custom analyzer chain ran JVM-side), so the
-        kernel's lowercase tail is skipped; the 40-byte bound still
-        applies."""
+        kernel's lowercase tail is skipped and only the postings-writer
+        MAX_TOKEN_LEN guard applies (the 40-byte RemoveLong belongs to
+        the DEFAULT chain, tokenizer_manager.rs:58-78)."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -340,7 +341,17 @@ def _segment_kernel(cfg: IndexConfig):
 
         if total_raw:
             blen = pc.binary_length(flat_raw).to_numpy()
-            keep = blen < 40  # MAX_TOKEN_BYTES, on the pre-lowercase token
+            if pre_analyzed:
+                # custom chains carry their OWN length policy (the
+                # reference's "raw"/"whitespace"/facet/json chains have
+                # no RemoveLong); only the postings-writer guard applies:
+                # tokens past MAX_TOKEN_LEN silently drop and do not
+                # count toward fieldnorms (postings_writer.rs:144-152,
+                # tokenizer/mod.rs:168 = u16::MAX - 5)
+                keep = blen <= 65530
+            else:
+                keep = blen < 40  # default chain RemoveLong(40),
+                #                   on the pre-lowercase token
             low = flat_raw if pre_analyzed else pc.utf8_lower(flat_raw)
             dic = pc.dictionary_encode(low)
             codes_raw = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
