@@ -196,3 +196,38 @@ def simhash_sql(sf_dir: str | None = None) -> str:
         "CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash "
         "FROM documents d LEFT JOIN sig s ON s.id = d.doc_id "
         "ORDER BY id")
+
+
+def token_budget_sample_sql(budgets: dict[str, int] | None = None,
+                            seed: int = 0,
+                            sf_dir: str | None = None) -> str:
+    """Oracle for token_budget_sample_docs: the per-doc
+    ``xxhash64(cast(doc_id as string), seed)`` rank is Spark-specific,
+    so compute it spec-correct in Python (functions/xxh.py, pinned
+    against Spark) and inject it as a literal table; DuckDB then replays
+    the per-stratum cumulative-budget window verbatim."""
+    import duckdb
+
+    from tantivy_spark.functions.xxh import _signed, xxh64_bytes, xxh64_int
+
+    budgets = budgets or {"en": 40_000, "de": 15_000}
+    sfd = sf_dir or gate_sf_dir()
+    langs = ",".join(f"'{l}'" for l in budgets)
+    rows = duckdb.sql(
+        f"SELECT doc_id FROM '{sfd}/documents.parquet' "
+        f"WHERE lang IN ({langs}) ORDER BY doc_id").fetchall()
+    lits = [(int(i), _signed(xxh64_int(
+        seed, xxh64_bytes(str(int(i)).encode(), 42)))) for (i,) in rows]
+    case = " ".join(f"WHEN '{l}' THEN {int(b)}" for l, b in budgets.items())
+    return (
+        "WITH h(doc_id, h) AS " + _values(lits, "0 AS doc_id, 0 AS h") +
+        ",\nj AS (SELECT d.doc_id, d.lang, d.n_chars, h.h, "
+        f"CASE d.lang {case} END AS budget "
+        "FROM documents d JOIN h ON d.doc_id = h.doc_id "
+        f"WHERE d.lang IN ({langs})),\n"
+        "r AS (SELECT *, sum(n_chars) OVER (PARTITION BY lang "
+        "ORDER BY h ASC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS cum FROM j)\n"
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
+        "CAST(n_chars AS BIGINT) AS n_tokens FROM r "
+        "WHERE cum - n_chars < budget ORDER BY doc_id")

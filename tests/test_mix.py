@@ -1,0 +1,79 @@
+"""Training-mix operators: canonical selection per dup cluster and
+deterministic token-budget sampling (pipeline/mix.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tantivy_spark.pipeline.mix import sample_token_budget, select_canonical
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de", 100 + (i * 37) % 500)
+            for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id LONG, lang STRING, "
+                                 "n_tokens LONG")
+
+
+def test_canonical_keeps_best_per_cluster(spark, corpus):
+    # clusters {0,1,2} and {10,11}; everything else singleton
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        "doc_id LONG, cluster_id LONG")
+    out = select_canonical(corpus, clusters, quality_col="n_tokens")
+    kept = {r["doc_id"]: r["dup_cluster_size"] for r in out.collect()}
+    # highest n_tokens in {0,1,2}: ids 0->100, 1->137, 2->174 -> keep 2
+    assert kept.get(2) == 3 and 0 not in kept and 1 not in kept
+    # {10,11}: 10->470, 11->507 -> keep 11
+    assert kept.get(11) == 2 and 10 not in kept
+    # singletons all kept with size 1
+    assert kept[5] == 1
+    assert len(kept) == 40 - 3
+
+
+def test_canonical_no_quality_breaks_by_min_id(spark, corpus):
+    clusters = spark.createDataFrame(
+        [(7, 7), (9, 7)], "doc_id LONG, cluster_id LONG")
+    out = select_canonical(corpus, clusters)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 7 in kept and 9 not in kept
+
+
+def test_budget_sampling_deterministic_and_covering(spark, corpus):
+    budgets = {"en": 800, "de": 400}
+    a = sample_token_budget(corpus, budgets).collect()
+    b = sample_token_budget(corpus, budgets).collect()
+    assert sorted(r["doc_id"] for r in a) == \
+        sorted(r["doc_id"] for r in b)          # reproducible
+    by_lang = {}
+    for r in a:
+        by_lang.setdefault(r["lang"], []).append(r["n_tokens"])
+    for lang, toks in by_lang.items():
+        total = sum(toks)
+        # budget reached (last doc may overshoot) but not over-taken:
+        # removing the smallest-possible last doc drops below budget
+        assert total >= min(budgets[lang], sum(
+            r["n_tokens"] for r in corpus.filter(
+                F.col("lang") == lang).collect()))
+        assert total - max(toks) < budgets[lang]
+
+
+def test_budget_sampling_seed_changes_sample(spark, corpus):
+    budgets = {"en": 800}
+    a = {r["doc_id"] for r in sample_token_budget(corpus, budgets,
+                                                  seed=0).collect()}
+    b = {r["doc_id"] for r in sample_token_budget(corpus, budgets,
+                                                  seed=1).collect()}
+    assert a != b                    # different seed, different docs
+
+
+def test_budget_sampling_small_budget_yields_one_doc(spark, corpus):
+    out = sample_token_budget(corpus, {"en": 1}).collect()
+    assert len(out) == 1 and out[0]["lang"] == "en"
+
+
+def test_budget_sampling_unlisted_strata_drop(spark, corpus):
+    out = sample_token_budget(corpus, {"en": 10_000_000})
+    assert out.filter(F.col("lang") == "de").count() == 0
+    with pytest.raises(ValueError, match="at least one stratum"):
+        sample_token_budget(corpus, {})
