@@ -22,15 +22,26 @@ class ReloadingReader:
     hands out an immutable IndexReader SNAPSHOT, refreshing it when the
     manifest changed — ``delay_s`` rate-limits the mtime check like
     OnCommitWithDelay; ``delay_s=None`` is Manual (only ``reload()``
-    refreshes)."""
+    refreshes).
+
+    ``warmers``: callables invoked with each NEW reader generation
+    BEFORE it is published (the reference's Warmer::warm contract,
+    src/reader/warming.rs — a searcher generation is warmed, then
+    served).  When a reload retires the previous generation, its pinned
+    tables are unpersisted — the analogue of WarmingState garbage
+    collection; unlike the reference's Weak-ref bookkeeping, a caller
+    still holding the OLD reader keeps a USABLE object whose caches
+    have merely been released (Spark recomputes from parquet)."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 delay_s: float | None = 1.0):
+                 delay_s: float | None = 1.0,
+                 warmers: list | None = None):
         import time
 
         self.spark = spark
         self.index_dir = index_dir
         self.delay_s = delay_s
+        self.warmers = list(warmers or ())
         self._meta_path = os.path.join(index_dir, "meta.json")
         self._snapshot: IndexReader | None = None
         self._mtime = -1.0
@@ -39,9 +50,18 @@ class ReloadingReader:
 
     def reload(self) -> "IndexReader":
         self._mtime = os.path.getmtime(self._meta_path)
-        self._snapshot = IndexReader(self.spark, self.index_dir)
+        new = IndexReader(self.spark, self.index_dir)
+        if self._snapshot is not None:
+            # GC the retiring generation FIRST: Spark keys its cache by
+            # analyzed plan, and the old generation's tables read the
+            # same paths — unpersisting after warming would evict the
+            # fresh generation's pins too
+            self._snapshot.unpersist()
+        for w in self.warmers:          # warm BEFORE publishing
+            w(new)
+        self._snapshot = new
         self._checked = self._time()
-        return self._snapshot
+        return new
 
     def reader(self) -> "IndexReader":
         if self._snapshot is None:
@@ -196,6 +216,17 @@ class IndexReader:
         self.docmap.cache().count()
         if include_postings:
             self.postings.cache().count()
+        return self
+
+    def unpersist(self) -> "IndexReader":
+        """Release every table this reader generation has pinned (the
+        WarmingState GC analogue — warming.rs garbage_collect).  Only
+        tables already materialized unpersist; the reader stays usable,
+        reads just fall back to parquet."""
+        for name in ("term_stats", "docmap", "postings"):
+            df = self.__dict__.get(name)   # cached_property materialized?
+            if df is not None:
+                df.unpersist()
         return self
 
     @property
