@@ -140,3 +140,108 @@ def test_sorted_merge_two_targets(spark, sorted_pages, tmp_path_factory):
     assert len(by_seg) == 2
     for seg, lens in by_seg.items():
         assert lens == sorted(lens, reverse=True), seg
+
+
+def test_merge_facets_on_sorted_index(spark, tmp_path_factory):
+    """merger.rs:1482/:1509 test_merge_facets_sort_asc/_desc — facet
+    counts survive a SORTED merge, and the merged segment keeps the
+    sort order (the reference runs its facet-merge matrix under
+    sort-asc and sort-desc IndexSettings)."""
+    from tantivy_spark.query import AllQuery
+    from tantivy_spark.query.facets import FacetCollector, search_facets
+
+    facets = ["/top/a", "/top/b", "/top/a", "/top/c", "/top/b", "/top/a",
+              "/top/d", "/top/b", "/top/a", "/top/c", "/top/d", "/top/a"]
+    rows = [(f"f{i:02d}", i, "word%d text" % (i % 5), fc, (i * 31) % 97)
+            for i, fc in enumerate(facets)]
+    df = spark.createDataFrame(
+        rows, "key STRING, i LONG, text STRING, fc STRING, v LONG")
+    for direction in ("asc", "desc"):
+        base = tmp_path_factory.mktemp(f"fs_{direction}")
+        src = str(base / "src")
+        build_index(
+            spark, df, src,
+            IndexConfig(key_col="key", n_segments=3,
+                        segment_expr="pmod(i, 3)",
+                        field_cols={"text": "text", "fc": "fc"},
+                        field_analyzers={"fc": "facet"},
+                        fast_field_cols=["v"],
+                        sort_col="v" if direction == "asc" else "desc:v"),
+            resume=False)
+        out = str(base / "merged")
+        merge_segments(spark, src, out, n_target_segments=1)
+
+        def counts(d):
+            s = ExactSearcher(IndexReader(spark, d))
+            return search_facets(s, AllQuery(),
+                                 FacetCollector(field="fc")
+                                 .add_facet("/top")).get("/top")
+
+        got = counts(out)
+        assert got == counts(src)
+        assert dict(got) == {"/top/a": 5, "/top/b": 3, "/top/c": 2,
+                             "/top/d": 2}
+        vs = [r["v"] for r in IndexReader(spark, out).docmap
+              .orderBy("doc_id").collect()]
+        assert vs == sorted(vs, reverse=(direction == "desc"))
+
+
+def test_sorted_merge_random_shapes(spark, tmp_path_factory):
+    """Randomized invariant sweep (the spirit of merger.rs
+    test_merge_columnar_int_proptest): random corpus sizes, segment
+    counts, targets, and delete sets -> the merged sorted index is
+    always densely renumbered, sort-ordered per output segment, and
+    query-identical to the unmerged index."""
+    import random
+
+    from tantivy_spark.index.deletes import delete_by_keys
+
+    rng = random.Random(1234)
+    pages = synthetic_pages(spark, 180, seed=77).select(
+        "url", "text", F.octet_length("text").alias("tlen"))
+    for trial in range(3):
+        n_seg = rng.choice([2, 3, 5])
+        n_target = rng.choice([1, 2])
+        n_del = rng.choice([0, 13, 40])
+        base = tmp_path_factory.mktemp(f"rs{trial}")
+        src = str(base / "src")
+        build_index(spark, pages, src, IndexConfig(
+            key_col="url", text_col="text", n_segments=n_seg,
+            sort_col="desc:tlen"), resume=False)
+        if n_del:
+            victims = [r["url"] for r in pages.limit(n_del).collect()]
+            delete_by_keys(spark, IndexReader(spark, src), victims)
+        out = str(base / "merged")
+        merge_segments(spark, src, out, n_target_segments=n_target)
+        reader = IndexReader(spark, out)
+        dm = reader.docmap.join(
+            pages.select(F.col("url").alias("key"), "tlen"), "key")
+        by_seg = {}
+        for r in dm.orderBy("segment_ord", "doc_id").collect():
+            by_seg.setdefault(r["segment_ord"], []).append(
+                (r["doc_id"], r["tlen"]))
+        assert len(by_seg) == min(n_target, n_seg)
+        for seg, items in by_seg.items():
+            ids = [i for i, _ in items]
+            lens = [t for _, t in items]
+            assert ids == list(range(len(ids))), (trial, seg)
+            assert lens == sorted(lens, reverse=True), (trial, seg)
+        s_src = ExactSearcher(IndexReader(spark, src))
+        assert s_src.count(TermQuery("the")) == \
+            ExactSearcher(reader).count(TermQuery("the")), trial
+        if n_del == 0:
+            # scores only compare without deletes: a merge RECOMPUTES
+            # BM25 stats over alive docs (the reference's deletes also
+            # shift scores only at merge time).  Doc addresses change
+            # under a sorted merge, so SCORE TIES may reorder (the
+            # tie-break is DocAddress in the reference too): assert
+            # identical score multisets and identical keys strictly
+            # above the k-th score.
+            a = s_src.search(TermQuery("the"), k=12).collect()
+            b = ExactSearcher(reader).search(
+                TermQuery("the"), k=12).collect()
+            sa, sb = [r["score"] for r in a], [r["score"] for r in b]
+            assert sorted(sa) == sorted(sb), trial
+            cut = min(sa[-1], sb[-1])
+            assert {r["key"] for r in a if r["score"] > cut} == \
+                {r["key"] for r in b if r["score"] > cut}, trial
