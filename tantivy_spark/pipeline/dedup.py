@@ -352,3 +352,47 @@ def chunk_dedup_groups(df: DataFrame, text_col: str = "text",
             .select("chunk_hash", "n_dupes",
                     F.col(f"keep.{id_col}").alias("keep_id"),
                     F.col("keep.chunk_idx").alias("keep_chunk_idx")))
+
+
+def dedup_lines(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", min_count: int = 2,
+                sep: str = "\n") -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb paragraph
+    dedup step): every line occurring ``min_count``-or-more times
+    ACROSS THE CORPUS is removed from every document — cookie banners,
+    nav menus, and license footers vanish while unique content stays,
+    order preserved.
+
+    Returns (id, text, n_lines_kept BIGINT, n_lines_removed BIGINT)
+    with the text REBUILT from the surviving lines; documents whose
+    every line was boilerplate come back with empty text (0 kept).
+
+    Scale shape: one explode, one groupBy(line) for corpus counts, one
+    hash join back, one groupBy(doc) rebuild — all JVM-side (split /
+    posexplode / array_sort / array_join), no Python in the row path.
+    Line identity is the exact string; at the 100-TB tier the
+    groupBy(line) shuffle hashes the line text itself, which Spark
+    handles the same way as any high-cardinality key (AQE splits skewed
+    boilerplate keys)."""
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"))
+    counts = lines.groupBy("__line").agg(F.count("*").alias("__n"))
+    flagged = lines.join(counts, "__line")
+    kept = flagged.filter(F.col("__n") < min_count)
+    stats = (flagged.groupBy("__id")
+             .agg(F.sum(F.when(F.col("__n") < min_count, 1).otherwise(0))
+                  .cast("bigint").alias("n_lines_kept"),
+                  F.sum(F.when(F.col("__n") >= min_count, 1).otherwise(0))
+                  .cast("bigint").alias("n_lines_removed")))
+    rebuilt = (kept.groupBy("__id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("__pos", "__line"))),
+                       lambda s: s["__line"]),
+                   sep).alias(text_col)))
+    return (stats.join(rebuilt, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+                    "n_lines_kept", "n_lines_removed"))

@@ -77,3 +77,46 @@ def test_budget_sampling_unlisted_strata_drop(spark, corpus):
     assert out.filter(F.col("lang") == "de").count() == 0
     with pytest.raises(ValueError, match="at least one stratum"):
         sample_token_budget(corpus, {})
+
+
+# ------------------------------------------------------- line dedup
+# (CCNet/RefinedWeb boilerplate removal; pipeline/dedup.py dedup_lines)
+
+def test_line_dedup_removes_corpus_duplicates(spark):
+    from tantivy_spark.pipeline.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "COOKIE BANNER\nunique alpha\nfooter"),
+         (2, "COOKIE BANNER\nunique beta\nfooter"),
+         (3, "only original content here")],
+        "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert out[1]["text"] == "unique alpha"
+    assert out[2]["text"] == "unique beta"
+    assert out[3]["text"] == "only original content here"
+    assert out[1]["n_lines_removed"] == 2 and out[1]["n_lines_kept"] == 1
+    assert out[3]["n_lines_removed"] == 0
+
+
+def test_line_dedup_order_and_empty_doc(spark):
+    from tantivy_spark.pipeline.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "dup\nkeep one\ndup\nkeep two"),
+         (2, "dup\ndup")],
+        "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    # "dup" occurs 4x corpus-wide -> stripped everywhere, order kept
+    assert out[1]["text"] == "keep one\nkeep two"
+    assert out[2]["text"] == "" and out[2]["n_lines_kept"] == 0
+
+
+def test_line_dedup_threshold(spark):
+    from tantivy_spark.pipeline.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "twice\nunique a"), (2, "twice\nunique b")],
+        "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_lines(docs, min_count=3).collect()}
+    assert out[1] == "twice\nunique a"       # below threshold: kept
