@@ -138,3 +138,36 @@ def synthetic_pages(spark: SparkSession, n_docs: int, seed: int = 7,
         .when(F.pmod(F.xxhash64(F.col("rid"), F.lit(seed + 5)), 17) == 1, F.lit("de"))
         .otherwise(F.lit("en")).alias("lang"),
     )
+
+
+def extract_text(html) -> "Column":
+    """HTML binary/string column -> extracted plain text, the ingestion
+    step for pages that arrive with ONLY ``html`` populated (the
+    north-rule invariant "byte-identical extracted text per url" is
+    asserted by re-extracting the wrapped corpus and comparing against
+    its ``text`` column — tests + gate entry ``extract_text_docs``).
+
+    Pure JVM regexp chain (codegen-friendly, no UDF):
+    script/style/comment blocks drop wholesale; block-closing tags
+    become newlines; remaining tags become spaces; the core entities
+    decode; horizontal whitespace collapses and edges trim.  This is a
+    whitespace-normalizing extractor in the readability/trafilatura
+    family, not a DOM parser — pages whose visible text depends on CSS
+    or JS need a real browser pipeline upstream."""
+    from pyspark.sql import Column  # noqa: F401
+
+    h = html.cast("string")
+    h = F.regexp_replace(h, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
+    h = F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
+    h = F.regexp_replace(
+        h, r"(?i)<br\s*/?>|</p\s*>|</div\s*>|</li\s*>|</tr\s*>|</h[1-6]\s*>",
+        "\n")
+    h = F.regexp_replace(h, r"<[^>]*>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+        h = F.replace(h, F.lit(ent), F.lit(rep))
+    h = F.regexp_replace(h, r"[ \t]+", " ")
+    h = F.regexp_replace(h, r" ?\n ?", "\n")
+    h = F.regexp_replace(h, r"\n{3,}", "\n\n")
+    # Spark's trim strips only spaces; edges may hold newlines too
+    return F.regexp_replace(h, r"^\s+|\s+$", "")
