@@ -141,24 +141,36 @@ def whitespace_analyzer(text: Column) -> Column:
                     lambda t: F.length(t) > 0)
 
 
-def ngram_tokens(text: Column, min_gram: int = 2, max_gram: int = 3) -> Column:
-    """Character n-grams of each value, n in [min_gram, max_gram]
-    (ref: ngram_tokenizer.rs)."""
+def ngram_tokens(text: Column, min_gram: int = 2, max_gram: int = 3,
+                 prefix_only: bool = False) -> Column:
+    """Character n-grams of each value, n in [min_gram, max_gram], in
+    the reference's POSITION-MAJOR emission order — all gram lengths at
+    position 1, then position 2, ... ("hello" 1..2 -> h, he, e, el, l,
+    ll, l, lo, o; ngram_tokenizer.rs test_ngram_tokenizer_1_2_false).
+    ``prefix_only`` mirrors NgramTokenizer::prefix_only: grams anchored
+    at the first character only.  Validation matches the reference's
+    panics (min_gram > 0; min_gram <= max_gram)."""
+    if min_gram <= 0:
+        raise ValueError("min_gram must be greater than 0")
+    if min_gram > max_gram:
+        raise ValueError("min_gram must not be greater than max_gram")
     t = F.coalesce(text, F.lit(""))
     n = F.length(t)
-    def gram_fn(g: int):
-        def inner(i):  # single-arg: pyspark passes only the element
-            return t.substr(i, F.lit(g))
-        return inner
+    sizes = F.sequence(F.lit(min_gram), F.lit(max_gram))
 
-    grams = []
-    for g in range(min_gram, max_gram + 1):
-        idx = F.sequence(F.lit(1), F.greatest(n - g + 1, F.lit(0)))
-        grams.append(F.transform(idx, gram_fn(g)))
-    out = grams[0]
-    for more in grams[1:]:
-        out = F.concat(out, more)
-    return out
+    def grams_at(i):
+        return F.filter(
+            F.transform(sizes,
+                        lambda g: F.when(i + g - 1 <= n, t.substr(i, g))),
+            lambda x: x.isNotNull())
+
+    if prefix_only:
+        return grams_at(F.lit(1))
+    # guard: F.sequence(1, 0) runs DESCENDING, so short values need an
+    # explicit empty result
+    idx = F.sequence(F.lit(1), n - min_gram + 1)
+    return (F.when(n >= min_gram, F.flatten(F.transform(idx, grams_at)))
+            .otherwise(F.array().cast("array<string>")))
 
 
 def stopword_filter(tokens: Column, stopwords: list[str]) -> Column:

@@ -28,8 +28,9 @@ def test_whitespace(spark):
 
 
 def test_ngram(spark):
+    # position-major emission (ngram_tokenizer.rs)
     got = list(_one(spark, ngram_tokens(F.col("t"), 2, 3), "abcd"))
-    assert got == ["ab", "bc", "cd", "abc", "bcd"]
+    assert got == ["ab", "abc", "bc", "bcd", "cd"]
 
 
 def test_stopword(spark):
@@ -410,3 +411,51 @@ def test_snowball3_chains_distributed(spark):
     got = list(_one(spark, el_stem_tokens_col(F.col("t")),
                     "υπολογιστές παιδιά γεγονότα"))
     assert got == ["υπολογιστ", "παιδ", "γεγον"]
+
+
+# ---------------------------------------------------------------- ngram
+# vectors ported from ngram_tokenizer.rs:360-461
+
+def test_ngram_1_2_all(spark):
+    got = list(_one(spark, ngram_tokens(F.col("t"), 1, 2), "hello"))
+    assert got == ["h", "he", "e", "el", "l", "ll", "l", "lo", "o"]
+
+
+def test_ngram_min_max_equal(spark):
+    got = list(_one(spark, ngram_tokens(F.col("t"), 3, 3), "hello"))
+    assert got == ["hel", "ell", "llo"]
+
+
+def test_ngram_2_5_prefix(spark):
+    got = list(_one(spark, ngram_tokens(F.col("t"), 2, 5,
+                                        prefix_only=True), "frankenstein"))
+    assert got == ["fr", "fra", "fran", "frank"]
+
+
+def test_ngram_non_ascii_1_2(spark):
+    got = list(_one(spark, ngram_tokens(F.col("t"), 1, 2), "hεllo"))
+    assert got == ["h", "hε", "ε", "εl", "l", "ll", "l", "lo", "o"]
+
+
+def test_ngram_non_ascii_2_5_prefix(spark):
+    got = list(_one(spark, ngram_tokens(F.col("t"), 2, 5,
+                                        prefix_only=True), "hεllo"))
+    assert got == ["hε", "hεl", "hεll", "hεllo"]
+
+
+def test_ngram_empty(spark):
+    assert list(_one(spark, ngram_tokens(F.col("t"), 1, 5), "")) == []
+    assert list(_one(spark, ngram_tokens(F.col("t"), 2, 5), "")) == []
+
+
+def test_ngram_shorter_than_min(spark):
+    assert list(_one(spark, ngram_tokens(F.col("t"), 3, 5), "ab")) == []
+
+
+def test_ngram_invalid_intervals_raise(spark):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_gram must be greater"):
+        ngram_tokens(F.col("t"), 0, 2)
+    with _pytest.raises(ValueError,
+                        match="min_gram must not be greater"):
+        ngram_tokens(F.col("t"), 2, 1)
