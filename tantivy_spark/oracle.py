@@ -31,16 +31,28 @@ FIELD_SEP = "\x1f"
 class OracleBuilder:
     def __init__(self, table: str = "documents", id_col: str = "doc_id",
                  text_col: str = "text", n_segments: int = 8,
-                 fields: dict[str, str] | None = None):
+                 fields: dict[str, str] | None = None,
+                 sdoc_order: str = "did",
+                 sdoc_aux: list[str] | None = None):
         """``fields``: multi-field mode — ordered {field: SQL text expr}.
         Term queries must arrive FIELD-QUALIFIED (``{field}\\x1f{term}``,
         i.e. the same tree the multi-field searcher executes); each field
-        scores with its own token stream and average fieldnorm."""
+        scores with its own token stream and average fieldnorm.
+
+        ``sdoc_order``: the within-segment doc-id assignment order —
+        "did" mirrors the default key-ordered build; a SORTED index
+        (IndexConfig.sort_col) uses e.g. "n_chars DESC, did ASC" so the
+        oracle's (seg, sdoc) tie-break addresses match the sorted
+        build's.  Columns the order expression needs beyond ``did``
+        must be listed in ``sdoc_aux`` (they are carried through the
+        docs0 CTE)."""
         self.table = table
         self.id = id_col
         self.text = text_col
         self.n = n_segments
         self.fields = dict(fields) if fields else None
+        self.sdoc_order = sdoc_order
+        self.sdoc_aux = list(sdoc_aux or ())
         self._ctr = 0
 
     def _toks_expr(self, text_expr: str) -> str:
@@ -58,13 +70,16 @@ class OracleBuilder:
             ntok_cols = ", ".join(f"len(toks_{f}) AS ntok_{f}"
                                   for f in self.fields)
             toks_pass = ", ".join(f"toks_{f}" for f in self.fields)
+            aux = "".join(f", {c}" for c in self.sdoc_aux)
             ctes = [
-                f"docs0 AS (SELECT {self.id} AS did, {tok_cols} "
+                f"docs0 AS (SELECT {self.id} AS did{aux}, {tok_cols} "
                 f"FROM {self.table})",
                 ("docs AS (SELECT did, did % {n} AS seg, "
-                 "row_number() OVER (PARTITION BY did % {n} ORDER BY did) - 1 "
+                 "row_number() OVER (PARTITION BY did % {n} "
+                 "ORDER BY {order}) - 1 "
                  "AS sdoc, {ntok}, {toks} FROM docs0)"
-                 ).format(n=self.n, ntok=ntok_cols, toks=toks_pass),
+                 ).format(n=self.n, order=self.sdoc_order,
+                          ntok=ntok_cols, toks=toks_pass),
             ]
             for f in self.fields:
                 ctes.append(
@@ -85,13 +100,16 @@ class OracleBuilder:
                         f" AS i) g WHERE strlen(raw[i]) < {MAX_TOKEN_BYTES})")
             return ctes
         toks = self._toks_expr(self.text)
+        aux = "".join(f", {c}" for c in self.sdoc_aux)
         ctes = [
-            f"docs0 AS (SELECT {self.id} AS did, {toks} AS toks FROM {self.table})",
+            f"docs0 AS (SELECT {self.id} AS did{aux}, {toks} AS toks "
+            f"FROM {self.table})",
             (
                 "docs AS (SELECT did, did % {n} AS seg, "
-                "row_number() OVER (PARTITION BY did % {n} ORDER BY did) - 1 AS sdoc, "
+                "row_number() OVER (PARTITION BY did % {n} "
+                "ORDER BY {order}) - 1 AS sdoc, "
                 "len(toks) AS ntok, toks FROM docs0)"
-            ).format(n=self.n),
+            ).format(n=self.n, order=self.sdoc_order),
             "stats AS (SELECT CAST(count(*) AS DOUBLE) AS nn, "
             "CAST(sum(ntok) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgfn FROM docs)",
             "tok AS (SELECT did, unnest(toks) AS tk FROM docs)",
