@@ -459,3 +459,44 @@ def test_ngram_invalid_intervals_raise(spark):
     with _pytest.raises(ValueError,
                         match="min_gram must not be greater"):
         ngram_tokens(F.col("t"), 2, 1)
+
+
+# ------------------------------------------------- ascii folding vectors
+# ported verbatim from ascii_folding_filter.rs:1569-1646
+
+def test_ascii_folding_reference_vectors():
+    from tantivy_spark.analyzer import ascii_fold_word
+
+    def fold_words(s):
+        return [ascii_fold_word(w) for w in s.split()]
+
+    assert fold_words("Ràmon") == ["Ramon"]
+    assert fold_words("accentué") == ["accentue"]
+    assert fold_words("âäàéè") == ["aaaee"]
+    assert fold_words("Usagi") == ["Usagi"]          # test_no_change
+
+
+def test_ascii_folding_latin1_characters():
+    """ascii_folding_filter.rs:1602 test_latin1_characters — the full
+    Latin-1 supplement + ligature table, case preserved."""
+    from tantivy_spark.analyzer import ascii_fold_word
+
+    latin1 = ("Des mot clés À LA CHAÎNE À Á Â Ã Ä Å Æ Ç È É Ê Ë Ì Í Î Ï Ĳ Ð Ñ "
+              "Ò Ó Ô Õ Ö Ø Œ Þ Ù Ú Û Ü Ý Ÿ à á â ã ä å æ ç è é ê ë ì í î ï ĳ "
+              "ð ñ ò ó ô õ ö ø œ ß þ ù ú û ü ý ÿ ﬁ ﬂ")
+    want = (["Des", "mot", "cles", "A", "LA", "CHAINE"]
+            + ["A"] * 6 + ["AE"] + ["C"] + ["E"] * 4 + ["I"] * 4 + ["IJ"]
+            + ["D"] + ["N"] + ["O"] * 6 + ["OE"] + ["TH"]
+            + ["U"] * 4 + ["Y"] * 2
+            + ["a"] * 6 + ["ae"] + ["c"] + ["e"] * 4 + ["i"] * 4 + ["ij"]
+            + ["d"] + ["n"] + ["o"] * 6 + ["oe"] + ["ss"] + ["th"]
+            + ["u"] * 4 + ["y"] * 2 + ["fi", "fl"])
+    assert [ascii_fold_word(w) for w in latin1.split()] == want
+
+
+def test_ascii_folding_unmodified_letters():
+    """ascii_folding_filter.rs:1640 — symbols without ASCII equivalents
+    pass through untouched (raw-tokenizer chain keeps one token)."""
+    from tantivy_spark.analyzer import ascii_fold_word
+
+    assert ascii_fold_word("§ ¦ ¤ END") == "§ ¦ ¤ END"
