@@ -188,7 +188,18 @@ def alphanum_only_filter(tokens: Column) -> Column:
 def regex_tokenizer(pattern: str):
     """Tokenizer from a regex: each match is a token, in order
     (ref: regex_tokenizer.rs — the pattern defines the tokens, the rest
-    is discarded)."""
+    is discarded).  Invalid patterns fail AT CONSTRUCTION like the
+    reference's RegexTokenizer::new (its
+    test_regexp_tokenizer_error_on_invalid_regex); the Python compile
+    is the eager proxy for the Java compile the executors run."""
+    import re as _re
+
+    try:
+        _re.compile(pattern)
+    except _re.error:
+        raise ValueError(
+            f"An invalid argument was passed: '{pattern}'") from None
+
     def chain(text: Column) -> Column:
         return F.regexp_extract_all(F.coalesce(text, F.lit("")),
                                     F.lit(pattern), 0)

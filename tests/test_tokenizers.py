@@ -500,3 +500,28 @@ def test_ascii_folding_unmodified_letters():
     from tantivy_spark.analyzer import ascii_fold_word
 
     assert ascii_fold_word("§ ¦ ¤ END") == "§ ¦ ¤ END"
+
+
+# ------------------------------------------------- regex tokenizer
+# vectors ported from regex_tokenizer.rs tests
+
+def test_regex_tokenizer_quoted_tokens(spark):
+    from tantivy_spark.analyzer import regex_tokenizer
+    got = list(_one(spark, regex_tokenizer(r"'(?:\w*)'")(F.col("t")),
+                    "'aaa' bbb 'ccc' 'ddd'"))
+    assert got == ["'aaa'", "'ccc'", "'ddd'"]
+
+
+def test_regex_tokenizer_no_match_and_empty(spark):
+    from tantivy_spark.analyzer import regex_tokenizer
+    chain = regex_tokenizer(r"'(?:\w*)'")
+    assert list(_one(spark, chain(F.col("t")), "aaa")) == []
+    assert list(_one(spark, chain(F.col("t")), "")) == []
+
+
+def test_regex_tokenizer_invalid_pattern_raises():
+    import pytest as _pytest
+
+    from tantivy_spark.analyzer import regex_tokenizer
+    with _pytest.raises(ValueError, match="invalid argument"):
+        regex_tokenizer(r"\@(")
