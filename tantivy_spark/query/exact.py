@@ -223,6 +223,16 @@ class ExactSearcher:
     # ------------------------------------------------------------------ io
     def flat_postings(self, terms: list[str], with_positions: bool = False) -> DataFrame:
         """Decoded postings for a term set: one scan, Arrow decode kernel."""
+        if with_positions and not self.reader.with_positions:
+            # the reference's schema error for a positions query against
+            # a field indexed without them (phrase_query/mod.rs — "field
+            # does not have positions"); fail loudly on the driver
+            # instead of an opaque executor decode crash
+            raise ValueError(
+                "The field does not have positions indexed: the index at "
+                f"{self.reader.index_dir!r} was built with "
+                "with_positions=False, so phrase / positional queries "
+                "cannot run against it")
         rows = self.reader.postings_for_terms(terms)
         if not with_positions:
             rows = rows.drop("pos")

@@ -111,3 +111,24 @@ def test_long_facet_paths_index(spark, tmp_path):
         .add_facet("/category/electronics/computers/laptops"))
     assert got.get("/category/electronics/computers/laptops") == \
         [("/category/electronics/computers/laptops/gaming_machines", 1)]
+
+
+def test_phrase_on_positionless_index_raises(spark, tmp_path):
+    """Schema-error parity (phrase_query/mod.rs "field does not have
+    positions"): a phrase query against an index built with
+    with_positions=False fails LOUDLY on the driver, not with an
+    opaque executor decode crash."""
+    from tantivy_spark.query import PhraseQuery
+
+    rows = [("a", 0, "order sort merge"), ("b", 1, "sort order x")]
+    df = spark.createDataFrame(rows, "key STRING, i LONG, text STRING")
+    out = str(tmp_path / "npidx")
+    build_index(spark, df, out,
+                IndexConfig(key_col="key", n_segments=1, segment_expr="0",
+                            with_positions=False), resume=False)
+    s = ExactSearcher(IndexReader(spark, out))
+    with pytest.raises(ValueError, match="does not have positions"):
+        s.search(PhraseQuery(["order", "sort"]), k=5).collect()
+    # non-positional queries still work fine
+    from tantivy_spark.query import TermQuery
+    assert s.count(TermQuery("sort")) == 2
