@@ -136,6 +136,14 @@ class IndexConfig:
     n_segments: int = 8
     segment_expr: str | None = None   # SQL over input cols; default pmod(xxhash64(key), n)
     with_positions: bool = True
+    #: IndexRecordOption parity (ref: src/schema/index_record_option.rs):
+    #: "positions" (default) = WithFreqsAndPositions; "freqs" =
+    #: WithFreqs (no positions — phrase queries raise the schema
+    #: error); "basic" = docids only — term frequency reads as 1
+    #: everywhere (the reference's TermScorer on a Basic field scores
+    #: with tf=1), positions off.  Fieldnorms always record the TRUE
+    #: token count (a separate flag in the reference too).
+    record_option: str = "positions"
     #: index sorting (ref: IndexSettings.sort_by_field,
     #: src/index/index_meta.rs:250-295): doc ids within a segment are
     #: assigned in (sort_col, key) order instead of key order.  Must be a
@@ -288,6 +296,7 @@ def _segment_kernel(cfg: IndexConfig):
     operating on numpy slices.
     """
     with_positions = cfg.with_positions
+    basic = cfg.record_option == "basic"
     sort_spec = _sort_spec(cfg)
     chunk_docs = int(cfg.chunk_docs)  # captured by value into the kernel
     specs = [(pfx, toks, sent, anlz != "default")
@@ -427,6 +436,12 @@ def _segment_kernel(cfg: IndexConfig):
             td_change[1:] = (t_codes[1:] != t_codes[:-1]) | (docs_all[1:] != docs_all[:-1])
             td_starts = np.nonzero(td_change)[0]
             tfs_all = np.diff(np.append(td_starts, npost))
+            if basic:
+                # IndexRecordOption::Basic: no term frequencies — every
+                # posting reads tf=1 (index_record_option.rs; TermScorer
+                # scores Basic fields with term_freq()==1).  The all-ones
+                # array bitpacks to zero data bits per block.
+                tfs_all = np.minimum(tfs_all, 1)
             docs_td = docs_all[td_starts]
             tcodes_td = t_codes[td_starts]
             # per-term ranges over the (term, doc) axis
@@ -496,6 +511,16 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
     Returns the manifest dict (also written to ``{out_dir}/meta.json``).
     """
     cfg = cfg or IndexConfig()
+    if cfg.record_option not in ("basic", "freqs", "positions"):
+        raise ValueError(
+            f"unknown record_option {cfg.record_option!r}; expected one "
+            f"of ['basic', 'freqs', 'positions']")
+    if cfg.record_option != "positions" and cfg.with_positions:
+        # Basic / WithFreqs never index positions
+        # (index_record_option.rs) — normalize so the manifest and the
+        # positional-query guard agree
+        from dataclasses import replace as _replace
+        cfg = _replace(cfg, with_positions=False)
     os.makedirs(out_dir, exist_ok=True)
 
     # Pin the build's shuffle layout: AQE's partition coalescing optimizes
