@@ -70,3 +70,25 @@ def test_counts_unaffected(spark, tmp_path):
 def test_unknown_option_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown record_option"):
         _build(spark, str(tmp_path / "bad"), "proximity")
+
+
+def test_freqs_index_merges(spark, tmp_path):
+    """Positions-less postings (pos=None chunks) flow through the merge
+    kernels unchanged."""
+    from tantivy_spark.index.merge import merge_segments
+
+    df = spark.createDataFrame(ROWS, "key STRING, i LONG, text STRING")
+    src = str(tmp_path / "src")
+    build_index(spark, df, src,
+                IndexConfig(key_col="key", n_segments=2,
+                            segment_expr="pmod(i, 2)",
+                            record_option="freqs"), resume=False)
+    out = str(tmp_path / "merged")
+    merge_segments(spark, src, out, n_target_segments=1)
+    s = ExactSearcher(IndexReader(spark, out))
+    got = {r["key"]: r["score"]
+           for r in s.search(TermQuery("data"), k=3).collect()}
+    want = {r["key"]: r["score"]
+            for r in ExactSearcher(IndexReader(spark, src))
+            .search(TermQuery("data"), k=3).collect()}
+    assert got == want and set(got) == {"a", "b"}
