@@ -33,10 +33,11 @@ merge instead materializes an old->new doc-id permutation per output
 segment — (sortv, key) order, the SAME tie-break the build uses, so
 wide-build + sorted-merge reproduces a direct sorted build — and every
 term's postings re-sort globally by new doc id before re-chunking
-(_sorted_merge_kernel); fieldnorm chains scatter per doc instead of
+(_sorted_merge_stream); fieldnorm chains scatter per doc instead of
 concatenating.  The permutation is the analogue of the reference's
-SegmentDocIdMapping and is likewise materialized (~8 bytes/doc,
-bounded per merge group).
+SegmentDocIdMapping (~8 bytes/doc, held in the merge thread's RAM
+there): packed distributed, assembled once on the driver, and shipped
+via sc.broadcast — one copy per executor, never in task closures.
 """
 
 from __future__ import annotations
@@ -145,21 +146,63 @@ def _rebase_kernel(offsets: dict[int, int], out_seg: dict[int, int],
     return rebase
 
 
-def _sorted_merge_kernel(perms: dict[int, np.ndarray],
-                         avg_fieldnorm: float, chunk_docs: int,
+def _collect_perms(sorted_docmap, seg_docs: dict[int, int]
+                   ) -> dict[int, np.ndarray]:
+    """Assemble the old->new doc-id permutation (the reference merger's
+    SegmentDocIdMapping, merger.rs:648-847) as per-segment int64 arrays
+    (-1 = deleted).  The packing runs DISTRIBUTED — each mapInPandas
+    batch emits one compact binary row per segment it saw (~16 bytes per
+    doc on the wire) — and the driver only scatters the packed slices
+    into the final arrays: ~8 bytes/doc resident, the same working set
+    the reference's single merge thread holds in RAM for this mapping.
+    The caller ships the result via ``sc.broadcast`` (one torrent copy
+    per executor), never inside task closures."""
+    def _pack(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for seg, sub in pdf.groupby("segment_ord"):
+                rows.append((int(seg),
+                             sub["doc_id"].to_numpy(np.int64).tobytes(),
+                             sub["new_id"].to_numpy(np.int64).tobytes()))
+            yield pd.DataFrame(rows,
+                               columns=["segment_ord", "doc_ids", "new_ids"])
+
+    packed = (sorted_docmap.select("segment_ord", "doc_id", "new_id")
+              .mapInPandas(_pack,
+                           "segment_ord INT, doc_ids BINARY, new_ids BINARY")
+              .collect())
+    perms = {seg: np.full(n, -1, dtype=np.int64)
+             for seg, n in seg_docs.items()}
+    for r in packed:
+        d = np.frombuffer(r["doc_ids"], dtype=np.int64)
+        nd = np.frombuffer(r["new_ids"], dtype=np.int64)
+        perms[int(r["segment_ord"])][d] = nd
+    return perms
+
+
+def _sorted_merge_stream(perms_bc, avg_fieldnorm: float, chunk_docs: int,
                          avg_by_field: dict[str, float] | None = None):
-    """applyInPandas kernel for SORTED-index merge (ref: merger.rs —
-    a sorted index merges by k-way-merging doc orders on the sort key,
-    not by stacking; its SegmentDocIdMapping materializes the old->new
-    doc-id permutation exactly like ``perms`` here): one invocation per
-    (term, output segment) holding every source chunk of that term.
-    Decode all, map doc ids through the permutation (-1 = deleted,
-    dropped), re-sort the whole posting list by NEW doc id, and
+    """mapInPandas kernel for SORTED-index merge (ref: merger.rs — a
+    sorted index merges by k-way-merging doc orders on the sort key, not
+    by stacking).  Input: posting rows repartitioned by (term, out_g) and
+    sorted within partitions by (term, out_g, segment_ord, chunk_id), so
+    every (term, output-segment) group is CONTIGUOUS within one
+    partition.  The kernel streams Arrow batches, carrying the trailing
+    (possibly incomplete) group over to the next batch — per-group work
+    amortizes over ~10k-row batches instead of paying applyInPandas
+    conversion overhead once per term.
+
+    Per group: decode all source chunks, map doc ids through the
+    broadcast permutation (``perms_bc`` — one copy per executor, the
+    analogue of the reference's in-RAM SegmentDocIdMapping; -1 =
+    deleted, dropped), re-sort the whole posting list by NEW doc id, and
     re-encode into ``chunk_docs``-bounded chunks.
 
-    Unlike the stacking kernel there is no salting: a term's postings
-    need a GLOBAL re-sort within the output segment, so a hot term is
-    one task — the same serial-per-term shape the reference merger has.
+    There is no salting: a term's postings need a GLOBAL re-sort within
+    the output segment, so a hot term is one group — the same
+    serial-per-term shape the reference merger has.
     """
     cache = tf_cache_f32(max(avg_fieldnorm, 1e-9))
     field_caches = {f: tf_cache_f32(max(a, 1e-9))
@@ -170,9 +213,8 @@ def _sorted_merge_kernel(perms: dict[int, np.ndarray],
             return field_caches.get(term.split(FIELD_SEP, 1)[0], cache)
         return cache
 
-    def merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["segment_ord", "chunk_id"],
-                              ignore_index=True)
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        perms = perms_bc.value
         term = pdf["term"].iloc[0]
         g = int(pdf["out_g"].iloc[0])
         tf_cache = cache_of(term)
@@ -209,7 +251,9 @@ def _sorted_merge_kernel(perms: dict[int, np.ndarray],
         d = np.concatenate(d_parts)
         t = np.concatenate(t_parts)
         fn = np.concatenate(f_parts)
-        order = np.argsort(d, kind="stable")
+        # new doc ids are unique within a (term, out_g) group (each doc
+        # lists a term once), so the faster unstable sort is exact
+        order = np.argsort(d)
         d, t_new, fn = d[order], t[order], fn[order]
         pos_new = None
         if has_pos:
@@ -242,7 +286,33 @@ def _sorted_merge_kernel(perms: dict[int, np.ndarray],
             "docs", "tfs", "fns", "pos", "last_docs", "n_docs",
             "bits_doc", "bits_tf", "wand_fn", "wand_tf"])
 
-    return merge_term
+    def stream(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            terms = pdf["term"].to_numpy()
+            ogs = pdf["out_g"].to_numpy()
+            change = np.flatnonzero((terms[1:] != terms[:-1])
+                                    | (ogs[1:] != ogs[:-1])) + 1
+            starts = np.concatenate(([0], change)).astype(np.int64)
+            ends = np.concatenate((change, [len(pdf)])).astype(np.int64)
+            # hold the last group back — it may continue in the next batch
+            out = [merge_group(pdf.iloc[s:e])
+                   for s, e in zip(starts[:-1], ends[:-1])]
+            pending = pdf.iloc[starts[-1]:].reset_index(drop=True)
+            out = [o for o in out if len(o)]
+            if out:
+                yield pd.concat(out, ignore_index=True)
+        if pending is not None and len(pending):
+            final = merge_group(pending)
+            if len(final):
+                yield final
+
+    return stream
 
 
 def _plan_groups(alive_docs: dict[int, int], n_target: int
@@ -373,18 +443,20 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
 
     # ---- SORTED-index merge (ref: merger.rs sorted path — doc ids of
     # the merged segment follow the index sort key, not stacking).  The
-    # old->new permutation is materialized like the reference's
-    # SegmentDocIdMapping (~8 bytes/doc, bounded per merge GROUP — wide
-    # indexes merge group-by-group, so the mapping never spans the whole
-    # index at once).  Tie-break matches the build's (sortv, key) order,
-    # so wide-build + sorted-merge reproduces a direct sorted build.
+    # old->new permutation is the analogue of the reference's
+    # SegmentDocIdMapping (~8 bytes/doc, held in the merge thread's RAM
+    # there); here it is packed DISTRIBUTED, assembled once on the
+    # driver, and shipped via sc.broadcast — one torrent copy per
+    # executor, never pickled into task closures.  Tie-break matches the
+    # build's (sortv, key) order, so wide-build + sorted-merge
+    # reproduces a direct sorted build byte-for-byte.
     sort_col = manifest.get("config", {}).get("sort_col") or None
     docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
     if dead:
         dels_df = spark.read.parquet(deletes_path).distinct()
         docmap = docmap.join(F.broadcast(dels_df),
                              ["segment_ord", "doc_id"], "left_anti")
-    perms: dict[int, np.ndarray] | None = None
+    perms_bc = None
     sorted_docmap = None
     if sort_col and "sortv" in docmap.columns:
         first = (F.col("sortv").desc() if sort_col.startswith("desc:")
@@ -394,14 +466,8 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                          .withColumn("g", oseg_expr[F.col("segment_ord")])
                          .withColumn("new_id",
                                      F.row_number().over(w_sort) - 1))
-        pdf = sorted_docmap.select("segment_ord", "doc_id",
-                                   "new_id").toPandas()
-        perms = {}
-        for seg, n in seg_docs.items():
-            arr = np.full(n, -1, dtype=np.int64)
-            sub = pdf[pdf["segment_ord"] == seg]
-            arr[sub["doc_id"].to_numpy()] = sub["new_id"].to_numpy()
-            perms[seg] = arr
+        perms_bc = spark.sparkContext.broadcast(
+            _collect_perms(sorted_docmap, seg_docs))
 
     field_cols = manifest.get("config", {}).get("field_cols") or None
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -441,14 +507,18 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                 (int(r["t"]) / total_alive) if total_alive else 1.0
             for r in tok_rows}
 
-    if perms is not None:
-        # sorted merge: one (term, output-segment) group per task — the
-        # whole list re-sorts by NEW doc id, so no salting applies (the
-        # reference merger is equally serial per term)
+    if perms_bc is not None:
+        # sorted merge: every (term, output-segment) group re-sorts by
+        # NEW doc id, so no salting applies (the reference merger is
+        # equally serial per term).  Groups are made contiguous within
+        # shuffle partitions and streamed through mapInPandas — batch-
+        # amortized instead of one pandas conversion per term.
         merged = (real.withColumn("out_g", oseg_expr[F.col("segment_ord")])
-                  .groupBy("term", "out_g")
-                  .applyInPandas(
-                      _sorted_merge_kernel(perms, avg_fn, chunk_docs,
+                  .repartition("term", "out_g")
+                  .sortWithinPartitions("term", "out_g",
+                                        "segment_ord", "chunk_id")
+                  .mapInPandas(
+                      _sorted_merge_stream(perms_bc, avg_fn, chunk_docs,
                                            avg_by_field),
                       schema=POSTINGS_SCHEMA))
     else:
@@ -517,15 +587,15 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
             "docs", "tfs", "fns", "pos", "last_docs", "n_docs",
             "bits_doc", "bits_tf", "wand_fn", "wand_tf"])
 
-    if perms is not None:
+    if perms_bc is not None:
         # sorted merge: scatter each doc's stats to its NEW position
         # instead of concatenating in stacking order
         group_sizes: dict[int, int] = {}
         for seg, g in out_seg.items():
-            group_sizes[g] = (group_sizes.get(g, 0)
-                              + int((perms[seg] >= 0).sum()))
+            group_sizes[g] = group_sizes.get(g, 0) + alive_docs[seg]
 
         def merge_sentinels_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+            perms = perms_bc.value
             g = out_seg[int(pdf["segment_ord"].iloc[0])]
             sentinel_term = pdf["term"].iloc[0]
             n_all = group_sizes[g]
@@ -573,6 +643,8 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         .sortWithinPartitions("term", "segment_ord", "chunk_id") \
         .write.mode("overwrite").option("compression", compression)\
         .parquet(os.path.join(out_dir, "postings"))
+    if perms_bc is not None:
+        perms_bc.unpersist()
 
     # ---- docmap rebase (alive docs only, densely renumbered) --------------
     # fast-field columns ride on the docmap and are carried through

@@ -33,7 +33,9 @@ class OracleBuilder:
                  text_col: str = "text", n_segments: int = 8,
                  fields: dict[str, str] | None = None,
                  sdoc_order: str = "did",
-                 sdoc_aux: list[str] | None = None):
+                 sdoc_aux: list[str] | None = None,
+                 seg_expr: str | None = None,
+                 tf_one: bool = False):
         """``fields``: multi-field mode — ordered {field: SQL text expr}.
         Term queries must arrive FIELD-QUALIFIED (``{field}\\x1f{term}``,
         i.e. the same tree the multi-field searcher executes); each field
@@ -45,7 +47,18 @@ class OracleBuilder:
         oracle's (seg, sdoc) tie-break addresses match the sorted
         build's.  Columns the order expression needs beyond ``did``
         must be listed in ``sdoc_aux`` (they are carried through the
-        docs0 CTE)."""
+        docs0 CTE).
+
+        ``seg_expr``: SQL expression (over ``did`` + aux columns) for a
+        doc's segment ordinal, replacing the default ``did % n`` — a
+        MERGED index groups source segments into output segments, so
+        its oracle replays the group assignment here (ref merger.rs
+        sorted doc-id mapping, merger_sorted_index_test.rs).
+
+        ``tf_one``: IndexRecordOption::Basic parity (ref
+        index_record_option.rs:19-28) — the index stores docids only,
+        so term frequency reads as 1 in BM25 (the reference's
+        TermScorer on a Basic field)."""
         self.table = table
         self.id = id_col
         self.text = text_col
@@ -53,6 +66,8 @@ class OracleBuilder:
         self.fields = dict(fields) if fields else None
         self.sdoc_order = sdoc_order
         self.sdoc_aux = list(sdoc_aux or ())
+        self.seg_expr = seg_expr or f"did % {n_segments}"
+        self.tf_one = tf_one
         self._ctr = 0
 
     def _toks_expr(self, text_expr: str) -> str:
@@ -74,11 +89,11 @@ class OracleBuilder:
             ctes = [
                 f"docs0 AS (SELECT {self.id} AS did{aux}, {tok_cols} "
                 f"FROM {self.table})",
-                ("docs AS (SELECT did, did % {n} AS seg, "
-                 "row_number() OVER (PARTITION BY did % {n} "
+                ("docs AS (SELECT did, {seg} AS seg, "
+                 "row_number() OVER (PARTITION BY {seg} "
                  "ORDER BY {order}) - 1 "
                  "AS sdoc, {ntok}, {toks} FROM docs0)"
-                 ).format(n=self.n, order=self.sdoc_order,
+                 ).format(seg=self.seg_expr, order=self.sdoc_order,
                           ntok=ntok_cols, toks=toks_pass),
             ]
             for f in self.fields:
@@ -105,11 +120,11 @@ class OracleBuilder:
             f"docs0 AS (SELECT {self.id} AS did{aux}, {toks} AS toks "
             f"FROM {self.table})",
             (
-                "docs AS (SELECT did, did % {n} AS seg, "
-                "row_number() OVER (PARTITION BY did % {n} "
+                "docs AS (SELECT did, {seg} AS seg, "
+                "row_number() OVER (PARTITION BY {seg} "
                 "ORDER BY {order}) - 1 AS sdoc, "
                 "len(toks) AS ntok, toks FROM docs0)"
-            ).format(n=self.n, order=self.sdoc_order),
+            ).format(seg=self.seg_expr, order=self.sdoc_order),
             "stats AS (SELECT CAST(count(*) AS DOUBLE) AS nn, "
             "CAST(sum(ntok) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgfn FROM docs)",
             "tok AS (SELECT did, unnest(toks) AS tk FROM docs)",
@@ -147,8 +162,11 @@ class OracleBuilder:
         t = bare.replace("'", "''")
         tf = self._name("tf")
         sc = self._name("sc")
+        # tf_one: a Basic-record index stores docids only — tf reads 1
+        tf_expr = "CAST(1 AS DOUBLE)" if self.tf_one \
+            else "CAST(count(*) AS DOUBLE)"
         ctes.append(
-            f"{tf} AS (SELECT did, CAST(count(*) AS DOUBLE) AS tf "
+            f"{tf} AS (SELECT did, {tf_expr} AS tf "
             f"FROM {tok_src} WHERE tk = '{t}' GROUP BY did)"
         )
         dfq = f"(SELECT CAST(count(*) AS DOUBLE) FROM {tf})"
