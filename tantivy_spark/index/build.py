@@ -133,7 +133,14 @@ class IndexConfig:
     #: array<string>, one value per TOKEN (the reference's multivalued
     #: text fast field; aggregations then count per occurrence).
     fast_field_tokenizers: dict[str, str] | None = None
-    n_segments: int = 8
+    #: segment count; None (the default) = MEMORY-BUDGETED auto sizing
+    #: (ref: index_writer.rs:182-195, 274-299 — the reference flushes a
+    #: segment when a writer thread's memory arena hits its per-thread
+    #: budget; the Spark analogue derives n_segments from corpus stats
+    #: so one segment kernel's working set stays bounded at ANY corpus
+    #: size — see resolve_n_segments).  Small corpora resolve to 8, the
+    #: historical default, so existing indexes resume unchanged.
+    n_segments: int | None = None
     segment_expr: str | None = None   # SQL over input cols; default pmod(xxhash64(key), n)
     with_positions: bool = True
     #: IndexRecordOption parity (ref: src/schema/index_record_option.rs):
@@ -504,6 +511,65 @@ _POSTINGS_PA_SCHEMA = _pa.schema([
 ])
 
 
+#: floor for auto segment sizing — the historical default count, so
+#: small corpora resolve to exactly the pre-auto behavior
+MIN_AUTO_SEGMENTS = 8
+
+#: default per-kernel TEXT budget for auto segment sizing (bytes).
+#: Peak segment-kernel RSS measures ~10-12x its input text bytes
+#: (tokenize + composite-key sort + codec buffers; SCALE_PROBE r6: 32
+#: concurrent 500k-doc kernels at ~300 MB text each OOM-killed a
+#: 125 GB box, 64 segments completed), so 128 MiB of text bounds a
+#: kernel near ~1.5 GB — 32 concurrent kernels fit a 64 GB executor
+#: budget with headroom.  Override with SPARK_GRAFT_KERNEL_TEXT_BUDGET.
+DEFAULT_KERNEL_TEXT_BUDGET = 128 * 1024 * 1024
+
+#: rows sampled for the average-document-size estimate
+_SIZE_SAMPLE_ROWS = 20_000
+
+
+def resolve_n_segments(spark: SparkSession, df: DataFrame,
+                       cfg: IndexConfig) -> IndexConfig:
+    """Memory-budgeted segment sizing (ref: index_writer.rs:182-195,
+    274-299 — the reference flushes a segment to disk when a writer
+    thread's memory arena reaches its per-thread budget, so NO corpus
+    size can blow a writer's RAM).  The Spark analogue: with
+    ``cfg.n_segments=None``, derive the count from corpus stats —
+    ``ceil(estimated_text_bytes / kernel_text_budget)``, floored at
+    ``MIN_AUTO_SEGMENTS`` — so one applyInArrow segment kernel's
+    working set is bounded regardless of corpus size.  The estimate is
+    row count x average doc size over a bounded sample (one cheap
+    metadata-ish count job + one ~20k-row limit scan; never a full
+    text-column pass).  Explicit ``n_segments`` passes through
+    untouched."""
+    if cfg.n_segments is not None:
+        return cfg
+    if cfg.segment_expr:
+        raise ValueError(
+            "segment_expr pins the segment assignment; give an explicit "
+            "n_segments consistent with it (auto sizing would disagree "
+            "with the expression's ordinal space)")
+    from dataclasses import replace as _replace
+
+    budget = int(os.environ.get("SPARK_GRAFT_KERNEL_TEXT_BUDGET",
+                                DEFAULT_KERNEL_TEXT_BUDGET))
+    text_cols = (list(cfg.field_cols.values()) if cfg.field_cols
+                 else [cfg.text_col])
+    size_expr = None
+    for c in text_cols:
+        term = F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0))
+        size_expr = term if size_expr is None else (size_expr + term)
+    n_rows = df.count()
+    avg = 0.0
+    if n_rows:
+        row = (df.select(size_expr.alias("b")).limit(_SIZE_SAMPLE_ROWS)
+               .agg(F.avg("b")).first())
+        avg = float(row[0] or 0.0)
+    est_bytes = int(n_rows * avg)
+    n = max(MIN_AUTO_SEGMENTS, -(-est_bytes // budget))
+    return _replace(cfg, n_segments=int(n))
+
+
 def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
                 cfg: IndexConfig | None = None, resume: bool = True) -> dict:
     """Build (or resume building) an index from a pages-like DataFrame.
@@ -511,6 +577,7 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
     Returns the manifest dict (also written to ``{out_dir}/meta.json``).
     """
     cfg = cfg or IndexConfig()
+    cfg = resolve_n_segments(spark, df, cfg)
     if cfg.record_option not in ("basic", "freqs", "positions"):
         raise ValueError(
             f"unknown record_option {cfg.record_option!r}; expected one "
@@ -561,11 +628,14 @@ def build_index_wide(spark: SparkSession, df: DataFrame, out_dir: str,
     query parity is gate-checked by ``merged_search_term`` /
     ``merged_wand_or``).
 
-    Falls back to the direct build when the config pins a custom
-    ``segment_expr`` (the wide assignment would not respect it) or
-    ``sort_col`` (merge stacks doc ranges, which would break
-    within-segment sort order), or when ``build_segments`` does not
-    exceed the target count.
+    A ``sort_col`` config takes the SORTED merge path (merge.py
+    _sorted_merge_stream): within every output segment doc ids follow
+    the index sort key, and a full compaction (n_segments=1) is
+    byte-identical to a direct sorted build (test_sorted_merge.py pins
+    the md5 of the postings).  Falls
+    back to the direct build when the config pins a custom
+    ``segment_expr`` (the wide assignment would not respect it) or when
+    ``build_segments`` does not exceed the target count.
     """
     import shutil
     from dataclasses import replace
@@ -573,11 +643,11 @@ def build_index_wide(spark: SparkSession, df: DataFrame, out_dir: str,
     from tantivy_spark.index.merge import merge_segments
 
     cfg = cfg or IndexConfig()
+    cfg = resolve_n_segments(spark, df, cfg) if not cfg.segment_expr else cfg
     if build_segments is None:
-        build_segments = max(cfg.n_segments,
+        build_segments = max(cfg.n_segments or MIN_AUTO_SEGMENTS,
                              spark.sparkContext.defaultParallelism)
-    if (build_segments <= cfg.n_segments or cfg.segment_expr
-            or cfg.sort_col):
+    if build_segments <= (cfg.n_segments or 0) or cfg.segment_expr:
         return build_index(spark, df, out_dir, cfg, resume=resume)
     wide_cfg = replace(cfg, n_segments=build_segments)
     tmp = out_dir.rstrip("/") + ".wide"

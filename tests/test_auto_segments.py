@@ -1,0 +1,84 @@
+"""Memory-budgeted auto segment sizing (ref: index_writer.rs:182-195,
+274-299 — the reference flushes segments on a per-writer-thread memory
+budget, so no corpus size can exhaust a writer's RAM; the Spark
+analogue derives n_segments from corpus stats so one segment kernel's
+working set stays bounded)."""
+
+import pytest
+
+from tantivy_spark.index.build import (
+    DEFAULT_KERNEL_TEXT_BUDGET,
+    MIN_AUTO_SEGMENTS,
+    IndexConfig,
+    build_index,
+    resolve_n_segments,
+)
+
+
+def _docs(spark, n, doc_bytes=100):
+    return spark.range(n).selectExpr(
+        "cast(id as string) as url",
+        f"repeat('x', {doc_bytes}) as text")
+
+
+def test_small_corpus_resolves_to_historical_default(spark):
+    cfg = resolve_n_segments(spark, _docs(spark, 200), IndexConfig())
+    assert cfg.n_segments == MIN_AUTO_SEGMENTS == 8
+
+
+def test_explicit_count_passes_through(spark):
+    cfg = resolve_n_segments(spark, _docs(spark, 200),
+                             IndexConfig(n_segments=3))
+    assert cfg.n_segments == 3
+
+
+def test_budget_scales_segment_count(spark, monkeypatch):
+    # 1000 docs x 100 bytes = 100_000 text bytes; 30_000-byte budget
+    # -> ceil(100000/30000) = 4, floored at MIN_AUTO_SEGMENTS -> 8;
+    # 8_000-byte budget -> ceil = 13
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL_TEXT_BUDGET", "30000")
+    cfg = resolve_n_segments(spark, _docs(spark, 1000), IndexConfig())
+    assert cfg.n_segments == 8
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL_TEXT_BUDGET", "8000")
+    cfg = resolve_n_segments(spark, _docs(spark, 1000), IndexConfig())
+    assert cfg.n_segments == 13
+
+
+def test_default_budget_picks_safe_shape_at_probe_scale(spark):
+    """The 16M-doc SCALE_PROBE shape that OOM-killed the box (32
+    segments at ~500k docs/kernel) must not be what auto sizing picks:
+    16M docs x ~600 bytes = 9.6 GB text -> ceil(9.6e9 / 128 MiB) = 72
+    segments (~133 MB text/kernel), the regime the probe showed
+    completes."""
+    est = 16_000_000 * 600
+    n = -(-est // DEFAULT_KERNEL_TEXT_BUDGET)
+    assert n >= 64          # the shape that completed in the probe
+    assert est / n <= DEFAULT_KERNEL_TEXT_BUDGET
+
+
+def test_segment_expr_requires_explicit_count(spark):
+    with pytest.raises(ValueError, match="segment_expr"):
+        resolve_n_segments(spark, _docs(spark, 10),
+                           IndexConfig(segment_expr="0"))
+
+
+def test_auto_build_end_to_end(spark, tmp_path, monkeypatch):
+    """Default config (n_segments=None) builds with the derived count
+    and records it in the manifest."""
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL_TEXT_BUDGET", "2000")
+    df = _docs(spark, 200, doc_bytes=100)  # 20_000 bytes -> 10 segments
+    manifest = build_index(spark, df, str(tmp_path / "idx"),
+                           IndexConfig(), resume=False)
+    assert manifest["config"]["n_segments"] == 10
+    assert manifest["totals"]["num_segments"] == 10
+    assert manifest["totals"]["num_docs"] == 200
+
+
+def test_multifield_sizing_sums_all_text_columns(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL_TEXT_BUDGET", "10000")
+    df = spark.range(500).selectExpr(
+        "cast(id as string) as url",
+        "repeat('a', 60) as title", "repeat('b', 140) as body")
+    cfg = IndexConfig(field_cols={"title": "title", "body": "body"})
+    # 500 x 200 = 100_000 -> ceil/10000 = 10
+    assert resolve_n_segments(spark, df, cfg).n_segments == 10
