@@ -166,7 +166,7 @@ def _validate_fields(df: DataFrame, request: dict) -> None:
                 raise ValueError(f"missing field `field` (in {kind} "
                                  f"aggregation {name!r})")
             fld = spec.get("field")
-            if isinstance(fld, str) and kind != "date_histogram":
+            if isinstance(fld, str):
                 if fld not in types:
                     # json-pathed fields were already resolved into
                     # __jf* columns by _resolve_json_fields; anything

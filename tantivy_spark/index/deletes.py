@@ -58,7 +58,7 @@ def delete_by_query(spark: SparkSession, reader: IndexReader, query) -> int:
     repeated calls are idempotent."""
     from tantivy_spark.query.exact import ExactSearcher
 
-    addrs = ExactSearcher(reader).matching(query) \
+    addrs = ExactSearcher(reader).matching(query, scoring=False) \
         .select("segment_ord", "doc_id").distinct()
     n = addrs.count()
     if n:

@@ -374,9 +374,15 @@ def dedup_lines(docs: DataFrame, text_col: str = "text",
     groupBy(line) shuffle hashes the line text itself, which Spark
     handles the same way as any high-cardinality key (AQE splits skewed
     boilerplate keys)."""
+    # F.split's separator is a Java regex while the array_join rebuild
+    # below uses ``sep`` as a literal — \Q..\E-quote the split side
+    # (java.util.regex.Pattern.quote) so metacharacter separators
+    # (e.g. "|", ".") split literally and rebuild byte-identically
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = docs.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"))
+        F.posexplode(F.split(F.col(text_col), sep_rx))
+        .alias("__pos", "__line"))
     counts = lines.groupBy("__line").agg(F.count("*").alias("__n"))
     flagged = lines.join(counts, "__line")
     kept = flagged.filter(F.col("__n") < min_count)

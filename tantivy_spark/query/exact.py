@@ -206,10 +206,6 @@ class ExactSearcher:
         self._norms_arr = F.array(*[F.lit(int(v)) for v in FIELD_NORMS_TABLE.tolist()])
         self._fast_fields: DataFrame | None = None
         self._fast_key: str | None = None
-        #: scoring-enabled flag for the fast-field TermQuery fallback —
-        #: count() flips it off (EnableScoring::disabled), search/explain
-        #: keep it on and the fallback then errors like the reference
-        self._scoring = True
 
     def set_fast_fields(self, df: DataFrame, key_col: str) -> "ExactSearcher":
         """Attach the columnar (fast-field) table — the source table whose
@@ -264,14 +260,24 @@ class ExactSearcher:
                            self._score_col(w, avg).alias("score"))
 
     # ------------------------------------------------------------- matching
-    def matching(self, q: ast.Query, boost: float = 1.0) -> DataFrame:
+    def matching(self, q: ast.Query, boost: float = 1.0,
+                 scoring: bool = True) -> DataFrame:
         """(segment_ord, doc_id, score) for every matching *alive* doc.
 
         Deleted docs are filtered from the match set, but BM25 statistics
         keep including them until a merge — the reference's alive-bitset
         semantics (ARCHITECTURE.md:59-64).  On multi-field indexes the
-        tree is first rewritten to field-qualified dictionary keys."""
-        q = _rewrite_fastfield_terms(q, self.reader, self._scoring)
+        tree is first rewritten to field-qualified dictionary keys.
+
+        ``scoring=False`` is the reference's EnableScoring::Disabled:
+        non-scoring collectors (count, order-by-fast-field, facet,
+        histogram, agg doc sets, delete-by-query) pass it so the
+        fast-field TermQuery fallback is permitted; scoring consumers
+        keep the default and the fallback raises the schema error
+        (term_query.rs test_term_query_fastfield_with_scores_errors).
+        An explicit parameter, not searcher state — reentrant across
+        concurrent queries."""
+        q = _rewrite_fastfield_terms(q, self.reader, scoring)
         if self.reader.field_cols:
             q = ast.qualify(q, self.reader.default_field)
         dfs = self.reader.doc_freqs(q.terms())
@@ -832,11 +838,7 @@ class ExactSearcher:
             q = ast.qualify(q, self.reader.default_field)
         if isinstance(q, ast.TermQuery) and self.reader.deletes is None:
             return self.reader.doc_freqs([q.term])[q.term]
-        self._scoring = False
-        try:
-            return self.matching(q).count()
-        finally:
-            self._scoring = True
+        return self.matching(q, scoring=False).count()
 
     def explain(self, q: ast.Query, segment_ord: int, doc_id: int) -> dict:
         """Score explanation for ONE document — the analogue of

@@ -97,7 +97,8 @@ def facet_counts_df(searcher, q, collector: FacetCollector):
     rows = reader.postings.filter(term_cond).drop("pos")
     flat = rows.mapInPandas(_decode_kernel(False), schema=FLAT_SCHEMA)
 
-    matched = searcher.matching(q) if not isinstance(q, ast.AllQuery) else None
+    matched = searcher.matching(q, scoring=False) \
+        if not isinstance(q, ast.AllQuery) else None
     hits = flat.select("term", "segment_ord", "doc_id")
     if matched is not None:
         hits = hits.join(matched.select("segment_ord", "doc_id"),

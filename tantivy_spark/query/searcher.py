@@ -173,7 +173,7 @@ class Searcher:
         if field not in self.reader.fast_field_cols:
             raise ValueError(f"Field `{field}` is not a fast field.")
         query = self._as_query(q)
-        docs = self.exact.matching(query).join(
+        docs = self.exact.matching(query, scoring=False).join(
             self.reader.docmap, ["segment_ord", "doc_id"], "inner")
         key_sort = F.desc_nulls_last(field) if order == "desc" \
             else F.asc_nulls_last(field)
@@ -229,7 +229,11 @@ class Searcher:
                             else F.desc_nulls_last(name))
                 cols.append(name)
         sort += [F.asc("segment_ord"), F.asc("doc_id")]
-        docs = self.exact.matching(self._as_query(q)).join(
+        # score-as-key requires scoring; pure fast-field keys don't
+        # (EnableScoring::Disabled for the order-by collector)
+        needs_scores = any(name == "score" for name, _ in keys)
+        docs = self.exact.matching(self._as_query(q),
+                                   scoring=needs_scores).join(
             self.reader.docmap, ["segment_ord", "doc_id"], "inner")
         top = docs.orderBy(*sort).limit(k + offset)
         w = Window.orderBy(*sort)
@@ -257,7 +261,7 @@ class Searcher:
 
         if field not in self.reader.fast_field_cols:
             raise ValueError(f"Field `{field}` is not a fast field.")
-        docs = self.exact.matching(self._as_query(q)).join(
+        docs = self.exact.matching(self._as_query(q), scoring=False).join(
             self.reader.docmap, ["segment_ord", "doc_id"], "inner")
         val = F.col(field)
         if isinstance(min_value, _dt.datetime):
@@ -313,7 +317,8 @@ class Searcher:
         from tantivy_spark.aggs.tree import DEFAULT_BUCKET_LIMIT
 
         query = self._as_query(q)
-        matches = self.exact.matching(query).select("segment_ord", "doc_id")
+        matches = self.exact.matching(query, scoring=False) \
+            .select("segment_ord", "doc_id")
         docs = matches.join(self.reader.docmap, ["segment_ord", "doc_id"],
                             "inner")
         return run_agg_tree(docs, request,

@@ -625,6 +625,18 @@ def test_field_validation_helper(spark, ref_docs):
     run_agg_tree(ref_docs, {"avg_test": {"avg": {"field": "score"}}})
 
 
+def test_field_validation_covers_date_histogram(spark, ref_docs):
+    """date_histogram gets the same field-existence parity as every
+    other kind — a nonexistent column raises FieldNotFound instead of
+    an opaque downstream analysis error."""
+    from tantivy_spark.aggs.tree import FieldNotFoundError
+
+    with pytest.raises(FieldNotFoundError) as ei:
+        run_agg_tree(ref_docs, {"h": {"date_histogram": {
+            "field": "no_such_ts", "fixed_interval": "1d"}}})
+    assert ei.value.field == "no_such_ts"
+
+
 def test_typed_key_order_selection(spark):
     """_key ordering over typed json keys is NUMERIC within the number
     group (lexicographic tagged-string order would rank 10 before 9

@@ -111,6 +111,22 @@ def test_line_dedup_order_and_empty_doc(spark):
     assert out[2]["text"] == "" and out[2]["n_lines_kept"] == 0
 
 
+def test_line_dedup_regex_metachar_separator(spark):
+    """The split side quotes the separator (\\Q..\\E) so regex
+    metacharacters like '|' split LITERALLY and the array_join rebuild
+    is byte-identical — an unquoted '|' would split between every
+    character."""
+    from tantivy_spark.pipeline.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "dup|keep a|dup"), (2, "dup|keep b|dup")],
+        "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in dedup_lines(docs, sep="|").collect()}
+    assert out[1]["text"] == "keep a"
+    assert out[1]["n_lines_removed"] == 2 and out[1]["n_lines_kept"] == 1
+    assert out[2]["text"] == "keep b"
+
+
 def test_line_dedup_threshold(spark):
     from tantivy_spark.pipeline.dedup import dedup_lines
 

@@ -158,6 +158,33 @@ def test_fallback_with_scores_errors(fallback_searcher):
         fallback_searcher.search(ast.TermQuery("10", field="num"), k=1).collect()
 
 
+def test_fallback_allowed_in_nonscoring_collectors(fallback_searcher):
+    """The reference permits the fast-field fallback for ANY
+    EnableScoring::Disabled collector, not just Count — order-by-fast-
+    field and histogram pass scoring=False through matching() and must
+    not raise the SchemaError (mod.rs:220-266 + collector semantics)."""
+    from tantivy_spark.query.searcher import Searcher
+
+    s = Searcher(fallback_searcher.reader)
+    q = ast.TermQuery("hello", field="label")
+    got = s.search_order_by(q, field="num", order="desc", k=5).collect()
+    assert [r["key"] for r in got] == ["0000000000", "0000000002"]
+    hist = {r["bucket"]: r["cnt"]
+            for r in s.histogram_df(q, "num", 0, 10, 3).collect()}
+    assert hist == {0: 0, 1: 2, 2: 0}
+
+
+def test_fallback_scoring_flag_is_reentrant(fallback_searcher):
+    """scoring is a matching() parameter, not searcher state: a failed
+    scoring search must not leak a disabled flag into the next call
+    (and vice versa)."""
+    with pytest.raises(ValueError, match="SchemaError"):
+        fallback_searcher.search(ast.TermQuery("10", field="num"), k=1)
+    assert fallback_searcher.count(ast.TermQuery("10", field="num")) == 2
+    with pytest.raises(ValueError, match="SchemaError"):
+        fallback_searcher.search(ast.TermQuery("10", field="num"), k=1)
+
+
 def test_fallback_in_boolean_filter_context(fallback_searcher):
     # count()-style (scoring-disabled) boolean composition works
     from tantivy_spark.query import BooleanQuery, Occur
