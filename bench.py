@@ -215,15 +215,31 @@ def main() -> None:
         # chunk-level rebase, salted shuffle, vectorized codec both ways
         from tantivy_spark.index.merge import merge_segments
 
+        out_m = "/dev/shm/tantivy_bench_idx_merged"
+
         def big_merge_once():
-            out_m = "/dev/shm/tantivy_bench_idx_merged"
             shutil.rmtree(out_m, ignore_errors=True)
             merge_segments(spark, out_big, out_m, n_target_segments=8)
-            shutil.rmtree(out_m, ignore_errors=True)
 
         record("big_merge_sec", big_merge_once, trials=2)
         timings["big_merge_docs_per_sec"] = round(
             big_n / timings["big_merge_sec"], 1)
+
+        # SERVING-SHAPE latency: the 100-TB deployment recipe is
+        # wide-build -> merge down to few big segments (build_index_wide);
+        # these rows track query latency against the MERGED 8-segment
+        # index round-over-round (not just the 32-segment build shape)
+        merged_reader = IndexReader(spark, out_m)
+        record("big_wand_or_merged", lambda: wand_topk(
+            merged_reader, ["the", "of"], k=10, mode="or").collect(),
+            trials=3)
+        record("big_wand_and_merged", lambda: wand_topk(
+            merged_reader, ["the", "of"], k=10, mode="and").collect(),
+            trials=3)
+        record("big_exact_term_merged", lambda: ExactSearcher(
+            merged_reader).search(TermQuery("the"), k=10).collect(),
+            trials=3)
+        shutil.rmtree(out_m, ignore_errors=True)
 
         # SORTED-index merge (r6, merger.rs sorted doc-id mapping): the
         # heavier path — per-term GLOBAL re-sort + re-chunk through the

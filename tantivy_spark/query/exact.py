@@ -546,14 +546,28 @@ class ExactSearcher:
             slop = int(q.slop)
             from pyspark.sql.functions import pandas_udf
 
-            @pandas_udf("integer")
-            def sloppy_tf(*pos_cols: pd.Series) -> pd.Series:
-                from tantivy_spark.query.sloppy import sloppy_phrase_count
-                out = []
-                for lists in zip(*pos_cols):
-                    out.append(sloppy_phrase_count(
-                        [list(pl) for pl in lists], slop))
-                return pd.Series(out, dtype="int32")
+            if len(terms) == 2:
+                # hot shape: doc-PARALLEL numpy automaton — one
+                # vectorized step advances every candidate doc's
+                # two-pointer state at once (sloppy.py
+                # sloppy_count_two_batch; equivalence property-tested)
+                @pandas_udf("integer")
+                def sloppy_tf(p0: pd.Series, p1: pd.Series) -> pd.Series:
+                    from tantivy_spark.query.sloppy import (
+                        sloppy_count_two_batch)
+                    return pd.Series(
+                        sloppy_count_two_batch(p0, p1, slop),
+                        dtype="int32")
+            else:
+                @pandas_udf("integer")
+                def sloppy_tf(*pos_cols: pd.Series) -> pd.Series:
+                    from tantivy_spark.query.sloppy import (
+                        sloppy_phrase_count)
+                    out = []
+                    for lists in zip(*pos_cols):
+                        out.append(sloppy_phrase_count(
+                            [list(pl) for pl in lists], slop))
+                    return pd.Series(out, dtype="int32")
 
             hits = (cur.withColumn(
                         "tf", sloppy_tf(*[F.col(f"pos{i}") for i in range(len(terms))]))

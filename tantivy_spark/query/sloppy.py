@@ -205,3 +205,67 @@ def phrase_count(pos_lists: list[list[int]], slop: int = 0,
                  offsets: list[int] | None = None) -> int:
     """Convenience: shift then count."""
     return sloppy_phrase_count(shifted_positions(pos_lists, offsets), slop)
+
+
+# ---------------------------------------------------------------------------
+# doc-parallel numpy variant of the TWO-TERM slop kernel
+# ---------------------------------------------------------------------------
+
+def sloppy_count_two_batch(left_lists, right_lists, slop: int):
+    """Batched ``intersection_count_with_slop(update_left=False)``
+    (phrase_scorer.rs:145-190) over MANY documents at once: instead of
+    running the two-pointer loop per doc in Python, every active doc's
+    (li, ri) state advances by ONE vectorized numpy step per iteration
+    — a SIMD interpreter of the reference's automaton.  A step costs
+    O(active docs) in C; total python-level iterations = the longest
+    single doc's pointer walk, not the sum over docs, so a hot-term
+    slop query over thousands of candidate docs stops paying
+    per-(doc, position) interpreter overhead.
+
+    The advance sub-loop ("there could be a better left <= rv",
+    phrase_scorer.rs:160-168) is folded into the main automaton as
+    extra li-advance steps: advancing toward rv only DECREASES the
+    distance when left <= rv, so deferring the match until the best
+    left is reached counts exactly the same matches (equivalence with
+    the per-doc kernel is property-tested in test_sloppy_vectors.py).
+
+    ``left_lists`` / ``right_lists``: iterables (one entry per doc) of
+    sorted shifted position arrays.  Returns int64 counts per doc.
+    """
+    import numpy as np
+
+    def flatten(lists):
+        arrs = [np.asarray(x, dtype=np.int64) for x in lists]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                           count=len(arrs))
+        vals = (np.concatenate(arrs) if len(arrs) and lens.sum()
+                else np.zeros(0, np.int64))
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1])) \
+            if len(arrs) else np.zeros(0, np.int64)
+        return vals, offs, lens
+
+    lvals, loff, llen = flatten(left_lists)
+    rvals, roff, rlen = flatten(right_lists)
+    n = len(llen)
+    li = np.zeros(n, np.int64)
+    ri = np.zeros(n, np.int64)
+    cnt = np.zeros(n, np.int64)
+    act = np.flatnonzero((llen > 0) & (rlen > 0))
+    big = np.int64(2) ** 62
+    lim = max(len(lvals) - 1, 0)
+    while len(act):
+        lptr = loff[act] + li[act]
+        rptr = roff[act] + ri[act]
+        lv = lvals[lptr]
+        rv = rvals[rptr]
+        within = np.abs(lv - rv) <= slop
+        has_next = li[act] + 1 < llen[act]
+        nxt = np.where(has_next, lvals[np.minimum(lptr + 1, lim)], big)
+        adv = within & (nxt <= rv)          # folded best-left advance
+        match = within & ~adv
+        lt = ~within & (lv < rv)
+        cnt[act[match]] += 1
+        li[act] += (adv | match | lt)
+        ri[act] += (match | (~within & ~lt))
+        act = act[(li[act] < llen[act]) & (ri[act] < rlen[act])]
+    return cnt

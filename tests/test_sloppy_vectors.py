@@ -182,3 +182,65 @@ def test_empty_and_single():
     assert sloppy_phrase_count([], 0) == 0
     assert sloppy_phrase_count([[1, 2]], 0) == 2
     assert sloppy_phrase_count([[1], []], 3) == 0
+
+
+# ------------------------------------------------- doc-parallel numpy kernel
+
+def test_two_term_batch_equals_per_doc_kernel():
+    """sloppy_count_two_batch is a SIMD interpretation of
+    intersection_count_with_slop(update_left=False) — property-test the
+    equivalence over randomized sorted-unique position lists (including
+    empties, duplicates across lists, tight/loose slops)."""
+    import random
+
+    from tantivy_spark.query.sloppy import (
+        intersection_count_with_slop,
+        sloppy_count_two_batch,
+    )
+
+    rng = random.Random(1234)
+    lefts, rights, slops_per_case = [], [], []
+    for _ in range(600):
+        nl = rng.randrange(0, 12)
+        nr = rng.randrange(0, 12)
+        lefts.append(sorted(rng.sample(range(40), nl)))
+        rights.append(sorted(rng.sample(range(40), nr)))
+        slops_per_case.append(rng.choice([0, 1, 2, 3, 5, 10, 255]))
+    for slop in sorted(set(slops_per_case)):
+        idx = [i for i, s in enumerate(slops_per_case) if s == slop]
+        got = sloppy_count_two_batch([lefts[i] for i in idx],
+                                     [rights[i] for i in idx], slop)
+        want = [intersection_count_with_slop(lefts[i], rights[i],
+                                             slop, False)[0]
+                for i in idx]
+        assert list(got) == want, (slop, [
+            (lefts[i], rights[i], g, w)
+            for i, g, w in zip(idx, got, want) if g != w][:3])
+
+
+def test_two_term_batch_reference_shapes():
+    """The mod.rs slop vectors, replayed through the batched kernel."""
+    from tantivy_spark.query.sloppy import (
+        shifted_positions,
+        sloppy_count_two_batch,
+    )
+
+    cases = [  # (text, terms, slop, want) from the phrase slop vectors
+        ("a b e c", ["a", "c"], 3, 1),
+        ("a e e e c", ["a", "c"], 3, 1),
+        ("a e e e e c", ["a", "c"], 3, 0),
+        ("a b c", ["a", "b"], 0, 1),
+        ("b a", ["a", "b"], 1, 0),
+        ("b a", ["a", "b"], 2, 1),
+    ]
+    lefts, rights = [], []
+    for text, terms, _, _ in cases:
+        toks = text.split()
+        pls = [[i for i, t in enumerate(toks) if t == term]
+               for term in terms]
+        sh = shifted_positions(pls)
+        lefts.append(sh[0])
+        rights.append(sh[1])
+    for (_, _, slop, want), left, right in zip(cases, lefts, rights):
+        got = sloppy_count_two_batch([left], [right], slop)
+        assert got[0] == want

@@ -397,6 +397,42 @@ def test_snowball3_vectors():
         assert fn("database") == "database"
 
 
+def test_snowball3_known_divergences():
+    """EXECUTABLE pins of the DOCUMENTED deviations from the reference's
+    Snowball stemmers (stemmer.rs:13-55 maps Language::Arabic/Greek to
+    rust-stemmers; snowball3.py's docstring records where this
+    implementation's best offline reconstruction may differ).  These are
+    NOT parity assertions — they freeze the CURRENT behavior of the
+    affected word classes so any change (a regression OR a deliberate
+    fidelity fix from an independent published table) is loud in the
+    suite instead of silent prose drift.
+
+    * Arabic: initial hamza-seat normalization applies UNCONDITIONALLY
+      before the prefix ladder, where the published algorithm
+      interleaves it — prefix+hamza words pin the unconditional order.
+    * Greek: the open Ntais step-6 interaction — whether the
+      common-endings sweep is gated on 'no earlier step fired'.  This
+      implementation does NOT gate it, so a step-5 re-append like
+      ΒΕΤΕΡ+ΑΝ is stripped again by step 6 (a gated automaton would
+      keep 'βετεραν')."""
+    from tantivy_spark.functions.snowball3 import arabic_stem, greek_stem
+
+    # Arabic hamza-before-prefix class (deviation: unconditional seat
+    # folding; the interleaved published order could see the hamza form
+    # when matching ال/وال/بال prefixes)
+    for w, current in [("أطفال", "اطفال"), ("والأطفال", "اطفال"),
+                       ("بالإيمان", "ايم"), ("فأكل", "اكل"),
+                       ("آفاق", "افاق")]:
+        assert arabic_stem(w) == current, (w, arabic_stem(w))
+
+    # Greek step-5/6 interaction class (open question documented in
+    # snowball3.py; an ungated step 6 strips the 5-re-appended tail)
+    for w, current in [("βετεράν", "βετερ"),       # 5-re-append ΑΝ then 6 strips
+                       ("ανέφαγα", "ανεφ"),         # 5i guard path, 6 sweeps
+                       ("φάγαμε", "φ")]:            # aggressive sweep extreme
+        assert greek_stem(w) == current, (w, greek_stem(w))
+
+
 def test_snowball3_chains_distributed(spark):
     """The {ar,el}_stem analyzers run the same stems through the
     Arrow-batched UDF path (Tamil splits at combining marks under the
