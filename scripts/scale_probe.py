@@ -64,8 +64,16 @@ def main() -> None:
     docs.count()  # warm the input read before timing the build
 
     out_idx = f"/dev/shm/tantivy_scale_idx_{n_docs}_s{n_segments}"
+    # n_segments=0 -> MEMORY-BUDGETED auto sizing (IndexConfig
+    # n_segments=None; resolve_n_segments derives the count from corpus
+    # stats so the default config cannot be OOM-killed at any size)
     cfg = IndexConfig(key_col="url", text_col="text",
-                      n_segments=n_segments)
+                      n_segments=(n_segments if n_segments > 0 else None))
+    if n_segments == 0:
+        from tantivy_spark.index.build import resolve_n_segments
+        n_segments = resolve_n_segments(spark, docs, cfg).n_segments
+        result["n_segments"] = n_segments
+        result["auto_sized"] = True
 
     def timed(fn, trials):
         arr = []
