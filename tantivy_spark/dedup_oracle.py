@@ -71,13 +71,12 @@ def _tokens_lower(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
-def _band_rows(docs: list[tuple[int, str]], num_hashes: int = 32,
-               bands: int = 8, rows_per_band: int = 4,
-               shingle_k: int = 3) -> list[tuple[int, int, int]]:
-    """(id, band, bhash) rows replicating minhash_signatures +
-    minhash_lsh_candidates banding for every doc with >= k tokens."""
+def _doc_sigs(docs: list[tuple[int, str]], num_hashes: int = 32,
+              shingle_k: int = 3) -> list[tuple[int, list[int]]]:
+    """(id, signature) replicating minhash_signatures for every doc with
+    >= k tokens (docs below that have no shingles and no signature)."""
     import numpy as np
-    out: list[tuple[int, int, int]] = []
+    out: list[tuple[int, list[int]]] = []
     for did, text in docs:
         toks = _tokens_lower(text)
         if len(toks) < shingle_k:
@@ -89,12 +88,28 @@ def _band_rows(docs: list[tuple[int, str]], num_hashes: int = 32,
         # permutation i = xxhash64(sh BIGINT, lit(i) INT): hashLong then
         # chained hashInt — vectorized across the shingle axis
         base = xxh64_long_np(shs, SPARK_SEED)
-        sig = [int(xxh64_int_np(i, base).view(np.int64).min())
-               for i in range(num_hashes)]
+        out.append((did, [int(xxh64_int_np(i, base).view(np.int64).min())
+                          for i in range(num_hashes)]))
+    return out
+
+
+def _sig_band_rows(sigs: list[tuple[int, list[int]]], bands: int = 8,
+                   rows_per_band: int = 4) -> list[tuple[int, int, int]]:
+    out: list[tuple[int, int, int]] = []
+    for did, sig in sigs:
         for b in range(bands):
             chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
             out.append((did, b, spark_xxhash64(*chunk)))
     return out
+
+
+def _band_rows(docs: list[tuple[int, str]], num_hashes: int = 32,
+               bands: int = 8, rows_per_band: int = 4,
+               shingle_k: int = 3) -> list[tuple[int, int, int]]:
+    """(id, band, bhash) rows replicating minhash_signatures +
+    minhash_lsh_candidates banding for every doc with >= k tokens."""
+    return _sig_band_rows(_doc_sigs(docs, num_hashes, shingle_k),
+                          bands, rows_per_band)
 
 
 def _values(rows, types: str) -> str:
@@ -158,6 +173,64 @@ def jaccard_verified_sql(sf_dir: str | None = None) -> str:
         "ON i.id_a = c.id_a AND i.id_b = c.id_b "
         "JOIN sizes na ON na.id = c.id_a JOIN sizes nb ON nb.id = c.id_b "
         "ORDER BY id_a, id_b")
+
+
+def incremental_dedup_sql(sf_dir: str | None = None,
+                          num_hashes: int = 32, bands: int = 8,
+                          rows_per_band: int = 4, shingle_k: int = 3,
+                          threshold: float = 0.5) -> str:
+    """Oracle for incremental_dedup_docs (pipeline.dedup.dedup_against):
+    Python-spec signatures + band hashes for BOTH sides as literal
+    tables; DuckDB itself applies the ref-side bucket cap, the
+    new-vs-ref band join, the per-pair signature-agreement estimate,
+    the deterministic best-match selection, and the threshold.  The ref
+    signature table is pre-filtered in Python to a SUPERSET of the
+    joinable ids (uncapped bucket intersection — the cap only removes
+    candidates, so the SQL join stays authoritative) to bound the
+    literal-SQL size."""
+    docs = _read_documents(sf_dir or gate_sf_dir())
+    new = ([(i + 10_000_000, t) for i, t in docs if i % 50 == 0]
+           + [(i + 20_000_000, t[: int(len(t) / 2)])
+              for i, t in docs if i % 50 == 25])
+    ref_sigs = _doc_sigs(docs, num_hashes, shingle_k)
+    new_sigs = _doc_sigs(new, num_hashes, shingle_k)
+    bn = _sig_band_rows(new_sigs, bands, rows_per_band)
+    br = _sig_band_rows(ref_sigs, bands, rows_per_band)
+    new_buckets = {(b, h) for _, b, h in bn}
+    cand_ref = {did for did, b, h in br if (b, h) in new_buckets}
+    sigr = [(did, i, h) for did, sig in ref_sigs if did in cand_ref
+            for i, h in enumerate(sig)]
+    sign = [(did, i, h) for did, sig in new_sigs
+            for i, h in enumerate(sig)]
+    newids = [(i,) for i, _ in new]
+    return (
+        "WITH bandn(id, band, bhash) AS "
+        + _values(bn, "0 AS id, 0 AS band, 0 AS bhash") + ",\n"
+        "bandr(id, band, bhash) AS "
+        + _values(br, "0 AS id, 0 AS band, 0 AS bhash") + ",\n"
+        "sizedr AS (SELECT id, band, bhash FROM bandr "
+        "QUALIFY count(*) OVER (PARTITION BY band, bhash) <= 200),\n"
+        "cands AS (SELECT DISTINCT n.id AS id, rf.id AS ref_id "
+        "FROM bandn n JOIN sizedr rf "
+        "ON n.band = rf.band AND n.bhash = rf.bhash),\n"
+        "sign(id, i, h) AS " + _values(sign, "0 AS id, 0 AS i, 0 AS h")
+        + ",\n"
+        "sigr(id, i, h) AS " + _values(sigr, "0 AS id, 0 AS i, 0 AS h")
+        + ",\n"
+        "est AS (SELECT c.id, c.ref_id, "
+        "CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE) / "
+        f"{num_hashes} AS ej FROM cands c "
+        "JOIN sign a ON a.id = c.id "
+        "JOIN sigr b ON b.id = c.ref_id AND b.i = a.i "
+        "GROUP BY c.id, c.ref_id),\n"
+        "best AS (SELECT id, ref_id, ej FROM est QUALIFY row_number() "
+        "OVER (PARTITION BY id ORDER BY ej DESC, ref_id ASC) = 1),\n"
+        "newids(id) AS " + _values(newids, "0 AS id") + "\n"
+        "SELECT CAST(n.id AS BIGINT) AS doc_id, "
+        f"coalesce(b.ej >= {threshold}, FALSE) AS is_dup, "
+        "CAST(b.ref_id AS BIGINT) AS best_match, "
+        "round(b.ej, 4) AS est_r "
+        "FROM newids n LEFT JOIN best b ON b.id = n.id ORDER BY doc_id")
 
 
 def simhash_sql(sf_dir: str | None = None) -> str:

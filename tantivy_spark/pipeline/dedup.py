@@ -175,6 +175,84 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame,
                     .alias("jaccard")))
 
 
+def dedup_against(new_docs: DataFrame, ref_sigs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  num_hashes: int = 64, shingle_k: int = 3,
+                  bands: int = 16, rows_per_band: int = 4,
+                  threshold: float = 0.8,
+                  max_bucket: int = 200) -> DataFrame:
+    """INCREMENTAL near-dup admission: flag each doc of a NEW batch that
+    is a near-duplicate of an EXISTING corpus, reading only the corpus's
+    persisted MinHash signature store (``ref_sigs`` = the
+    :func:`minhash_signatures` output, kept as a table) — at the 100-TB
+    tier you never re-shingle the historical corpus to admit a daily
+    crawl; the
+    signature store is ~num_hashes*8 bytes/doc and this join touches
+    nothing else.
+
+    Shape: signature the new batch, band BOTH sides, equi-join new bands
+    against ref bands (never new-vs-new, never all-pairs), then estimate
+    Jaccard per candidate pair as the fraction of AGREEING signature
+    elements (the standard MinHash estimator — exact-text verification
+    is impossible and unnecessary without ref text).  Pathological REF
+    buckets (> ``max_bucket``, boilerplate-heavy stores) are dropped
+    like :func:`minhash_lsh_candidates` — bounded fan-out, recall trade
+    visible via :func:`lsh_dropped_buckets` on the store.
+
+    Returns ONE row per new doc: (id, is_dup BOOLEAN, best_match BIGINT
+    or null, est_jaccard DOUBLE or null) — best_match is the ref doc
+    with the highest agreement (ties break on the smaller ref id, so
+    the result is deterministic).  New docs with fewer than
+    ``shingle_k`` tokens have no signature and come back is_dup=false.
+    """
+    b, r = bands, rows_per_band
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id",
+            F.posexplode(F.array(*[
+                F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)])
+                for i in range(b)
+            ])).alias("band", "bhash"))
+
+    new_sigs = minhash_signatures(new_docs, text_col, id_col,
+                                  num_hashes, shingle_k)
+    rb = banded(ref_sigs)
+    rb = (rb.withColumn("bucket_n", F.count("*").over(
+        Window.partitionBy("band", "bhash")))
+        .filter(F.col("bucket_n") <= max_bucket).drop("bucket_n"))
+    nb = banded(new_sigs)
+    cand_ids = (nb.alias("n")
+                .join(rb.alias("rf"), ["band", "bhash"])
+                .select(F.col("n.id").alias("id"),
+                        F.col("rf.id").alias("ref_id"))
+                .distinct())
+    # agreement estimate only on the (small) candidate set; the HOF
+    # runs interpreted but over candidates, not the corpus
+    est = (cand_ids
+           .join(new_sigs.select(F.col("id"), F.col("sig").alias("sig_new")),
+                 "id")
+           .join(ref_sigs.select(F.col("id").alias("ref_id"),
+                                 F.col("sig").alias("sig_ref")), "ref_id")
+           .select("id", "ref_id",
+                   (F.size(F.filter(
+                       F.zip_with("sig_new", "sig_ref",
+                                  lambda a, bv: a == bv),
+                       lambda x: x)).cast("double")
+                    / F.lit(float(num_hashes))).alias("est_jaccard")))
+    w_best = Window.partitionBy("id").orderBy(
+        F.desc("est_jaccard"), F.asc("ref_id"))
+    best = (est.withColumn("rk", F.row_number().over(w_best))
+            .filter(F.col("rk") == 1).drop("rk"))
+    all_new = new_docs.select(F.col(id_col).alias("id")).distinct()
+    return (all_new.join(best, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("est_jaccard") >= F.lit(threshold),
+                               F.lit(False)).alias("is_dup"),
+                    F.col("ref_id").alias("best_match"),
+                    "est_jaccard"))
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         n_bits: int = 12, seed: int = 29,

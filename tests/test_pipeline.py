@@ -61,6 +61,35 @@ def test_jaccard_verify_exact(spark, docs):
     assert 0.5 < verified[(src, 9_999)] < 1.0
 
 
+def test_dedup_against_incremental_admission(spark, docs):
+    """dedup_against: a NEW batch checks against the EXISTING corpus's
+    signature store only — exact copy flags is_dup with est 1.0 and the
+    right best_match; an unrelated doc and a sub-k-token doc come back
+    clean (and present) in the output."""
+    from tantivy_spark.pipeline.dedup import (
+        dedup_against, minhash_signatures)
+
+    base = docs.select("doc_id", "text")
+    ref_sigs = minhash_signatures(base, num_hashes=32)
+    longest = docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(1) \
+        .collect()[0]
+    new = spark.createDataFrame(
+        [(9_001, longest["text"]),                       # exact copy
+         (9_002, "zzz qqq completely unrelated words xyzzy plugh"),
+         (9_003, "xy")],                                 # < k tokens
+        "doc_id long, text string")
+    out = {r["id"]: r for r in dedup_against(
+        new, ref_sigs, num_hashes=32, bands=8, rows_per_band=4,
+        threshold=0.5).collect()}
+    assert set(out) == {9_001, 9_002, 9_003}
+    assert out[9_001]["is_dup"] is True
+    assert out[9_001]["best_match"] == int(longest["doc_id"])
+    assert out[9_001]["est_jaccard"] == pytest.approx(1.0)
+    assert out[9_002]["is_dup"] is False
+    assert out[9_003]["is_dup"] is False
+    assert out[9_003]["best_match"] is None
+
+
 def test_embedding_near_dups(spark, emb):
     from tantivy_spark.pipeline.dedup import embedding_near_dups
 
