@@ -516,13 +516,16 @@ _POSTINGS_PA_SCHEMA = _pa.schema([
 MIN_AUTO_SEGMENTS = 8
 
 #: default per-kernel TEXT budget for auto segment sizing (bytes).
-#: Peak segment-kernel RSS measures ~10-12x its input text bytes
-#: (tokenize + composite-key sort + codec buffers; SCALE_PROBE r6: 32
-#: concurrent 500k-doc kernels at ~300 MB text each OOM-killed a
-#: 125 GB box, 64 segments completed), so 128 MiB of text bounds a
-#: kernel near ~1.5 GB — 32 concurrent kernels fit a 64 GB executor
-#: budget with headroom.  Override with SPARK_GRAFT_KERNEL_TEXT_BUDGET.
-DEFAULT_KERNEL_TEXT_BUDGET = 128 * 1024 * 1024
+#: Peak segment-kernel worker RSS measures ~15-20x its input text bytes
+#: (tokenize + composite-key sort + codec buffers + worker-reuse
+#: allocator high-water marks) — MEASURED at the 16M-doc probe: 32
+#: concurrent kernels at ~132 MB text each (128 MiB budget) OOM-killed
+#: a 125 GB box (r7), as did ~300 MB kernels in r6, while ~165 MB and
+#: smaller shapes complete.  64 MiB of text bounds a kernel near
+#: ~1-1.3 GB, so 32 concurrent kernels hold ~32-40 GB — headroom for
+#: the driver JVM and the page cache on the same box.  Override with
+#: SPARK_GRAFT_KERNEL_TEXT_BUDGET.
+DEFAULT_KERNEL_TEXT_BUDGET = 64 * 1024 * 1024
 
 #: rows sampled for the average-document-size estimate
 _SIZE_SAMPLE_ROWS = 20_000

@@ -45,15 +45,17 @@ def test_budget_scales_segment_count(spark, monkeypatch):
 
 
 def test_default_budget_picks_safe_shape_at_probe_scale(spark):
-    """The 16M-doc SCALE_PROBE shape that OOM-killed the box (32
-    segments at ~500k docs/kernel) must not be what auto sizing picks:
-    16M docs x ~600 bytes = 9.6 GB text -> ceil(9.6e9 / 128 MiB) = 72
-    segments (~133 MB text/kernel), the regime the probe showed
-    completes."""
-    est = 16_000_000 * 600
+    """The 16M-doc SCALE_PROBE shapes that OOM-killed the box (32
+    kernels at ~300 MB text each in r6; ~132 MB each in r7) must not be
+    what auto sizing picks: at the measured corpus (16M docs x ~406
+    bytes = 6.5 GB text), ceil(6.5e9 / 64 MiB) = 97 segments (~67 MB
+    text/kernel, ~165k docs/kernel) — comfortably under the ~250k
+    docs/kernel shape the r6 probe showed completes."""
+    est = 16_000_000 * 406
     n = -(-est // DEFAULT_KERNEL_TEXT_BUDGET)
-    assert n >= 64          # the shape that completed in the probe
+    assert n >= 90          # well below the OOM shapes
     assert est / n <= DEFAULT_KERNEL_TEXT_BUDGET
+    assert 16_000_000 / n <= 250_000   # docs/kernel under the proven bound
 
 
 def test_segment_expr_requires_explicit_count(spark):
