@@ -91,6 +91,36 @@ def test_sorted_merge_equals_direct_sorted_build(spark, sorted_pages,
     assert postings_fingerprint(direct) == postings_fingerprint(merged)
 
 
+def test_build_index_wide_takes_sorted_path(spark, sorted_pages,
+                                            tmp_path_factory):
+    """build_index_wide with sort_col (r7: no longer a conservative
+    fallback) — wide build + sorted merge down to ONE segment is
+    byte-identical to the direct sorted build."""
+    from tantivy_spark.index.build import build_index_wide
+
+    base = tmp_path_factory.mktemp("swide")
+    direct = str(base / "direct")
+    build_index(spark, sorted_pages, direct, IndexConfig(
+        key_col="url", text_col="text", n_segments=1,
+        sort_col="desc:tlen"))
+    wide = str(base / "wide_out")
+    manifest = build_index_wide(
+        spark, sorted_pages, wide,
+        IndexConfig(key_col="url", text_col="text", n_segments=1,
+                    sort_col="desc:tlen"),
+        build_segments=4, resume=False)
+    assert manifest["totals"]["num_segments"] == 1
+
+    def fp(d):
+        rows = (spark.read.parquet(f"{d}/postings")
+                .select("term", "chunk_id", F.md5(F.col("docs")).alias("h"),
+                        F.md5(F.col("tfs")).alias("h2"))
+                .orderBy("term", "chunk_id").collect())
+        return [(r["term"], r["chunk_id"], r["h"], r["h2"]) for r in rows]
+
+    assert fp(direct) == fp(wide)
+
+
 def test_sorted_merge_with_deletes(spark, sorted_pages, tmp_path_factory):
     """Deleted docs drop and the survivors stay sort-ordered with dense
     new ids (merger.rs sorted path over alive docs)."""
