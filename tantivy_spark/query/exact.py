@@ -559,15 +559,17 @@ class ExactSearcher:
                         sloppy_count_two_batch(p0, p1, slop),
                         dtype="int32")
             else:
+                # n>2: the carrying-slop automaton, equally doc-PARALLEL
+                # (sloppy.py sloppy_phrase_count_batch chains
+                # sloppy_carrying_batch stages; equivalence with the
+                # per-doc reference kernel is property-tested)
                 @pandas_udf("integer")
                 def sloppy_tf(*pos_cols: pd.Series) -> pd.Series:
                     from tantivy_spark.query.sloppy import (
-                        sloppy_phrase_count)
-                    out = []
-                    for lists in zip(*pos_cols):
-                        out.append(sloppy_phrase_count(
-                            [list(pl) for pl in lists], slop))
-                    return pd.Series(out, dtype="int32")
+                        sloppy_phrase_count_batch)
+                    return pd.Series(
+                        sloppy_phrase_count_batch(list(pos_cols), slop),
+                        dtype="int32")
 
             hits = (cur.withColumn(
                         "tf", sloppy_tf(*[F.col(f"pos{i}") for i in range(len(terms))]))

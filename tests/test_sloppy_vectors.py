@@ -244,3 +244,115 @@ def test_two_term_batch_reference_shapes():
     for (_, _, slop, want), left, right in zip(cases, lefts, rights):
         got = sloppy_count_two_batch([left], [right], slop)
         assert got[0] == want
+
+
+def test_carrying_batch_single_stage_equivalence():
+    """sloppy_carrying_batch == intersection_count_with_carrying_slop
+    per doc, BOTH modes: counts, and the (new_left, new_slops) pair in
+    update mode — randomized sorted-unique lists with random carried
+    slops (including wrap-range values) and empties."""
+    import random
+
+    import numpy as np
+
+    from tantivy_spark.query.sloppy import (
+        _flatten_lists,
+        intersection_count_with_carrying_slop,
+        sloppy_carrying_batch,
+    )
+
+    rng = random.Random(4321)
+    cases = []
+    for _ in range(500):
+        nl = rng.randrange(0, 10)
+        nr = rng.randrange(0, 10)
+        left = sorted(rng.sample(range(30), nl))
+        right = sorted(rng.sample(range(30), nr))
+        # slops may be SHORTER than left (missing -> 0) like the ref
+        slops = [rng.choice([0, 0, 1, 2, 3, 250])
+                 for _ in range(rng.randrange(0, nl + 1))]
+        cases.append((left, slops, right, rng.choice([1, 2, 3, 5, 254])))
+    for slop in sorted({c[3] for c in cases}):
+        sub = [c for c in cases if c[3] == slop]
+        lv, lo, ll = _flatten_lists([c[0] for c in sub])
+        sv = np.zeros_like(lv)
+        for di, c in enumerate(sub):       # align slops, zero-padded
+            for i, s in enumerate(c[1][:len(c[0])]):
+                sv[lo[di] + i] = s
+        rv, ro, rl = _flatten_lists([c[2] for c in sub])
+        slen = np.array([min(len(c[1]), len(c[0])) for c in sub],
+                        dtype=np.int64)
+        for mode_update in (False, True):
+            cnt, (ed, ep, es) = sloppy_carrying_batch(
+                lv, lo, ll, sv, rv, ro, rl, slop, mode_update,
+                slen=slen)
+            lens = np.bincount(ed, minlength=len(sub)) if len(ed) \
+                else np.zeros(len(sub), np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1])) \
+                if len(sub) else []
+            for di, (left, slops, right, _) in enumerate(sub):
+                want_c, want_l, want_s = \
+                    intersection_count_with_carrying_slop(
+                        list(left), list(slops), list(right), slop,
+                        mode_update)
+                assert cnt[di] == want_c, (slop, mode_update, left,
+                                           slops, right)
+                if mode_update:
+                    got_l = list(ep[offs[di]:offs[di] + lens[di]])
+                    got_s = list(es[offs[di]:offs[di] + lens[di]])
+                    assert got_l == want_l, (slop, left, slops, right,
+                                             got_l, want_l)
+                    assert got_s == want_s, (slop, left, slops, right,
+                                             got_s, want_s)
+
+
+def test_carrying_batch_pipeline_equivalence():
+    """sloppy_phrase_count_batch == sloppy_phrase_count doc-by-doc over
+    randomized 3-5-term shifted position sets."""
+    import random
+
+    from tantivy_spark.query.sloppy import (
+        sloppy_phrase_count,
+        sloppy_phrase_count_batch,
+    )
+
+    rng = random.Random(99)
+    for n_terms in (3, 4, 5):
+        for slop in (1, 2, 4):
+            docs = []
+            for _ in range(150):
+                docs.append([sorted(rng.sample(range(40),
+                                               rng.randrange(0, 9)))
+                             for _ in range(n_terms)])
+            got = sloppy_phrase_count_batch(
+                [[d[t] for d in docs] for t in range(n_terms)], slop)
+            for di, pls in enumerate(docs):
+                want = sloppy_phrase_count([list(p) for p in pls], slop)
+                assert got[di] == want, (n_terms, slop, pls,
+                                         got[di], want)
+
+
+def test_carrying_batch_reference_pipeline_vectors():
+    """The multi-term slop shapes from the reference's phrase tests,
+    through the batched pipeline."""
+    from tantivy_spark.query.sloppy import (
+        shifted_positions,
+        sloppy_phrase_count,
+        sloppy_phrase_count_batch,
+    )
+
+    texts = ["a b e c d", "a e b e c x d", "d c b a", "a x x b x x c q d"]
+    terms = ["a", "b", "c", "d"]
+    cols = []
+    for text in texts:
+        toks = text.split()
+        pls = [[i for i, t in enumerate(toks) if t == term]
+               for term in terms]
+        cols.append(shifted_positions(pls))
+    for slop in (1, 2, 3, 6):
+        got = sloppy_phrase_count_batch(
+            [[cols[d][t] for d in range(len(texts))]
+             for t in range(len(terms))], slop)
+        for d in range(len(texts)):
+            assert got[d] == sloppy_phrase_count(
+                [list(p) for p in cols[d]], slop), (slop, texts[d])
