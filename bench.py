@@ -278,6 +278,46 @@ def main() -> None:
         timings["big_token_counts_docs_per_sec"] = round(
             big_n / timings["big_token_counts_sec"], 1)
 
+        # incremental dedup ADMISSION cost (r7): given the persisted
+        # 800k-doc signature store, how fast does a 16k-doc new batch
+        # admit?  The store build is untimed (it is the one-time cost a
+        # real deployment amortizes); the timed path is signature the
+        # batch + banded new-vs-ref join + agreement estimate.
+        from tantivy_spark.pipeline.dedup import (
+            band_signatures, dedup_against, minhash_signatures)
+        sig_store = f"/dev/shm/tantivy_bench_sigs_{big_n}"
+        if not os.path.exists(os.path.join(sig_store, "_SUCCESS")):
+            minhash_signatures(keyed, num_hashes=32).write.mode(
+                "overwrite").parquet(sig_store)
+        band_store = f"/dev/shm/tantivy_bench_sigbands_{big_n}"
+        if not os.path.exists(os.path.join(band_store, "_SUCCESS")):
+            band_signatures(spark.read.parquet(sig_store), bands=8,
+                            rows_per_band=4).write.mode(
+                "overwrite").parquet(band_store)
+        ref_sigs = spark.read.parquet(sig_store)
+        ref_bands = spark.read.parquet(band_store)
+        new_batch = (keyed.filter(F.col("doc_id") % 50 == 0)
+                     .select((F.col("doc_id") + F.lit(1)).alias("doc_id"),
+                             "text"))
+        new_n = new_batch.count()
+        record("big_incremental_dedup_sec",
+               lambda: dedup_against(new_batch, ref_sigs, num_hashes=32,
+                                     bands=8, rows_per_band=4,
+                                     threshold=0.5).count(),
+               trials=2)
+        timings["big_incremental_dedup_newdocs_per_sec"] = round(
+            new_n / timings["big_incremental_dedup_sec"], 1)
+        # admission with the PERSISTED banded store (the deployment
+        # shape: band once when the store is built, not per batch)
+        record("big_incremental_dedup_prebuilt_sec",
+               lambda: dedup_against(new_batch, ref_sigs, num_hashes=32,
+                                     bands=8, rows_per_band=4,
+                                     threshold=0.5,
+                                     ref_bands=ref_bands).count(),
+               trials=2)
+        timings["big_incremental_dedup_prebuilt_newdocs_per_sec"] = round(
+            new_n / timings["big_incremental_dedup_prebuilt_sec"], 1)
+
         # chunk-level dedup throughput (pure-JVM strided windows +
         # one hash-groupBy — the sub-document dedup op, r5)
         from tantivy_spark.pipeline.dedup import chunk_dedup_groups

@@ -175,12 +175,34 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame,
                     .alias("jaccard")))
 
 
+def band_signatures(sigs: DataFrame, bands: int = 16,
+                    rows_per_band: int = 4,
+                    max_bucket: int = 200) -> DataFrame:
+    """(id, band, bhash) LSH band rows of a signature table, with the
+    over-``max_bucket`` buckets already dropped — the PERSISTABLE form
+    of a dedup reference store.  Write this next to the signatures and
+    pass it as ``ref_bands`` to :func:`dedup_against`: admission then
+    skips re-banding + re-capping the whole historical store per batch
+    (the same prebuilt-tables pattern as similarity.build_lsh_tables)."""
+    b, r = bands, rows_per_band
+    banded = sigs.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)])
+            for i in range(b)
+        ])).alias("band", "bhash"))
+    return (banded.withColumn("bucket_n", F.count("*").over(
+        Window.partitionBy("band", "bhash")))
+        .filter(F.col("bucket_n") <= max_bucket).drop("bucket_n"))
+
+
 def dedup_against(new_docs: DataFrame, ref_sigs: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   num_hashes: int = 64, shingle_k: int = 3,
                   bands: int = 16, rows_per_band: int = 4,
                   threshold: float = 0.8,
-                  max_bucket: int = 200) -> DataFrame:
+                  max_bucket: int = 200,
+                  ref_bands: DataFrame | None = None) -> DataFrame:
     """INCREMENTAL near-dup admission: flag each doc of a NEW batch that
     is a near-duplicate of an EXISTING corpus, reading only the corpus's
     persisted MinHash signature store (``ref_sigs`` = the
@@ -217,10 +239,10 @@ def dedup_against(new_docs: DataFrame, ref_sigs: DataFrame,
 
     new_sigs = minhash_signatures(new_docs, text_col, id_col,
                                   num_hashes, shingle_k)
-    rb = banded(ref_sigs)
-    rb = (rb.withColumn("bucket_n", F.count("*").over(
-        Window.partitionBy("band", "bhash")))
-        .filter(F.col("bucket_n") <= max_bucket).drop("bucket_n"))
+    # ref_bands: a persisted band_signatures() table — skip re-banding
+    # and re-capping the historical store on every admission
+    rb = ref_bands if ref_bands is not None else band_signatures(
+        ref_sigs, bands, rows_per_band, max_bucket)
     nb = banded(new_sigs)
     cand_ids = (nb.alias("n")
                 .join(rb.alias("rf"), ["band", "bhash"])

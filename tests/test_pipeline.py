@@ -89,6 +89,17 @@ def test_dedup_against_incremental_admission(spark, docs):
     assert out[9_003]["is_dup"] is False
     assert out[9_003]["best_match"] is None
 
+    # a persisted banded store (band_signatures) must admit identically
+    from tantivy_spark.pipeline.dedup import band_signatures
+    rb = band_signatures(ref_sigs, bands=8, rows_per_band=4)
+    out2 = {r["id"]: r for r in dedup_against(
+        new, ref_sigs, num_hashes=32, bands=8, rows_per_band=4,
+        threshold=0.5, ref_bands=rb).collect()}
+    assert {k: (v["is_dup"], v["best_match"], v["est_jaccard"])
+            for k, v in out.items()} == \
+           {k: (v["is_dup"], v["best_match"], v["est_jaccard"])
+            for k, v in out2.items()}
+
 
 def test_embedding_near_dups(spark, emb):
     from tantivy_spark.pipeline.dedup import embedding_near_dups
