@@ -502,3 +502,72 @@ def dedup_lines(docs: DataFrame, text_col: str = "text",
             .select(F.col("__id").alias(id_col),
                     F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
                     "n_lines_kept", "n_lines_removed"))
+
+
+def dedup_substrings(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_len: int = 20) -> DataFrame:
+    """Exact duplicated-SUBSTRING removal — the suffix-array dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), re-expressed as distributed token-window fingerprinting:
+    every ``min_len``-token window that occurs at more than one
+    (document, position) across the corpus is a duplicated span; all
+    occurrences except the globally-first one (min ``(id, pos)``) are
+    removed from their documents, token-by-token, and the text is
+    rebuilt from the surviving tokens.
+
+    Semantics (deterministic, SQL-replayable):
+    - tokens = whitespace split of the trimmed text; the rebuilt text is
+      the surviving tokens joined with single spaces (whitespace is
+      normalized — the same convention as the reference pipeline's
+      tokenized views).
+    - a window occurrence ``(doc, pos)`` is REMOVED iff its window
+      content occurs at >=2 (doc, pos) positions corpus-wide and
+      ``(doc, pos)`` is not the lexicographic minimum of them.
+    - token ``i`` of a doc is dropped iff covered by >=1 removed window
+      (``pos <= i < pos + min_len``).  Docs shorter than ``min_len``
+      tokens are never windowed (returned whitespace-normalized).
+
+    Returns ``(id, text, n_tokens BIGINT, n_tokens_removed BIGINT)``.
+
+    Scale shape: windows are fingerprinted JVM-side (xxhash64 over a
+    sliced token join — O(n * min_len) local work, no Python); the ONE
+    corpus-wide shuffle carries only ``(hash, id, pos)`` rows (16-24 B),
+    never window text.  Then one groupBy(id) collects removal starts and
+    one join back to the docs rebuilds — both keyed by id.  Identity is
+    a 64-bit fingerprint: at 10^12 windows the collision expectation is
+    ~0.03 pairs (documented trade; the reference's suffix array is
+    exact but single-node).  Per-doc removal masks are array
+    expressions (``filter`` + ``exists`` HOFs), bounded by doc length.
+    """
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    base = docs.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    wins = (base.filter(F.size("__toks") >= min_len)
+            .select("__id", F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - min_len),
+                lambda s: F.xxhash64(F.concat_ws(" ", F.slice(
+                    F.col("__toks"), s + 1, min_len)))))
+                .alias("__pos", "__wh")))
+    dup_groups = (wins.groupBy("__wh")
+                  .agg(F.count(F.lit(1)).alias("__n"),
+                       F.min(F.struct("__id", "__pos")).alias("__keep"))
+                  .filter(F.col("__n") >= 2))
+    removal_starts = (wins.join(dup_groups, "__wh")
+                      .filter(~((F.col("__id") == F.col("__keep.__id"))
+                                & (F.col("__pos") == F.col("__keep.__pos"))))
+                      .groupBy("__id")
+                      .agg(F.collect_list("__pos").alias("__starts")))
+    joined = base.join(removal_starts, "__id", "left")
+    starts = F.coalesce(F.col("__starts"),
+                        F.expr("CAST(array() AS array<int>)"))
+    kept = F.filter(
+        "__toks",
+        lambda t, i: ~F.exists(starts,
+                               lambda s: (s <= i) & (i < s + min_len)))
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("bigint")
+        .alias("n_tokens_removed"))

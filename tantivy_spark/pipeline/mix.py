@@ -89,3 +89,38 @@ def sample_token_budget(docs: DataFrame, budgets: dict[str, int],
             .filter(F.col("__cum") - F.col(tokens_col)
                     < F.col("__budget"))
             .drop("__budget", "__cum"))
+
+
+def temperature_mix_weights(docs: DataFrame, stratum_col: str = "lang",
+                            tokens_col: str = "n_tokens",
+                            temperature: float = 2.0) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum — the multilingual
+    / multi-domain sampling rule (T5 / mT5 style): a stratum with
+    ``n_d`` tokens gets sampling probability
+
+        p_d = n_d^(1/T) / sum_d' n_d'^(1/T)
+
+    ``T=1`` is proportional sampling, ``T -> inf`` approaches uniform —
+    the standard knob for upweighting low-resource strata without
+    letting them dominate.
+
+    Returns ``(stratum, n_tokens BIGINT, weight DOUBLE)`` sorted by
+    stratum.  Combine with :func:`sample_token_budget` by turning
+    ``weight * total_budget`` into per-stratum budgets.
+
+    Scale shape: ONE partial-aggregated groupBy over the corpus (the
+    per-stratum token sums), then the normalization is a cross-stratum
+    window over the tiny stratum table — no collect, no second pass
+    over the data.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    sums = (docs.groupBy(F.col(stratum_col).alias("stratum"))
+            .agg(F.sum(tokens_col).cast("bigint").alias("n_tokens")))
+    scaled = F.pow(F.col("n_tokens").cast("double"),
+                   F.lit(1.0 / float(temperature)))
+    w_all = Window.partitionBy()
+    return (sums
+            .withColumn("weight",
+                        scaled / F.sum(scaled).over(w_all))
+            .orderBy("stratum"))

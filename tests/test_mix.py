@@ -136,3 +136,37 @@ def test_line_dedup_threshold(spark):
     out = {r["doc_id"]: r["text"]
            for r in dedup_lines(docs, min_count=3).collect()}
     assert out[1] == "twice\nunique a"       # below threshold: kept
+
+
+def test_temperature_weights_math(spark, corpus):
+    from tantivy_spark.pipeline.mix import temperature_mix_weights
+
+    out = temperature_mix_weights(corpus, temperature=2.0).collect()
+    got = {r["stratum"]: (r["n_tokens"], r["weight"]) for r in out}
+    import math
+    sums = {"en": sum(100 + (i * 37) % 500 for i in range(0, 40, 2)),
+            "de": sum(100 + (i * 37) % 500 for i in range(1, 40, 2))}
+    z = math.sqrt(sums["en"]) + math.sqrt(sums["de"])
+    for s in ("en", "de"):
+        assert got[s][0] == sums[s]
+        assert got[s][1] == pytest.approx(math.sqrt(sums[s]) / z, abs=1e-12)
+    assert sum(w for _, w in got.values()) == pytest.approx(1.0)
+
+
+def test_temperature_extremes(spark, corpus):
+    from tantivy_spark.pipeline.mix import temperature_mix_weights
+
+    # T=1: proportional to token counts
+    out = {r["stratum"]: r["weight"]
+           for r in temperature_mix_weights(corpus, temperature=1.0).collect()}
+    sums = {"en": sum(100 + (i * 37) % 500 for i in range(0, 40, 2)),
+            "de": sum(100 + (i * 37) % 500 for i in range(1, 40, 2))}
+    total = sums["en"] + sums["de"]
+    assert out["en"] == pytest.approx(sums["en"] / total)
+    # very high T: near-uniform
+    out_hi = {r["stratum"]: r["weight"]
+              for r in temperature_mix_weights(
+                  corpus, temperature=1e9).collect()}
+    assert out_hi["en"] == pytest.approx(0.5, abs=1e-6)
+    with pytest.raises(ValueError):
+        temperature_mix_weights(corpus, temperature=0)
