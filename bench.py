@@ -327,6 +327,27 @@ def main() -> None:
         timings["big_chunk_dedup_docs_per_sec"] = round(
             big_n / timings["big_chunk_dedup_sec"], 1)
 
+        # exact duplicated-substring removal (Lee et al. style token-window
+        # fingerprinting, r7): 200k-doc slice + ~2% seeded verbatim copies
+        # so the keeper/mask/rebuild path does real removal work — the
+        # aggregate forces the full text rebuild (length sum), not just
+        # the window-count plan
+        from tantivy_spark.pipeline.dedup import dedup_substrings
+        # modulo filter, NOT limit(): limit funnels the plan through a
+        # single partition and serializes the window explode
+        sub_base = keyed.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 0)
+        sub_corpus = sub_base.union(
+            sub_base.filter(F.col("doc_id") % 50 == 0)
+            .select((F.col("doc_id") + F.lit(1)).alias("doc_id"), "text"))
+        sub_n = sub_corpus.count()
+        record("big_substring_dedup_sec",
+               lambda: dedup_substrings(sub_corpus, min_len=20)
+               .select(F.sum(F.length("text")).alias("b"),
+                       F.sum("n_tokens_removed").alias("rm")).collect(),
+               trials=2)
+        timings["big_substring_dedup_docs_per_sec"] = round(
+            sub_n / timings["big_substring_dedup_sec"], 1)
+
         # PII scrub + repetition stats throughput (data-hygiene passes;
         # pii is a pure codegen'd map, repetition adds one explode +
         # two groupBys)

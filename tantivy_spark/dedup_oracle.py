@@ -304,3 +304,62 @@ def token_budget_sample_sql(budgets: dict[str, int] | None = None,
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
         "CAST(n_chars AS BIGINT) AS n_tokens FROM r "
         "WHERE cum - n_chars < budget ORDER BY doc_id")
+
+
+def _simhash_py(text: str, hcache: dict[str, int]) -> int:
+    """Python-spec 64-bit SimHash replicating pipeline/dedup.simhash64
+    exactly (token regex, 40-byte raw-length filter, lowercase-then-
+    hash, +cnt/-cnt bit votes, signed two's-complement assembly)."""
+    counts: dict[int, int] = {}
+    for rt in _TOKEN_RE.findall(text):
+        if len(rt.encode("utf-8")) >= _MAX_TOKEN_BYTES:
+            continue
+        lt = rt.lower()
+        h = hcache.get(lt)
+        if h is None:
+            h = hcache[lt] = spark_xxhash64(lt)
+        counts[h] = counts.get(h, 0) + 1
+    sig = 0
+    for j in range(64):
+        v = sum(c if (h >> j) & 1 else -c for h, c in counts.items())
+        if v > 0:
+            sig |= 1 << j
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def simhash_near_dup_sql(max_hamming: int = 3, max_bucket: int = 2000,
+                         sf_dir: str | None = None) -> str:
+    """Oracle for simhash_near_dup_pairs: python-spec signatures AND
+    their Hamming-LSH chunk values as literal tables (the chunking uses
+    an unsigned view of the signed signature, like Spark's
+    shiftrightunsigned); DuckDB replays the bucket cap, the chunk
+    equi-join, and the exact popcount(xor) verification itself."""
+    docs = _with_dupes(_read_documents(sf_dir or gate_sf_dir()))
+    hcache: dict[str, int] = {}
+    sigs = [(did, _simhash_py(t, hcache)) for did, t in docs]
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    ch_rows: list[tuple[int, int, int]] = []
+    for did, s in sigs:
+        u = s & 0xFFFFFFFFFFFFFFFF
+        off = 0
+        for i in range(n_chunks):
+            w = base + (1 if i < extra else 0)
+            ch_rows.append((did, i, (u >> off) & ((1 << w) - 1)))
+            off += w
+    return (
+        "WITH sig(id, s) AS " + _values(sigs, "0 AS id, 0 AS s") + ",\n"
+        "ch(id, chunk, cval) AS " +
+        _values(ch_rows, "0 AS id, 0 AS chunk, 0 AS cval") + ",\n"
+        "f AS (SELECT id, chunk, cval FROM ch QUALIFY count(*) OVER "
+        f"(PARTITION BY chunk, cval) <= {max_bucket}),\n"
+        "p AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b FROM f a "
+        "JOIN f c ON a.chunk = c.chunk AND a.cval = c.cval "
+        "AND a.id < c.id)\n"
+        "SELECT CAST(p.id_a AS BIGINT) AS id_a, "
+        "CAST(p.id_b AS BIGINT) AS id_b, "
+        "CAST(bit_count(xor(sa.s, sb.s)) AS BIGINT) AS hamming "
+        "FROM p JOIN sig sa ON sa.id = p.id_a "
+        "JOIN sig sb ON sb.id = p.id_b "
+        f"WHERE bit_count(xor(sa.s, sb.s)) <= {max_hamming} "
+        "ORDER BY id_a, id_b")

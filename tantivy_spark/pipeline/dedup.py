@@ -571,3 +571,59 @@ def dedup_substrings(docs: DataFrame, text_col: str = "text",
         F.size("__toks").cast("bigint").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).cast("bigint")
         .alias("n_tokens_removed"))
+
+
+def simhash_near_dups(sigs: DataFrame, id_col: str = "id",
+                      sig_col: str = "simhash", max_hamming: int = 3,
+                      max_bucket: int = 2000) -> DataFrame:
+    """Near-duplicate PAIRS from 64-bit SimHash signatures via
+    Hamming-ball LSH: the signature splits into ``max_hamming + 1``
+    contiguous bit chunks — two signatures within Hamming distance
+    ``max_hamming`` differ in at most ``max_hamming`` chunks, so by
+    pigeonhole they agree EXACTLY on at least one chunk.  An equi-join
+    on (chunk_idx, chunk_value) therefore finds every such pair without
+    an all-pairs scan; a codegen'd ``bit_count(xor)`` verifies the true
+    distance, so false bucket collisions are filtered exactly.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b`` — EXACT over
+    the <= max_hamming Hamming ball, except pairs ALL of whose agreeing
+    chunks fall in buckets larger than ``max_bucket`` (the same
+    bounded-fan-out trade as minhash_lsh_candidates' cap; a capped
+    bucket means near-identical boilerplate that belongs in line/exact
+    dedup first).
+
+    Scale shape: ``max_hamming + 1`` rows per doc, ONE shuffle keyed by
+    (chunk, value), per-bucket self-join, distinct — never O(n^2).
+    """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError("max_hamming must be in [0, 15]")
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    chunk_cols, off = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < extra else 0)
+        piece = F.shiftrightunsigned(F.col(sig_col), off)
+        if w < 64:
+            piece = piece.bitwiseAND(F.lit((1 << w) - 1))
+        chunk_cols.append(piece)
+        off += w
+    banded = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sig"),
+        F.posexplode(F.array(*chunk_cols)).alias("chunk", "cval"))
+    sized = (banded.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("chunk", "cval")))
+        .filter(F.col("bucket_n") <= max_bucket).drop("bucket_n"))
+    a, c = sized.alias("a"), sized.alias("c")
+    return (a.join(c, (F.col("a.chunk") == F.col("c.chunk"))
+                   & (F.col("a.cval") == F.col("c.cval"))
+                   & (F.col("a.id") < F.col("c.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("c.id").alias("id_b"),
+                    F.col("a.sig").alias("__sa"),
+                    F.col("c.sig").alias("__sb"))
+            .distinct()
+            .withColumn("hamming", F.bit_count(
+                F.col("__sa").bitwiseXOR(F.col("__sb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -479,3 +479,65 @@ class TestPIIAndContamination:
         assert rows[3]["n_tokens"] == 1
         assert rows[3]["dup_2gram_frac"] == 0.0
         assert rows[3]["top_token_frac"] == 1.0
+
+
+def test_simhash_near_dups_pigeonhole_exact(spark):
+    """Hamming-ball LSH pairs == brute-force popcount pairs, with exact
+    distances, incl. negative (bit-63-set) signatures exercising the
+    unsigned chunk shift."""
+    from tantivy_spark.pipeline.dedup import simhash_near_dups
+
+    sigs = {
+        1: 0,
+        2: 1,                                  # ham(1,2)=1
+        3: (1 << 5) | (1 << 20) | (1 << 40),   # ham(1,3)=3, ham(2,3)=4
+        4: 0,                                  # ham(1,4)=0
+        5: -1,                                 # all 64 bits
+        6: -2,                                 # ham(5,6)=1
+    }
+
+    def pop(x):
+        return bin(x & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    want = {}
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            h = pop(sigs[a] ^ sigs[b])
+            if h <= 3:
+                want[(a, b)] = h
+    df = spark.createDataFrame(list(sigs.items()), "id long, simhash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_dups(df, max_hamming=3).collect()}
+    assert got == want
+    # max_hamming=0: identical signatures only
+    got0 = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_near_dups(df, max_hamming=0).collect()}
+    assert got0 == {(1, 4): 0}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        simhash_near_dups(df, max_hamming=16)
+
+
+def test_simhash_near_dups_bucket_cap(spark):
+    """A chunk bucket over max_bucket is dropped: pairs reachable ONLY
+    through that bucket vanish (the documented recall trade), pairs with
+    another agreeing chunk survive."""
+    from tantivy_spark.pipeline.dedup import simhash_near_dups
+
+    # 40 docs share chunks 0/2/3 (= 0) and differ only in chunk1
+    # (values 1..40) — every close pair among them is reachable ONLY
+    # through the shared over-cap buckets; docs 100/101 (ham=1) use
+    # chunk1=41 / chunk2=99, untouched by the flood
+    rows = [(i, (i + 1) << 16) for i in range(40)]
+    s100 = (41 << 16) | (99 << 32)
+    rows += [(100, s100), (101, s100 | 1)]
+    df = spark.createDataFrame(rows, "id long, simhash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_dups(df, max_hamming=3,
+                                      max_bucket=10).collect()}
+    # buckets (chunk0,0)/(chunk2,0)/(chunk3,0) hold 40+ docs -> dropped;
+    # i-series near-pairs vanish (documented recall trade); (100, 101)
+    # still surfaces via its private chunk1/chunk2 buckets
+    assert got == {(100, 101): 1}
