@@ -34,14 +34,15 @@ def test_explicit_count_passes_through(spark):
 
 def test_budget_scales_segment_count(spark, monkeypatch):
     # 1000 docs x 100 bytes = 100_000 text bytes; 30_000-byte budget
-    # -> ceil(100000/30000) = 4, floored at MIN_AUTO_SEGMENTS -> 8;
-    # 8_000-byte budget -> ceil = 13
+    # -> ceil(100000/30000) = 4, widened/aligned to the local[8] test
+    # session width -> 8; 8_000-byte budget -> ceil = 13, wave-aligned
+    # up to the next multiple of 8 -> 16 (smaller kernels, full waves)
     monkeypatch.setenv("SPARK_GRAFT_KERNEL_TEXT_BUDGET", "30000")
     cfg = resolve_n_segments(spark, _docs(spark, 1000), IndexConfig())
     assert cfg.n_segments == 8
     monkeypatch.setenv("SPARK_GRAFT_KERNEL_TEXT_BUDGET", "8000")
     cfg = resolve_n_segments(spark, _docs(spark, 1000), IndexConfig())
-    assert cfg.n_segments == 13
+    assert cfg.n_segments == 16
 
 
 def test_default_budget_picks_safe_shape_at_probe_scale(spark):
@@ -68,11 +69,12 @@ def test_auto_build_end_to_end(spark, tmp_path, monkeypatch):
     """Default config (n_segments=None) builds with the derived count
     and records it in the manifest."""
     monkeypatch.setenv("SPARK_GRAFT_KERNEL_TEXT_BUDGET", "2000")
-    df = _docs(spark, 200, doc_bytes=100)  # 20_000 bytes -> 10 segments
+    # 20_000 bytes -> ceil/2000 = 10, wave-aligned to 2x8 = 16
+    df = _docs(spark, 200, doc_bytes=100)
     manifest = build_index(spark, df, str(tmp_path / "idx"),
                            IndexConfig(), resume=False)
-    assert manifest["config"]["n_segments"] == 10
-    assert manifest["totals"]["num_segments"] == 10
+    assert manifest["config"]["n_segments"] == 16
+    assert manifest["totals"]["num_segments"] == 16
     assert manifest["totals"]["num_docs"] == 200
 
 
@@ -82,5 +84,21 @@ def test_multifield_sizing_sums_all_text_columns(spark, monkeypatch):
         "cast(id as string) as url",
         "repeat('a', 60) as title", "repeat('b', 140) as body")
     cfg = IndexConfig(field_cols={"title": "title", "body": "body"})
-    # 500 x 200 = 100_000 -> ceil/10000 = 10
-    assert resolve_n_segments(spark, df, cfg).n_segments == 10
+    # 500 x 200 = 100_000 -> ceil/10000 = 10, wave-aligned to 16
+    assert resolve_n_segments(spark, df, cfg).n_segments == 16
+
+
+def test_width_floor_fills_cluster(spark, monkeypatch):
+    """When the budget count would idle cores and each kernel still
+    gets >= budget/8 of text, auto sizing widens to the session width
+    (pinnable via SPARK_GRAFT_AUTO_WIDTH)."""
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL_TEXT_BUDGET", "8000")
+    monkeypatch.setenv("SPARK_GRAFT_AUTO_WIDTH", "16")
+    # 1000 x 100 = 100_000 bytes: by_budget = 13 < 16 and
+    # 100_000 >= (8000/8) * 16 = 16_000 -> widen to 16
+    cfg = resolve_n_segments(spark, _docs(spark, 1000), IndexConfig())
+    assert cfg.n_segments == 16
+    # slice guard: 100 docs = 10_000 bytes < (8000/8) * 16 = 16_000 ->
+    # widening would starve kernels, stays at the MIN floor
+    cfg = resolve_n_segments(spark, _docs(spark, 100), IndexConfig())
+    assert cfg.n_segments == MIN_AUTO_SEGMENTS
