@@ -337,16 +337,7 @@ def simhash_near_dup_sql(max_hamming: int = 3, max_bucket: int = 2000,
     docs = _with_dupes(_read_documents(sf_dir or gate_sf_dir()))
     hcache: dict[str, int] = {}
     sigs = [(did, _simhash_py(t, hcache)) for did, t in docs]
-    n_chunks = max_hamming + 1
-    base, extra = divmod(64, n_chunks)
-    ch_rows: list[tuple[int, int, int]] = []
-    for did, s in sigs:
-        u = s & 0xFFFFFFFFFFFFFFFF
-        off = 0
-        for i in range(n_chunks):
-            w = base + (1 if i < extra else 0)
-            ch_rows.append((did, i, (u >> off) & ((1 << w) - 1)))
-            off += w
+    ch_rows = _simhash_chunk_rows(sigs, max_hamming)
     return (
         "WITH sig(id, s) AS " + _values(sigs, "0 AS id, 0 AS s") + ",\n"
         "ch(id, chunk, cval) AS " +
@@ -363,3 +354,59 @@ def simhash_near_dup_sql(max_hamming: int = 3, max_bucket: int = 2000,
         "JOIN sig sb ON sb.id = p.id_b "
         f"WHERE bit_count(xor(sa.s, sb.s)) <= {max_hamming} "
         "ORDER BY id_a, id_b")
+
+
+def _simhash_chunk_rows(sigs: list[tuple[int, int]],
+                        max_hamming: int) -> list[tuple[int, int, int]]:
+    """(id, chunk, cval) Hamming-LSH chunk rows over the UNSIGNED view
+    of the signed signatures (mirrors dedup._simhash_chunk_cols)."""
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    out: list[tuple[int, int, int]] = []
+    for did, s in sigs:
+        u = s & 0xFFFFFFFFFFFFFFFF
+        off = 0
+        for i in range(n_chunks):
+            w = base + (1 if i < extra else 0)
+            out.append((did, i, (u >> off) & ((1 << w) - 1)))
+            off += w
+    return out
+
+
+def simhash_incremental_sql(max_hamming: int = 3, max_bucket: int = 2000,
+                            sf_dir: str | None = None) -> str:
+    """Oracle for simhash_incremental_docs: python-spec signatures for
+    the reference corpus AND the +10M-id verbatim new batch, chunk rows
+    for both sides as literal tables; DuckDB replays the store cap, the
+    new-vs-ref chunk join, the exact popcount verify, and the
+    deterministic (hamming, ref_id)-min best-match selection."""
+    docs = _read_documents(sf_dir or gate_sf_dir())
+    new = [(i + 10_000_000, t) for i, t in docs if i % 50 == 0]
+    hcache: dict[str, int] = {}
+    ref_sigs = [(d, _simhash_py(t, hcache)) for d, t in docs]
+    new_sigs = [(d, _simhash_py(t, hcache)) for d, t in new]
+    return (
+        "WITH rsig(id, s) AS " +
+        _values(ref_sigs, "0 AS id, 0 AS s") + ",\n"
+        "nsig(id, s) AS " + _values(new_sigs, "0 AS id, 0 AS s") + ",\n"
+        "rch(id, chunk, cval) AS " +
+        _values(_simhash_chunk_rows(ref_sigs, max_hamming),
+                "0 AS id, 0 AS chunk, 0 AS cval") + ",\n"
+        "nch(id, chunk, cval) AS " +
+        _values(_simhash_chunk_rows(new_sigs, max_hamming),
+                "0 AS id, 0 AS chunk, 0 AS cval") + ",\n"
+        "store AS (SELECT id, chunk, cval FROM rch QUALIFY count(*) "
+        f"OVER (PARTITION BY chunk, cval) <= {max_bucket}),\n"
+        "p AS (SELECT DISTINCT n.id AS id, r.id AS ref_id FROM nch n "
+        "JOIN store r ON n.chunk = r.chunk AND n.cval = r.cval),\n"
+        "h AS (SELECT p.id, p.ref_id, CAST(bit_count(xor(ns.s, rs.s)) "
+        "AS BIGINT) AS hamming FROM p JOIN nsig ns ON ns.id = p.id "
+        "JOIN rsig rs ON rs.id = p.ref_id "
+        f"WHERE bit_count(xor(ns.s, rs.s)) <= {max_hamming}),\n"
+        "b AS (SELECT id, ref_id, hamming FROM h QUALIFY row_number() "
+        "OVER (PARTITION BY id ORDER BY hamming, ref_id) = 1)\n"
+        "SELECT CAST(n.id AS BIGINT) AS id, "
+        "b.ref_id IS NOT NULL AS is_dup, "
+        "CAST(b.ref_id AS BIGINT) AS best_match, b.hamming "
+        "FROM (SELECT DISTINCT id FROM nsig) n LEFT JOIN b USING (id) "
+        "ORDER BY id")

@@ -573,6 +573,26 @@ def dedup_substrings(docs: DataFrame, text_col: str = "text",
         .alias("n_tokens_removed"))
 
 
+def _simhash_chunk_cols(sig_col: str, max_hamming: int) -> list[Column]:
+    """The ``max_hamming + 1`` contiguous bit-chunk expressions of a
+    64-bit signature (pigeonhole: two sigs within Hamming distance
+    ``max_hamming`` agree exactly on at least one chunk).  Unsigned
+    shifts so bit-63 (sign) chunks correctly."""
+    if not 0 <= max_hamming <= 15:
+        raise ValueError("max_hamming must be in [0, 15]")
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    cols, off = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < extra else 0)
+        piece = F.shiftrightunsigned(F.col(sig_col), off)
+        if w < 64:
+            piece = piece.bitwiseAND(F.lit((1 << w) - 1))
+        cols.append(piece)
+        off += w
+    return cols
+
+
 def simhash_near_dups(sigs: DataFrame, id_col: str = "id",
                       sig_col: str = "simhash", max_hamming: int = 3,
                       max_bucket: int = 2000) -> DataFrame:
@@ -595,18 +615,7 @@ def simhash_near_dups(sigs: DataFrame, id_col: str = "id",
     Scale shape: ``max_hamming + 1`` rows per doc, ONE shuffle keyed by
     (chunk, value), per-bucket self-join, distinct — never O(n^2).
     """
-    if not 0 <= max_hamming <= 15:
-        raise ValueError("max_hamming must be in [0, 15]")
-    n_chunks = max_hamming + 1
-    base, extra = divmod(64, n_chunks)
-    chunk_cols, off = [], 0
-    for i in range(n_chunks):
-        w = base + (1 if i < extra else 0)
-        piece = F.shiftrightunsigned(F.col(sig_col), off)
-        if w < 64:
-            piece = piece.bitwiseAND(F.lit((1 << w) - 1))
-        chunk_cols.append(piece)
-        off += w
+    chunk_cols = _simhash_chunk_cols(sig_col, max_hamming)
     banded = sigs.select(
         F.col(id_col).alias("id"), F.col(sig_col).alias("sig"),
         F.posexplode(F.array(*chunk_cols)).alias("chunk", "cval"))
@@ -627,3 +636,64 @@ def simhash_near_dups(sigs: DataFrame, id_col: str = "id",
                 F.col("__sa").bitwiseXOR(F.col("__sb"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def simhash_chunks(sigs: DataFrame, max_hamming: int = 3,
+                   max_bucket: int = 2000, id_col: str = "id",
+                   sig_col: str = "simhash") -> DataFrame:
+    """(id, sig, chunk, cval) Hamming-LSH chunk rows of a SimHash
+    signature table, over-``max_bucket`` buckets already dropped — the
+    PERSISTABLE reference store for :func:`simhash_dedup_against`
+    (the SimHash sibling of :func:`band_signatures`): write it once
+    next to the corpus (~(max_hamming+1) rows x 24 B per doc) and
+    daily admission batches never re-chunk or re-cap the history."""
+    rows = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sig"),
+        F.posexplode(F.array(*_simhash_chunk_cols(sig_col, max_hamming)))
+        .alias("chunk", "cval"))
+    return (rows.withColumn("bucket_n", F.count("*").over(
+        Window.partitionBy("chunk", "cval")))
+        .filter(F.col("bucket_n") <= max_bucket).drop("bucket_n"))
+
+
+def simhash_dedup_against(new_sigs: DataFrame, ref_chunks: DataFrame,
+                          max_hamming: int = 3, id_col: str = "id",
+                          sig_col: str = "simhash") -> DataFrame:
+    """INCREMENTAL SimHash near-dup admission: flag each doc of a NEW
+    batch whose signature sits within ``max_hamming`` bits of an
+    EXISTING corpus doc, reading only the corpus's persisted chunk
+    store (``ref_chunks`` = :func:`simhash_chunks` output) — the
+    SimHash sibling of :func:`dedup_against`, pigeonhole-EXACT over
+    the Hamming ball instead of estimate-based.
+
+    Shape: chunk the new batch (tiny), equi-join new-vs-ref on
+    (chunk, cval) — never new-vs-new, never all-pairs — then a
+    codegen'd ``bit_count(xor)`` verifies the exact distance.
+
+    Returns ONE row per new doc: ``(id, is_dup BOOLEAN, best_match
+    BIGINT or null, hamming BIGINT or null)`` — best_match is the ref
+    doc at the smallest distance (ties break on the smaller ref id, so
+    admission is deterministic)."""
+    nb = new_sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sig"),
+        F.posexplode(F.array(*_simhash_chunk_cols(sig_col, max_hamming)))
+        .alias("chunk", "cval"))
+    pairs = (nb.alias("n")
+             .join(ref_chunks.alias("rf"), ["chunk", "cval"])
+             .select(F.col("n.id").alias("id"),
+                     F.col("rf.id").alias("ref_id"),
+                     F.col("n.sig").alias("__sn"),
+                     F.col("rf.sig").alias("__sr"))
+             .distinct()
+             .withColumn("hamming", F.bit_count(
+                 F.col("__sn").bitwiseXOR(F.col("__sr"))).cast("bigint"))
+             .filter(F.col("hamming") <= max_hamming))
+    w_best = Window.partitionBy("id").orderBy(
+        F.asc("hamming"), F.asc("ref_id"))
+    best = (pairs.withColumn("rk", F.row_number().over(w_best))
+            .filter(F.col("rk") == 1)
+            .select("id", F.col("ref_id").alias("best_match"), "hamming"))
+    all_new = new_sigs.select(F.col(id_col).alias("id")).distinct()
+    return (all_new.join(best, "id", "left")
+            .select("id", F.col("best_match").isNotNull().alias("is_dup"),
+                    "best_match", "hamming"))

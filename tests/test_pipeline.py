@@ -541,3 +541,44 @@ def test_simhash_near_dups_bucket_cap(spark):
     # i-series near-pairs vanish (documented recall trade); (100, 101)
     # still surfaces via its private chunk1/chunk2 buckets
     assert got == {(100, 101): 1}
+
+
+def test_simhash_dedup_against_admission(spark):
+    """Incremental SimHash admission vs a persisted chunk store: exact
+    Hamming verdicts, deterministic min-(hamming, ref_id) best match,
+    non-matching docs admitted with null match."""
+    from tantivy_spark.pipeline.dedup import (
+        simhash_chunks, simhash_dedup_against)
+
+    ref = spark.createDataFrame(
+        [(10, 0), (11, (0xABCD << 32) | 0x1234), (12, 0)],
+        "id long, simhash long")
+    store = simhash_chunks(ref, max_hamming=3)
+    new = spark.createDataFrame(
+        [(100, 1),                       # ham 1 vs refs 10 and 12
+         (101, -1),                      # 64 bits from everything
+         (102, (0xABCD << 32) | 0x1236)  # ham 1 vs ref 11
+         ], "id long, simhash long")
+    got = {r["id"]: (r["is_dup"], r["best_match"], r["hamming"])
+           for r in simhash_dedup_against(new, store,
+                                          max_hamming=3).collect()}
+    assert got[100] == (True, 10, 1)   # tie at ham 1 -> smaller ref id
+    assert got[101] == (False, None, None)
+    assert got[102] == (True, 11, 1)
+
+
+def test_simhash_chunks_store_cap(spark):
+    """The persisted store drops over-cap buckets at BUILD time, so a
+    flooded chunk value cannot fan out an admission join."""
+    from tantivy_spark.pipeline.dedup import (
+        simhash_chunks, simhash_dedup_against)
+
+    # 30 refs share every chunk (identical sigs) -> all four buckets
+    # over the cap of 10 -> empty store -> nothing admits as dup
+    ref = spark.createDataFrame([(i, 42) for i in range(30)],
+                                "id long, simhash long")
+    store = simhash_chunks(ref, max_hamming=3, max_bucket=10)
+    assert store.count() == 0
+    new = spark.createDataFrame([(100, 42)], "id long, simhash long")
+    got = simhash_dedup_against(new, store, max_hamming=3).collect()
+    assert [(r["id"], r["is_dup"]) for r in got] == [(100, False)]
