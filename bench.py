@@ -318,6 +318,24 @@ def main() -> None:
         timings["big_incremental_dedup_prebuilt_newdocs_per_sec"] = round(
             new_n / timings["big_incremental_dedup_prebuilt_sec"], 1)
 
+        # simhash incremental admission (r7): the exact-Hamming-ball
+        # sibling — signature the batch + chunk equi-join against the
+        # persisted chunk store + popcount verify (store build untimed,
+        # the amortized one-time cost)
+        from tantivy_spark.pipeline.dedup import (
+            simhash_chunks, simhash_dedup_against)
+        sh_store = f"/dev/shm/tantivy_bench_shchunks_{big_n}"
+        if not os.path.exists(os.path.join(sh_store, "_SUCCESS")):
+            simhash_chunks(simhash64(keyed), max_hamming=3).write.mode(
+                "overwrite").parquet(sh_store)
+        sh_ref = spark.read.parquet(sh_store)
+        record("big_simhash_admission_sec",
+               lambda: simhash_dedup_against(
+                   simhash64(new_batch), sh_ref, max_hamming=3).count(),
+               trials=2)
+        timings["big_simhash_admission_newdocs_per_sec"] = round(
+            new_n / timings["big_simhash_admission_sec"], 1)
+
         # chunk-level dedup throughput (pure-JVM strided windows +
         # one hash-groupBy — the sub-document dedup op, r5)
         from tantivy_spark.pipeline.dedup import chunk_dedup_groups
