@@ -91,7 +91,8 @@ def run_merge(spark, docs, trials):
 
     def once():
         shutil.rmtree(out_m, ignore_errors=True)
-        merge_segments(spark, out_big, out_m, n_target_segments=8)
+        m = merge_segments(spark, out_big, out_m, n_target_segments=8)
+        print("phases:", m["stages"]["merge"].get("phases"), flush=True)
     timed(spark, "merge_800k_32to8", once, trials)
     shutil.rmtree(out_m, ignore_errors=True)
 
@@ -111,7 +112,8 @@ def run_sorted_merge(spark, docs, trials):
     def once():
         out_m = "/dev/shm/tantivy_bench_idx_smerged_x"
         shutil.rmtree(out_m, ignore_errors=True)
-        merge_segments(spark, out_sorted, out_m, n_target_segments=8)
+        m = merge_segments(spark, out_sorted, out_m, n_target_segments=8)
+        print("phases:", m["stages"]["merge"].get("phases"), flush=True)
         shutil.rmtree(out_m, ignore_errors=True)
     timed(spark, "sorted_merge_800k_32to8", once, trials)
 

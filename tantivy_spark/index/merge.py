@@ -21,11 +21,13 @@ within its output segment.  The only coordination is the per-(term,
 out-segment) chunk renumbering, computed as a prefix-sum over the tiny
 (term, segment) chunk-count table.
 
-Skew: the rebase shuffle is keyed by (term, salt) — ``salt = xxhash(chunk)
-% n_salts`` — so a hot term's thousands of chunks spread across
-partitions instead of hammering one reducer.  Renumbering is
-order-deterministic regardless of salt placement, so salting never
-changes the output (asserted by tests).
+Skew: the rebase shuffle is RANGE-partitioned by (term, segment, chunk),
+so a hot term's thousands of chunks spread across contiguous partitions
+instead of hammering one reducer (r8: this replaced hash-(term, salt)
+partitioning — range bounds give the same skew spreading AND leave the
+kernel output term-sorted, so no post-kernel layout exchange is needed).
+Renumbering is order-deterministic regardless of placement, so the
+partitioning never changes the output (asserted by tests).
 
 SORTED indexes (config.sort_col set, ref merger.rs sorted path +
 test_merge_facets_sort_asc/desc): stacking would break the sort, so the
@@ -411,8 +413,20 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                    compression: str = "zstd") -> dict:
     """Merge the segments of ``index_dir`` into ``n_target_segments``
     segments at ``out_dir`` (or into an explicit ``groups`` assignment,
-    e.g. from :func:`log_merge_plan`).  Returns the new manifest."""
+    e.g. from :func:`log_merge_plan`).  Returns the new manifest.
+
+    ``n_salts`` is accepted for API compatibility but unused since the
+    rebase shuffle became range-partitioned (hot-term chunks spread by
+    range instead of salt; output unchanged either way)."""
     t_start = time.time()
+    phases: dict[str, float] = {}
+
+    def _mark(name: str, t_prev: list) -> None:
+        now = time.time()
+        phases[name] = round(now - t_prev[0], 3)
+        t_prev[0] = now
+
+    _t = [t_start]
     with open(os.path.join(index_dir, "meta.json")) as f:
         manifest = json.load(f)
     os.makedirs(out_dir, exist_ok=True)
@@ -462,10 +476,13 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         first = (F.col("sortv").desc() if sort_col.startswith("desc:")
                  else F.col("sortv").asc())
         w_sort = Window.partitionBy("g").orderBy(first, F.col("key").asc())
+        # pinned: used twice (permutation packing + docmap rebase) —
+        # without the pin the window sort job runs twice (r8)
         sorted_docmap = (docmap
                          .withColumn("g", oseg_expr[F.col("segment_ord")])
                          .withColumn("new_id",
-                                     F.row_number().over(w_sort) - 1))
+                                     F.row_number().over(w_sort) - 1)
+                         .persist())
         perms_bc = spark.sparkContext.broadcast(
             _collect_perms(sorted_docmap, seg_docs))
 
@@ -493,11 +510,22 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
             if recs:
                 yield pd.DataFrame(recs, columns=["term", "tok_alive"])
 
-    tok_rows = (sent.select("term", "segment_ord", "chunk_id", "doc_freq", "docs")
-                .mapInPandas(_sent_stats, "term STRING, tok_alive LONG")
-                .groupBy("term")
-                .agg(F.coalesce(F.sum("tok_alive"), F.lit(0)).alias("t"))
-                .collect())
+    if dead:
+        tok_rows = (sent.select("term", "segment_ord", "chunk_id",
+                                "doc_freq", "docs")
+                    .mapInPandas(_sent_stats, "term STRING, tok_alive LONG")
+                    .groupBy("term")
+                    .agg(F.coalesce(F.sum("tok_alive"), F.lit(0)).alias("t"))
+                    .collect())
+    else:
+        # no deletes: alive tokens per chain are exactly the stored
+        # chunk total_tf sums — a column-pruned JVM agg, no sentinel
+        # vint-decode job (r8: the decode pass only pays off when dead
+        # docs must be masked out)
+        tok_rows = (sent.groupBy("term")
+                    .agg(F.coalesce(F.sum("total_tf"), F.lit(0)).alias("t"))
+                    .collect())
+    _mark("plan_stats", _t)
     alive_tokens = sum(int(r["t"]) for r in tok_rows)
     avg_fn = (alive_tokens / total_alive) if total_alive else 1.0
     avg_by_field = None
@@ -513,8 +541,15 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
         # equally serial per term).  Groups are made contiguous within
         # shuffle partitions and streamed through mapInPandas — batch-
         # amortized instead of one pandas conversion per term.
+        # RANGE-partitioned by (term, out_g) BEFORE the kernel: equal
+        # keys land in one partition (groups stay whole for the stream
+        # carryover), the kernel output is already term-range-laid-out,
+        # and the post-kernel repartitionByRange — whose RangePartitioner
+        # sampling job re-executed the whole merge kernel — is gone (r8)
         merged = (real.withColumn("out_g", oseg_expr[F.col("segment_ord")])
-                  .repartition("term", "out_g")
+                  .repartitionByRange(
+                      max(spark.sparkContext.defaultParallelism, 8),
+                      "term", "out_g")
                   .sortWithinPartitions("term", "out_g",
                                         "segment_ord", "chunk_id")
                   .mapInPandas(
@@ -536,12 +571,17 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
             .withColumn("new_chunk_id",
                         F.col("chunk_base") + F.col("chunk_id"))
             .drop("chunk_base")
-            # hot-term skew: spread a term's chunks across reducers
-            .withColumn("salt",
-                        F.pmod(F.xxhash64("term", "segment_ord", "chunk_id"),
-                               F.lit(n_salts)))
-            .repartition("term", "salt")
-            .drop("salt")
+            # RANGE-partitioned + sorted BEFORE the kernel (r8): chunk
+            # rebase is row-independent, so range partitioning both
+            # spreads a hot term's chunks across reducers (the job the
+            # salt used to do) and leaves the kernel output in final
+            # term-sorted layout — the post-kernel repartitionByRange,
+            # whose RangePartitioner sampling job re-executed the whole
+            # rebase kernel, is gone
+            .repartitionByRange(
+                max(spark.sparkContext.defaultParallelism, 8),
+                "term", "segment_ord", "chunk_id")
+            .sortWithinPartitions("term", "segment_ord", "chunk_id")
         )
         merged = rebased_input.mapInPandas(
             _rebase_kernel(offsets, out_seg, avg_fn, dead, avg_by_field),
@@ -635,17 +675,12 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                    .applyInPandas(lambda pdf: sentinel_fn(pdf.drop(columns=["g"])),
                                   schema=POSTINGS_SCHEMA))
 
-    # final layout: range-partitioned by term + sorted within partitions,
-    # so every term lookup prunes to one partition's row groups — the
-    # FST-ordered-dictionary equivalent at file-layout level
-    merged.unionByName(sent_merged) \
-        .repartitionByRange(max(spark.sparkContext.defaultParallelism, 8), "term") \
-        .sortWithinPartitions("term", "segment_ord", "chunk_id") \
-        .write.mode("overwrite").option("compression", compression)\
-        .parquet(os.path.join(out_dir, "postings"))
-    if perms_bc is not None:
-        perms_bc.unpersist()
-
+    # final layout: the kernels already receive range-partitioned,
+    # term-sorted input and preserve row order, so every term lookup
+    # prunes to one partition's row groups — the FST-ordered-dictionary
+    # equivalent at file-layout level — without an extra post-kernel
+    # exchange (sentinel rows ride in their own applyInPandas
+    # partitions; readers address them by term filter, not layout)
     # ---- docmap rebase (alive docs only, densely renumbered) --------------
     # fast-field columns ride on the docmap and are carried through
     extra = [c for c in docmap.columns
@@ -670,31 +705,67 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                            + off_expr[F.col("segment_ord")]).cast("int")
                           .alias("doc_id"),
                           *extra))
-    docmap_out.write.mode("overwrite").option(
-        "compression", compression).parquet(os.path.join(out_dir, "docmap"))
+
+    # postings and docmap are independent scans/writes — submit them
+    # concurrently so the small docmap job back-fills executor slots the
+    # postings kernel waves leave idle (r8; same overlap pattern as
+    # build_index's docmap || postings stage pair)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _postings_job():
+        merged.unionByName(sent_merged) \
+            .write.mode("overwrite").option("compression", compression)\
+            .parquet(os.path.join(out_dir, "postings"))
+
+    def _docmap_job():
+        docmap_out.write.mode("overwrite").option(
+            "compression", compression).parquet(
+            os.path.join(out_dir, "docmap"))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(_postings_job), ex.submit(_docmap_job)]
+        for f in futs:
+            f.result()
+    if perms_bc is not None:
+        perms_bc.unpersist()
+    if sorted_docmap is not None:
+        sorted_docmap.unpersist()
+    _mark("postings_docmap_write", _t)
 
     # ---- term_stats / lineage / manifest ----------------------------------
+    # both derive from the postings just written; independent -> overlap
     new_postings = spark.read.parquet(os.path.join(out_dir, "postings"))
-    (new_postings.filter(~F.col("term").startswith(FIELDNORM_SENTINEL))
-     .groupBy("term")
-     .agg(F.sum("doc_freq").alias("doc_freq"), F.sum("total_tf").alias("total_tf"))
-     .write.mode("overwrite").option("compression", compression)
-     .parquet(os.path.join(out_dir, "term_stats")))
-
     is_sent = F.col("term").startswith(FIELDNORM_SENTINEL)
     doc_sentinel = fieldnorm_sentinel(
         next(iter(field_cols)) if field_cols else None)
-    (new_postings.groupBy("segment_ord").agg(
-        F.sum(F.when(F.col("term") == doc_sentinel, F.col("doc_freq")))
-        .alias("n_docs"),
-        F.sum(F.when(is_sent, F.col("total_tf"))).alias("n_tokens"),
-        F.sum(F.when(~is_sent, 1).otherwise(0)).alias("posting_rows"),
-        F.sum(F.when(~is_sent, F.col("doc_freq"))).alias("postings"),
-        (F.sum(F.octet_length("docs")) + F.sum(F.octet_length("tfs"))
-         + F.sum(F.octet_length("fns"))
-         + F.sum(F.coalesce(F.octet_length("pos"), F.lit(0)))).alias("bytes"),
-    ).write.mode("overwrite").option("compression", compression)
-     .parquet(os.path.join(out_dir, "lineage")))
+
+    def _term_stats_job():
+        (new_postings.filter(~F.col("term").startswith(FIELDNORM_SENTINEL))
+         .groupBy("term")
+         .agg(F.sum("doc_freq").alias("doc_freq"),
+              F.sum("total_tf").alias("total_tf"))
+         .write.mode("overwrite").option("compression", compression)
+         .parquet(os.path.join(out_dir, "term_stats")))
+
+    def _lineage_job():
+        (new_postings.groupBy("segment_ord").agg(
+            F.sum(F.when(F.col("term") == doc_sentinel, F.col("doc_freq")))
+            .alias("n_docs"),
+            F.sum(F.when(is_sent, F.col("total_tf"))).alias("n_tokens"),
+            F.sum(F.when(~is_sent, 1).otherwise(0)).alias("posting_rows"),
+            F.sum(F.when(~is_sent, F.col("doc_freq"))).alias("postings"),
+            (F.sum(F.octet_length("docs")) + F.sum(F.octet_length("tfs"))
+             + F.sum(F.octet_length("fns"))
+             + F.sum(F.coalesce(F.octet_length("pos"), F.lit(0))))
+            .alias("bytes"),
+        ).write.mode("overwrite").option("compression", compression)
+         .parquet(os.path.join(out_dir, "lineage")))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(_term_stats_job), ex.submit(_lineage_job)]
+        for f in futs:
+            f.result()
+    _mark("stats_writes", _t)
 
     new_manifest = dict(manifest)
     new_manifest["totals"] = {
@@ -713,7 +784,8 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
             } for r in tok_rows}
     new_manifest["stages"] = dict(manifest.get("stages", {}),
                                   merge={"wall_sec": time.time() - t_start,
-                                         "status": "done"})
+                                         "status": "done",
+                                         "phases": phases})
     new_manifest["merged_from"] = {"index_dir": index_dir,
                                    "offsets": {str(k): v for k, v in offsets.items()},
                                    "out_seg": {str(k): v for k, v in out_seg.items()},
