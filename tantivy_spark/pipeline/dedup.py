@@ -210,7 +210,8 @@ def dedup_against(new_docs: DataFrame, ref_sigs: DataFrame,
                   bands: int = 16, rows_per_band: int = 4,
                   threshold: float = 0.8,
                   max_bucket: int = 200,
-                  ref_bands: DataFrame | None = None) -> DataFrame:
+                  ref_bands: DataFrame | None = None,
+                  broadcast_batch: bool = True) -> DataFrame:
     """INCREMENTAL near-dup admission: flag each doc of a NEW batch that
     is a near-duplicate of an EXISTING corpus, reading only the corpus's
     persisted MinHash signature store (``ref_sigs`` = the
@@ -234,46 +235,66 @@ def dedup_against(new_docs: DataFrame, ref_sigs: DataFrame,
     with the highest agreement (ties break on the smaller ref id, so
     the result is deterministic).  New docs with fewer than
     ``shingle_k`` tokens have no signature and come back is_dup=false.
+
+    ``broadcast_batch`` (default True, r8): the admission batch is tiny
+    next to the store, so its banded signatures are BROADCAST into both
+    joins — the band store and the signature store are only ever
+    SCANNED, never shuffled or sorted (the previous sort-merge joins
+    exchanged num_hashes*8 B/doc of store rows per admission).  Disable
+    for batches too large to broadcast (~>5M docs); the joins then fall
+    back to the planner's choice.
     """
     b, r = bands, rows_per_band
-
-    def banded(sigs: DataFrame) -> DataFrame:
-        return sigs.select(
-            "id",
-            F.posexplode(F.array(*[
-                F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)])
-                for i in range(b)
-            ])).alias("band", "bhash"))
-
     new_sigs = minhash_signatures(new_docs, text_col, id_col,
                                   num_hashes, shingle_k)
     # ref_bands: a persisted band_signatures() table — skip re-banding
     # and re-capping the historical store on every admission
     rb = ref_bands if ref_bands is not None else band_signatures(
         ref_sigs, bands, rows_per_band, max_bucket)
-    nb = banded(new_sigs)
-    cand_ids = (nb.alias("n")
-                .join(rb.alias("rf"), ["band", "bhash"])
-                .select(F.col("n.id").alias("id"),
-                        F.col("rf.id").alias("ref_id"))
-                .distinct())
+    # the batch's signature rides along through the band join, so the
+    # batch is signed ONCE and the agreement estimate needs no join
+    # back to the new side
+    nb = new_sigs.select(
+        "id", F.col("sig").alias("sig_new"),
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col("sig")[i * r + j] for j in range(r)])
+            for i in range(b)
+        ])).alias("band", "bhash"))
+    if broadcast_batch:
+        nb = F.broadcast(nb)
+    cands = (nb.alias("n")
+             .join(rb.alias("rf"), ["band", "bhash"])
+             .select(F.col("n.id").alias("id"), F.col("n.sig_new"),
+                     F.col("rf.id").alias("ref_id"))
+             .distinct())
+    if broadcast_batch:
+        cands = F.broadcast(cands)
     # agreement estimate only on the (small) candidate set; the HOF
     # runs interpreted but over candidates, not the corpus
-    est = (cand_ids
-           .join(new_sigs.select(F.col("id"), F.col("sig").alias("sig_new")),
-                 "id")
+    agree = (F.size(F.filter(
+        F.zip_with("sig_new", "sig_ref", lambda a, bv: a == bv),
+        lambda x: x)).cast("double") / F.lit(float(num_hashes)))
+    # fail FAST on a store built with different num_hashes (zip_with
+    # would otherwise null-pad and silently skew the estimate)
+    est_expr = F.when(F.size("sig_ref") == F.lit(int(num_hashes)), agree) \
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"ref_sigs signature length != num_hashes={num_hashes}: "
+                  f"got "), F.size("sig_ref").cast("string"),
+            F.lit(" — the persisted store was built with different "
+                  "MinHash parameters"))))
+    est = (cands
            .join(ref_sigs.select(F.col("id").alias("ref_id"),
                                  F.col("sig").alias("sig_ref")), "ref_id")
-           .select("id", "ref_id",
-                   (F.size(F.filter(
-                       F.zip_with("sig_new", "sig_ref",
-                                  lambda a, bv: a == bv),
-                       lambda x: x)).cast("double")
-                    / F.lit(float(num_hashes))).alias("est_jaccard")))
-    w_best = Window.partitionBy("id").orderBy(
-        F.desc("est_jaccard"), F.asc("ref_id"))
-    best = (est.withColumn("rk", F.row_number().over(w_best))
-            .filter(F.col("rk") == 1).drop("rk"))
+           .select("id", "ref_id", est_expr.alias("est_jaccard")))
+    # best match = max est_jaccard, ties -> smaller ref id: ONE
+    # map-side-combining aggregation (min over an order-encoding
+    # struct) instead of a window sort over the candidate set
+    best = (est.groupBy("id")
+            .agg(F.min(F.struct(
+                (-F.col("est_jaccard")).alias("neg_ej"),
+                F.col("ref_id"), F.col("est_jaccard"))).alias("__b"))
+            .select("id", F.col("__b.ref_id").alias("ref_id"),
+                    F.col("__b.est_jaccard").alias("est_jaccard")))
     all_new = new_docs.select(F.col(id_col).alias("id")).distinct()
     return (all_new.join(best, "id", "left")
             .select("id",
@@ -681,7 +702,8 @@ def simhash_chunks(sigs: DataFrame, max_hamming: int = 3,
 
 def simhash_dedup_against(new_sigs: DataFrame, ref_chunks: DataFrame,
                           max_hamming: int = 3, id_col: str = "id",
-                          sig_col: str = "simhash") -> DataFrame:
+                          sig_col: str = "simhash",
+                          broadcast_batch: bool = True) -> DataFrame:
     """INCREMENTAL SimHash near-dup admission: flag each doc of a NEW
     batch whose signature sits within ``max_hamming`` bits of an
     EXISTING corpus doc, reading only the corpus's persisted chunk
@@ -696,26 +718,32 @@ def simhash_dedup_against(new_sigs: DataFrame, ref_chunks: DataFrame,
     Returns ONE row per new doc: ``(id, is_dup BOOLEAN, best_match
     BIGINT or null, hamming BIGINT or null)`` — best_match is the ref
     doc at the smallest distance (ties break on the smaller ref id, so
-    admission is deterministic)."""
+    admission is deterministic).
+
+    ``broadcast_batch`` (default True, r8): the admission batch is tiny
+    next to the store, so its chunk rows are BROADCAST into the
+    store join — the persisted chunk store is only ever SCANNED, never
+    shuffled or sorted.  Disable for very large batches; the join then
+    falls back to the planner's choice.  Best-match selection is a
+    map-side-combining min-struct aggregation (no window sort, and no
+    pre-distinct — duplicate chunk agreements cannot change a min)."""
     nb = new_sigs.select(
         F.col(id_col).alias("id"), F.col(sig_col).alias("sig"),
         F.posexplode(F.array(*_simhash_chunk_cols(sig_col, max_hamming)))
         .alias("chunk", "cval"))
+    if broadcast_batch:
+        nb = F.broadcast(nb)
     pairs = (nb.alias("n")
              .join(ref_chunks.alias("rf"), ["chunk", "cval"])
              .select(F.col("n.id").alias("id"),
                      F.col("rf.id").alias("ref_id"),
-                     F.col("n.sig").alias("__sn"),
-                     F.col("rf.sig").alias("__sr"))
-             .distinct()
-             .withColumn("hamming", F.bit_count(
-                 F.col("__sn").bitwiseXOR(F.col("__sr"))).cast("bigint"))
+                     F.bit_count(F.col("n.sig").bitwiseXOR(F.col("rf.sig")))
+                     .cast("bigint").alias("hamming"))
              .filter(F.col("hamming") <= max_hamming))
-    w_best = Window.partitionBy("id").orderBy(
-        F.asc("hamming"), F.asc("ref_id"))
-    best = (pairs.withColumn("rk", F.row_number().over(w_best))
-            .filter(F.col("rk") == 1)
-            .select("id", F.col("ref_id").alias("best_match"), "hamming"))
+    best = (pairs.groupBy("id")
+            .agg(F.min(F.struct("hamming", "ref_id")).alias("__b"))
+            .select("id", F.col("__b.ref_id").alias("best_match"),
+                    F.col("__b.hamming").alias("hamming")))
     all_new = new_sigs.select(F.col(id_col).alias("id")).distinct()
     return (all_new.join(best, "id", "left")
             .select("id", F.col("best_match").isNotNull().alias("is_dup"),
