@@ -578,20 +578,28 @@ class ExactSearcher:
         else:
             # shifted-position trick, generalized to explicit offsets:
             # pos + (max_off - off_i) is equal across all phrase slots
-            # exactly at occurrences (phrase_scorer.rs:364-383)
-            parts = []
-            for i, (t, off) in enumerate(zip(terms, offsets)):
-                parts.append(
-                    flat.filter(F.col("term") == t).select(
-                        "segment_ord", "doc_id", "fieldnorm_id",
-                        (F.col("pos") + F.lit(max_off - off)).alias("apos"),
-                        F.lit(i).alias("ord"),
-                    )
-                )
-            allp = reduce(lambda a, b: a.unionByName(b), parts)
+            # exactly at occurrences (phrase_scorer.rs:364-383).
+            # ONE decode pass (r8): each posting row explodes into the
+            # slots whose term it carries (repeated phrase terms get one
+            # row per slot), instead of one filtered decode branch per
+            # slot unioned together — the scan + Arrow decode used to
+            # run once per slot.  A slot's positions are distinct within
+            # a doc, so countDistinct(ord) == count(*) here.
+            slots = F.array(*[
+                F.struct(F.lit(t).alias("t"),
+                         F.lit(max_off - off).alias("shift"))
+                for t, off in zip(terms, offsets)])
+            allp = (flat.select(
+                "segment_ord", "doc_id", "fieldnorm_id", "pos",
+                F.explode(F.filter(
+                    slots, lambda s: s["t"] == F.col("term")))
+                .alias("__slot"))
+                .select("segment_ord", "doc_id", "fieldnorm_id",
+                        (F.col("pos") + F.col("__slot.shift"))
+                        .alias("apos")))
             hits = (
                 allp.groupBy("segment_ord", "doc_id", "fieldnorm_id", "apos")
-                .agg(F.countDistinct("ord").alias("nmatch"))
+                .agg(F.count(F.lit(1)).alias("nmatch"))
                 .filter(F.col("nmatch") == len(terms))
                 .groupBy("segment_ord", "doc_id", "fieldnorm_id")
                 .agg(F.count("*").alias("tf"))
