@@ -350,10 +350,16 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     (bit j of xxhash64(token) ? +1 : -1).
 
     Shape: explode the token stream once, then ONE map-side-combining
-    groupBy with 64 whole-stage-codegen'd conditional sums.  (The obvious
-    alternative — 64 ``F.aggregate`` higher-order passes per doc — runs
-    interpreted and re-evaluates the token array per pass: the dominant
-    cost of the operator at corpus scale, measured ~10x slower.)
+    groupBy with 32 PACKED lane sums (r8): lane sum ``p_j`` accumulates
+    bit ``j`` of each token hash in its low 32 bits and bit ``j+32`` in
+    its high 32 bits (mask ``(1<<32)|1``), so 64 per-bit set-counts cost
+    33 aggregates instead of 64 conditional sums (1.4x measured, output
+    identical).  Bit ``j`` of the signature is set iff its set-count
+    exceeds half the valid-token count — exactly the sign of the
+    classic +1/-1 vote sum.  Lanes cannot interfere: a lane count is
+    bounded by the doc's token count < 2^32.  (The obvious alternative
+    — 64 ``F.aggregate`` higher-order passes per doc — runs interpreted
+    and re-evaluates the token array per pass, measured ~10x slower.)
     Near-duplicate candidates are docs at small Hamming distance.
     """
     from functools import reduce
@@ -371,17 +377,23 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                     (F.col("rt").isNotNull()
                      & (F.octet_length("rt") < MAX_TOKEN_BYTES)).alias("ok"),
                     F.xxhash64(F.lower("rt")).alias("h")))
-    votes = [
-        F.sum(F.when(F.col("ok")
-                     & (F.col("h").bitwiseAND(
-                         F.shiftleft(F.lit(1).cast("long"), j)) != 0), 1)
-              .when(F.col("ok"), -1).otherwise(0)).alias(f"v{j}")
-        for j in range(64)
-    ]
-    agg = rows.groupBy("id").agg(*votes)
-    bits = [F.when(F.col(f"v{j}") > 0,
-                   F.shiftleft(F.lit(1).cast("long"), j))
-            .otherwise(F.lit(0).cast("long")) for j in range(64)]
+    hm = F.when(F.col("ok"), F.col("h"))          # null = skipped token
+    lane_mask = F.lit((1 << 32) | 1).cast("long")
+    packed = [F.sum(F.shiftrightunsigned(hm, j).bitwiseAND(lane_mask))
+              .alias(f"p{j}") for j in range(32)]
+    agg = rows.groupBy("id").agg(
+        F.count(F.when(F.col("ok"), 1)).alias("nv"), *packed)
+    bits = []
+    for j in range(32):
+        lo = F.col(f"p{j}").bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
+        hi = F.shiftrightunsigned(F.col(f"p{j}"), 32)
+        # votes_j = 2*set_count - n_valid > 0  <=>  2*set_count > n_valid
+        bits.append(F.when(lo * 2 > F.col("nv"),
+                           F.shiftleft(F.lit(1).cast("long"), j))
+                    .otherwise(F.lit(0).cast("long")))
+        bits.append(F.when(hi * 2 > F.col("nv"),
+                           F.shiftleft(F.lit(1).cast("long"), j + 32))
+                    .otherwise(F.lit(0).cast("long")))
     sig = reduce(lambda a, b: a.bitwiseOR(b), bits)
     return agg.select("id", sig.alias("simhash"))
 
