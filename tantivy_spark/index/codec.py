@@ -133,6 +133,12 @@ def vint_encode(values: np.ndarray) -> bytes:
             out.append(x)
         return bytes(out)
     v = np.asarray(values, dtype=np.uint64)
+    if int(v.max()) < 0x80:
+        # all-small fast path (the COMMON long call: position gaps and
+        # dense doc deltas are almost always < 128): LEB128 of a value
+        # under 0x80 is the value byte itself — byte-identical, without
+        # the n x 5 payload matrix (r8: ~10x on these calls)
+        return v.astype(np.uint8).tobytes()
     # candidate 5 bytes per value (7 payload bits each)
     shifts = np.arange(0, 35, 7, dtype=np.uint64)
     payload = ((v[:, None] >> shifts[None, :]) & np.uint64(0x7F)).astype(np.uint8)
@@ -151,6 +157,10 @@ def vint_decode(buf: bytes, n: int) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.uint32)
     raw = np.frombuffer(buf, dtype=np.uint8)
+    if len(raw) >= n and not np.any(raw[:n] & 0x80):
+        # all-single-byte fast path: n one-byte values decode as-is
+        # (mirror of vint_encode's all-small path)
+        return raw[:n].astype(np.uint32)
     is_last = (raw & 0x80) == 0
     # group id of each byte = count of terminators before it
     group = np.zeros(len(raw), dtype=np.int64)
