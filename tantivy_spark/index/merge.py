@@ -483,8 +483,6 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
                          .withColumn("new_id",
                                      F.row_number().over(w_sort) - 1)
                          .persist())
-        perms_bc = spark.sparkContext.broadcast(
-            _collect_perms(sorted_docmap, seg_docs))
 
     field_cols = manifest.get("config", {}).get("field_cols") or None
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -510,21 +508,33 @@ def merge_segments(spark: SparkSession, index_dir: str, out_dir: str,
             if recs:
                 yield pd.DataFrame(recs, columns=["term", "tok_alive"])
 
-    if dead:
-        tok_rows = (sent.select("term", "segment_ord", "chunk_id",
+    def _tok_job():
+        if dead:
+            return (sent.select("term", "segment_ord", "chunk_id",
                                 "doc_freq", "docs")
                     .mapInPandas(_sent_stats, "term STRING, tok_alive LONG")
                     .groupBy("term")
                     .agg(F.coalesce(F.sum("tok_alive"), F.lit(0)).alias("t"))
                     .collect())
-    else:
         # no deletes: alive tokens per chain are exactly the stored
         # chunk total_tf sums — a column-pruned JVM agg, no sentinel
         # vint-decode job (r8: the decode pass only pays off when dead
         # docs must be masked out)
-        tok_rows = (sent.groupBy("term")
-                    .agg(F.coalesce(F.sum("total_tf"), F.lit(0)).alias("t"))
-                    .collect())
+        return (sent.groupBy("term")
+                .agg(F.coalesce(F.sum("total_tf"), F.lit(0)).alias("t"))
+                .collect())
+
+    # the permutation packing (sorted indexes) and the token-stats agg
+    # are independent driver-blocking jobs — overlap them (r8)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+    if sorted_docmap is not None:
+        with _TPE(max_workers=2) as _ex:
+            _f_perm = _ex.submit(_collect_perms, sorted_docmap, seg_docs)
+            _f_tok = _ex.submit(_tok_job)
+            tok_rows = _f_tok.result()
+            perms_bc = spark.sparkContext.broadcast(_f_perm.result())
+    else:
+        tok_rows = _tok_job()
     _mark("plan_stats", _t)
     alive_tokens = sum(int(r["t"]) for r in tok_rows)
     avg_fn = (alive_tokens / total_alive) if total_alive else 1.0
